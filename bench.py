@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Benchmark runner (driver contract, TESTDATA.md / BASELINE.md).
+
+Runs every registered query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed end-to-end (plan + execute + collect-to-count);
+a warmup query first absorbs JVM/session startup so per-query numbers
+measure the engine, not the JVM boot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from hackmd_data_pipeline_spark.plans import REGISTRY  # noqa: E402
+from hackmd_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    # warmup: JVM + parquet footer caches
+    REGISTRY["q1_pricing_summary"].builder(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(REGISTRY):
+        t0 = time.perf_counter()
+        df = REGISTRY[name].builder(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "sum_query_seconds_all_registered",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

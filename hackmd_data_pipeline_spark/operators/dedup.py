@@ -1,0 +1,172 @@
+"""Near-duplicate detection at scale (north-star extension surface).
+
+The reference's dedup is exact-id only (SURVEY.md §2.D, O-22/O-23 —
+reference arxiv_collector.py:123-134,251,260-264). For a 100 TB
+training-data pipeline that is not enough; these operators add
+content-based near-dup detection with sub-quadratic candidate
+generation:
+
+  * minhash_signatures / minhash_lsh_pairs — shingle -> k minhashes ->
+    banded LSH buckets -> candidate pairs -> exact-Jaccard verify.
+    Never materializes the O(n^2) pair space: the only joins are
+    equi-joins on (band, band_hash), so Spark shuffles by bucket.
+  * simhash_signatures / simhash_pairs — 32-bit SimHash with
+    byte-block blocking (Charikar 2002-style); Hamming verify.
+
+Everything is built-in column expressions (xxhash64, bit ops) — no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shingles(text_col, n: int = 3):
+    """Distinct lowercase n-token shingles of a text column."""
+    toks = F.split(F.trim(F.lower(text_col)), "\\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        )
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 16,
+                       shingle_n: int = 3) -> DataFrame:
+    """``id | sig_0..sig_{k-1}`` — k independent minhashes per doc.
+
+    One explode + one hash-partitioned aggregation; signature width is
+    k columns, computed as k min-aggregates in a single pass (no
+    per-hash re-scan). xxhash64 with a per-hash salt plays the role of
+    k independent hash functions.
+    """
+    ex = (
+        df.select(id_col, F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+    aggs = [
+        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 16,
+                      bands: int = 4, shingle_n: int = 3,
+                      jaccard_threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs ``(id_a, id_b, jaccard)`` with jaccard >= threshold.
+
+    LSH banding: k hashes split into ``bands`` bands of k/bands rows;
+    docs sharing any band hash become candidates (equi-join on
+    (band, band_hash) — shuffle by bucket, never all-pairs), then
+    candidates are verified with exact shingle-set Jaccard.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias("band_hash"),
+        )
+        for b in range(bands)
+    ])
+    buckets = (
+        sigs.select(id_col, F.explode(band_structs).alias("bb"))
+        .select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+    sh = df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sh"))
+    with_a = candidates.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+    with_b = with_a.join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        with_b.select(
+            "id_a", "id_b",
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", bits: int = 32) -> DataFrame:
+    """``id | simhash`` — SimHash over whitespace tokens.
+
+    Per token: xxhash64; per bit: +1/-1 vote; sign of the per-bit sum
+    is the signature bit. One explode + one aggregation with ``bits``
+    sum-columns — single shuffle on id.
+    """
+    ex = (
+        df.select(id_col, F.explode(F.split(F.trim(F.lower(F.col(text_col))), "\\s+")).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v_{i}")
+        for i in range(bits)
+    ]
+    per_doc = ex.groupBy(id_col).agg(*votes)
+    sig = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sig = term if sig is None else sig + term
+    return per_doc.select(id_col, sig.alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                  bits: int = 32, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming.
+
+    Blocking: the 32-bit signature splits into 4 byte-blocks; by
+    pigeonhole, any pair within Hamming distance 3 agrees on >= 1
+    block -> equi-join per block (shuffle by block value), then exact
+    Hamming verify via bit_count(xor).
+    """
+    sigs = simhash_signatures(df, id_col, text_col, bits)
+    n_blocks = 4
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    block_structs = F.array(*[
+        F.struct(
+            F.lit(k).alias("blk"),
+            F.shiftright(F.col("simhash"), k * width).bitwiseAND(F.lit(mask)).alias("blk_val"),
+        )
+        for k in range(n_blocks)
+    ])
+    blocked = (
+        sigs.select(id_col, "simhash", F.explode(block_structs).alias("bb"))
+        .select(id_col, "simhash", F.col("bb.blk").alias("blk"), F.col("bb.blk_val").alias("blk_val"))
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk"))
+               & (F.col("a.blk_val") == F.col("b.blk_val"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"),
+                ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("id_a", "id_b")
+    )

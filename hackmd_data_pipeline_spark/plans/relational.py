@@ -1,0 +1,626 @@
+"""Relational core queries (SURVEY.md §2.C/D/F/G/H — Phase 1).
+
+Each query is the Spark-first re-expression of a reference operator
+(O-nn ids cite SURVEY.md §2, which cites /root/reference file:line).
+Built with the DataFrame API so Catalyst gets full pushdown/pruning
+freedom; oracles are plain ANSI SQL for DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions import elapsed_micros
+from ..tables import load_table
+from .registry import query
+
+# --------------------------------------------------------------- aggregation
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped pricing summary — the O-30/O-31 grouped
+    stats family (reference arxiv_collector.py:102-121) generalized to a
+    full multi-aggregate scan. Single shuffle on the two group keys;
+    partial aggregation map-side; filter pushed to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "o29_count_filtered",
+    oracle="""
+    SELECT COUNT(*) AS pending_count
+    FROM events
+    WHERE event_type = 'view'
+    """,
+)
+def o29_count_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-29: COUNT(*) under a status predicate (reference
+    arxiv_etl.py:171-179 pending-batch count). Filter pushed down;
+    count is a map-side partial + single-row final."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type") == "view").agg(F.count("*").alias("pending_count"))
+
+
+@query(
+    "o30_group_run_stats",
+    oracle="""
+    SELECT event_type                                              AS category_name,
+           CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS BIGINT)   AS elapsed_us,
+           COUNT(*)                                                AS s3_count,
+           ROUND(SUM(value), 2)                                    AS value_sum
+    FROM events
+    GROUP BY event_type
+    ORDER BY category_name
+    """,
+)
+def o30_group_run_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-30: per-group run stats — elapsed time, volume counts
+    (reference category_run_stats, create_table.sql:44-50). Elapsed is
+    exact integer microseconds so the oracle comparison is drift-free."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("event_type").alias("category_name"))
+        .agg(
+            elapsed_micros(F.max("ts"), F.min("ts")).alias("elapsed_us"),
+            F.count("*").alias("s3_count"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .orderBy("category_name")
+    )
+
+
+@query(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey)                    AS distinct_parts,
+           COUNT(DISTINCT l_suppkey)                    AS distinct_supps,
+           COUNT(DISTINCT (l_returnflag, l_linestatus)) AS distinct_flag_status
+    FROM lineitem
+    """,
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension agg (SURVEY.md §2.F): exact distinct counts. Spark
+    plans these as partial-distinct expand + final; see also
+    agg_approx_distinct (rows-only) for the 100 TB-friendly sketch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.countDistinct("l_returnflag", "l_linestatus").alias("distinct_flag_status"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the scale path for 100 TB
+    id-cardinality questions (no oracle: sketch results are
+    engine-specific; driver records rows-only)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+@query(
+    "agg_rollup_region_nation",
+    oracle="""
+    SELECT r_name, n_name, COUNT(c_custkey) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS acctbal_sum
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension agg: hierarchical ROLLUP totals (region -> nation ->
+    grand total). Dimension tables are broadcast — no shuffle for the
+    joins, one shuffle for the rollup aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("c_custkey").alias("n_customers"),
+             F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+# ------------------------------------------------------------------- filters
+
+
+@query(
+    "o17_status_filter_neq",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def o17_status_filter_neq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-17: != status predicate (reference arxiv_collector.py:87-91
+    ``status != 'Finished'``). Pushed to the parquet scan."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") != "F")
+        .groupBy("o_orderstatus").agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "o19_time_range_filter",
+    oracle="""
+    SELECT CAST(l_shipdate AS DATE) AS ship_date, COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= (SELECT MAX(l_shipdate) FROM lineitem) - INTERVAL 6 MONTH
+    GROUP BY ship_date
+    ORDER BY ship_date
+    """,
+)
+def o19_time_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-19: lookback-window predicate ``ts >= now() - INTERVAL 6 MONTHS``
+    (reference arxiv_collector.py:123-134). 'now' is anchored to
+    max(l_shipdate) for determinism. The 1-row cutoff is broadcast —
+    the big side streams through a pushed filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = li.agg((F.max("l_shipdate") - F.expr("INTERVAL 6 MONTHS")).alias("cutoff"))
+    return (
+        li.join(F.broadcast(cutoff))
+        .filter(F.col("l_shipdate") >= F.col("cutoff"))
+        .groupBy(F.to_date("l_shipdate").alias("ship_date"))
+        .agg(F.count("*").alias("n_items"))
+        .orderBy("ship_date")
+    )
+
+
+@query(
+    "o20_exists_semijoin",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers_with_orders
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def o20_exists_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-20: EXISTS point-lookup generalized to a left-semi join
+    (reference notebook cell bc52a9c3 ``paper_exists``). Semi join
+    carries no payload columns from the probe side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment").agg(F.count("*").alias("n_customers_with_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "o21_completeness_filter",
+    oracle="""
+    SELECT source, COUNT(*) AS n_complete
+    FROM documents
+    WHERE text IS NOT NULL AND LENGTH(TRIM(text)) > 0
+      AND lang IS NOT NULL AND LENGTH(TRIM(lang)) > 0
+      AND n_chars > 0
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def o21_completeness_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-21: required-fields completeness filter (reference notebook
+    cell c1c6da3a): drop rows where any required field is null/blank."""
+    d = load_table(spark, sf_dir, "documents")
+    complete = (
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+        & F.col("lang").isNotNull() & (F.length(F.trim("lang")) > 0)
+        & (F.col("n_chars") > 0)
+    )
+    return (
+        d.filter(complete)
+        .groupBy("source").agg(F.count("*").alias("n_complete"))
+        .orderBy("source")
+    )
+
+
+# -------------------------------------------------------------------- dedup
+
+
+@query(
+    "o22_anti_join_dedup",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_customers_without_orders
+    FROM customer
+    ANTI JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+)
+def o22_anti_join_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-22: historical anti-join dedup — incoming minus already-seen
+    ids (reference arxiv_collector.py:123-134,260-264). At scale the
+    seen-id side stays bounded (the reference's 6-month lookback trick)
+    so it broadcasts; here customers-without-orders stands in."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey").agg(F.count("*").alias("n_customers_without_orders"))
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "o23_within_batch_dedup",
+    oracle="""
+    SELECT COUNT(*) AS n_distinct_pairs
+    FROM (SELECT DISTINCT user_id, event_type FROM events)
+    """,
+)
+def o23_within_batch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-23: within-batch dedup, first-occurrence-wins on a key
+    (reference arxiv_collector.py:251,260-264) — dropDuplicates on the
+    key columns; hash-partitioned by the key, map-side partial dedup."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id", "event_type").dropDuplicates()
+        .agg(F.count("*").alias("n_distinct_pairs"))
+    )
+
+
+@query(
+    "o23b_keep_last_per_key",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey, o_orderdate AS latest_orderdate
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    )
+    WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+)
+def o23b_keep_last_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-23b: keep-one-per-key, last-occurrence-wins (reference notebook
+    dict-comprehension dedup) — deterministic via row_number with a
+    total order (date desc, key desc). One shuffle on the key."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("latest_orderkey"),
+            F.col("o_orderdate").alias("latest_orderdate"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "o23c_set_difference",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def o23c_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-23c: set difference (reference arxiv_collector.py:217-222 —
+    YAML categories minus DB categories) as EXCEPT."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s).orderBy("nationkey")
+
+
+# ------------------------------------------------------------ sort / top-k
+
+
+@query(
+    "o32_order_limit",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_orderdate
+    FROM orders
+    WHERE o_orderstatus = 'P'
+    ORDER BY o_orderkey
+    LIMIT 10
+    """,
+)
+def o32_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-32 (and the batch form of the O-24 claim): FIFO take-n —
+    ``WHERE status='pending' ORDER BY key LIMIT n`` (reference
+    arxiv_etl.py:42-57). Spark plans this as TakeOrderedAndProject —
+    no global sort materialization."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "P")
+        .select("o_orderkey", "o_orderstatus", "o_orderdate")
+        .orderBy("o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "o33_topk_recent_per_group",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_orderdate
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_orderdate,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+    )
+    WHERE rn <= 5
+    ORDER BY o_orderpriority, o_orderdate DESC, o_orderkey DESC
+    """,
+)
+def o33_topk_recent_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-33: most-recent-k per group (reference arXiv scan: SubmittedDate
+    desc capped at max_results per category, arxiv_collector.py:245-248).
+    Window top-k — AQE handles group skew; rank pushdown via
+    WindowGroupLimit keeps only k rows per key before the final sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("o_orderpriority", "o_orderkey", "o_orderdate")
+        .orderBy("o_orderpriority", F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    )
+
+
+@query(
+    "o34_head_slice",
+    oracle="""
+    SELECT c_mktsegment
+    FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    ORDER BY c_mktsegment
+    LIMIT 3
+    """,
+)
+def o34_head_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-34: take-first-k of an ordered small set (reference
+    select_next_categories, arxiv_collector.py:63-72)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_mktsegment").distinct().orderBy("c_mktsegment").limit(3)
+
+
+# -------------------------------------------------------------------- joins
+
+
+@query(
+    "join_q3_shipping_topk",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def join_q3_shipping_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped 3-way join + top-k (SURVEY.md §2.H engine
+    surface). customer is small relative to lineitem -> broadcast it
+    into orders; the orders->lineitem join shuffles on the order key.
+    Ties on rounded revenue break by l_orderkey for determinism."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    return (
+        li.join(o.join(F.broadcast(c), o.o_custkey == c.c_custkey),
+                li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "join_q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+)
+def join_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-way star join: all dimension sides broadcast,
+    single shuffle for the orders->lineitem equi-join + one for the
+    final agg. Catalyst reorders the join tree; broadcast hints keep
+    the small sides off the shuffle path."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# -------------------------------------------------- events / window analytics
+
+
+@query(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the event stream (SURVEY.md §2.I
+    extension; streaming twin lives in streaming/pipeline.py with a
+    watermark). Batch form: hour bucketing — one shuffle. Truncation is
+    integer NTZ arithmetic (date_trunc would coerce NTZ through the
+    caller's session timezone)."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    hour_start = F.timestamp_add("HOUR", F.timestamp_diff("HOUR", epoch, F.col("ts")), epoch)
+    return (
+        ev.groupBy(hour_start.alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "events_sessionization",
+    oracle="""
+    WITH events_us AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ), flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events_us
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (gaps-and-islands, 30-min inactivity gap) — the
+    batch twin of session_window() in streaming. Two window passes over
+    the same (user_id, ts) partitioning — one shuffle, reused."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer microsecond gap, timezone-independent on NTZ
+    gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)).cast("long"),
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "events_props_json_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           COUNT(json_extract_string(props, '$.k')) AS k_present
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-16 JSON parse family (reference json.loads per line,
+    arxiv_etl.py:144): semi-structured extraction with
+    get_json_object, aggregated. Stays JVM-side — no Python."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.sum(k).cast("long").alias("k_sum"), F.count(k).alias("k_present"))
+        .orderBy("event_type")
+    )

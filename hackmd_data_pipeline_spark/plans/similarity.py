@@ -1,0 +1,159 @@
+"""Similarity / embedding / near-dup query registrations.
+
+Oracle-checked where DuckDB can reproduce the float fold order
+(list_zip + list_transform + list_reduce mirror Spark's zip_with +
+aggregate left-fold exactly); LSH/IVF/SimHash variants are rows-only
+by nature (bucketing decisions are engine-specific).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import minhash_lsh_pairs, simhash_pairs
+from ..operators.similarity import brute_force_topk, cosine, ivf_topk
+from ..operators.textstats import lang_id_confusion
+from ..tables import load_table
+from .registry import query
+
+# DuckDB equivalent of operators.similarity.dot/cosine with identical
+# left-fold float semantics.
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "(acc, v) -> acc + v))"
+)
+
+
+@query(
+    "sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < 3
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               {_DOT.format(a='e.embedding', b='q.qvec')}
+               / ({_NORM.format(a='e.embedding')} * {_NORM.format(a='q.qvec')}) AS c
+        FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, ROUND(c, 6) AS cosine, rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY c DESC, vec_id) AS rank
+          FROM scored)
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 3 query vectors — the exact-ANN
+    baseline (north star). Query side broadcasts; corpus never
+    shuffles; one window for top-k."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return brute_force_topk(emb, queries, k=10)
+
+
+@query(
+    "sim_centroid_norms",
+    oracle="""
+    WITH dims AS (
+        SELECT label, i.i AS dim, AVG(CAST(embedding[CAST(i.i AS INT)] AS DOUBLE)) AS c
+        FROM embeddings CROSS JOIN (SELECT UNNEST(range(1, 65)) AS i) i
+        GROUP BY label, i.i
+    )
+    SELECT label, ROUND(SUM(c * c), 4) AS centroid_sq_norm, COUNT(*) AS n_dims
+    FROM dims
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def sim_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (element-wise mean via posexplode)
+    reduced to its squared norm — the 'cluster profile' shape used by
+    IVF training. Two shuffles: (label, dim) then label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim0", "x"))
+        .groupBy("label", (F.col("dim0") + 1).alias("dim"))
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(F.round(F.sum(F.col("c") * F.col("c")), 4).alias("centroid_sq_norm"),
+             F.count("*").alias("n_dims"))
+        .orderBy("label")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND({_DOT.format(a='a.embedding', b='b.embedding')}
+                 / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')}), 6) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
+          / ({_NORM.format(a='a.embedding')} * {_NORM.format(a='b.embedding')}) >= 0.95
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (north star), blocked by label
+    (the cluster id acts as the LSH bucket): the self-join is an
+    equi-join on label — shuffle by block, never all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"),
+                cos.alias("_cos"))
+        .filter(F.col("_cos") >= 0.95)
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("sim_ann_ivf", oracle=None)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans coarse quantizer, nprobe=4 of nlist=16) — the
+    100 TB scale path for similarity search. Approximate by design:
+    rows-only check; recall vs the exact baseline is asserted in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
+
+
+@query("dedup_minhash_lsh", oracle=None)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) near-dup candidates verified by exact
+    shingle Jaccard >= 0.3 (north star). Bucket-join candidate
+    generation — sub-quadratic at scale; rows-only (banding is
+    engine-specific)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, jaccard_threshold=0.3)
+
+
+@query("dedup_simhash", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) near-dup pairs within Hamming distance 3, with
+    byte-block pigeonhole blocking (north star); rows-only."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=3)
+
+
+@query("text_lang_id", oracle=None)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID confusion matrix against the labeled
+    ``lang`` column (north star); heuristic -> rows-only."""
+    d = load_table(spark, sf_dir, "documents")
+    return lang_id_confusion(d)

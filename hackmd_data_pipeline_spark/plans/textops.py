@@ -1,0 +1,253 @@
+"""Text-analysis & dedup queries over the documents table.
+
+The LLM-data-pipeline extension surface (BASELINE.json north star;
+SURVEY.md §2.J/§7 Phase 4): exact dedup, fingerprinting, token
+counting, quality scoring, scalar-function suite. Everything here is
+built-in-function-only (JVM-side, codegen'd) — the non-SQL-expressible
+variants (MinHash LSH, SimHash, language ID) live in
+operators/ and are registered as rows-only queries in similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import batch_id, fingerprint, sanitize_key, scrub_text, token_count, tokens
+from ..tables import load_table
+from .registry import query
+
+
+@query(
+    "fn_scalar_suite",
+    oracle="""
+    SELECT doc_id,
+           replace(lang || '.' || source, '.', '_')                    AS sanitized_key,
+           source || '_' || CAST(doc_id % 7 AS VARCHAR) || '_batch_'
+                  || CAST(doc_id % 3 AS VARCHAR)                       AS batch_ref,
+           COALESCE(lang, 'und')                                        AS lang_or_default,
+           UPPER(SUBSTR(text, 1, 20))                                   AS title_like,
+           LENGTH(regexp_replace(text, '[\\x00\\n\\r]', ' ', 'g'))      AS scrubbed_len
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-12..O-16 scalar-function suite: key sanitization ('.'->'_',
+    reference arxiv_collector.py:175), composite batch-id synthesis
+    (:281), coalesce defaults (arxiv_etl.py:66-86), substring/upper
+    projection, and the control-char scrub (arxiv_etl.py:89)."""
+    d = load_table(spark, sf_dir, "documents")
+    bid = batch_id("source", F.col("doc_id") % 7, F.col("doc_id") % 3)
+    # reference batch id is {cat}_{date}_batch_{n}; here date ~ doc_id%7
+    return (
+        d.select(
+            "doc_id",
+            sanitize_key(F.concat_ws(".", "lang", "source")).alias("sanitized_key"),
+            bid.alias("batch_ref"),
+            F.coalesce("lang", F.lit("und")).alias("lang_or_default"),
+            F.upper(F.substring("text", 1, 20)).alias("title_like"),
+            F.length(scrub_text(F.col("text"))).alias("scrubbed_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(TRIM(text), '\\s+'))   AS n_tokens,
+           LENGTH(text)                                     AS n_chars_actual,
+           len(list_distinct(regexp_split_to_array(LOWER(TRIM(text)), '\\s+'))) AS n_unique_tokens
+    FROM documents
+    WHERE LENGTH(TRIM(text)) > 0
+    ORDER BY doc_id
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (north-star text analysis): whitespace tokens,
+    char count, unique-token count. Pure codegen'd expressions — at
+    100 TB this is a single narrow scan, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return (
+        d.select(
+            "doc_id",
+            F.size(tokens("text")).alias("n_tokens"),
+            F.length("text").alias("n_chars_actual"),
+            F.size(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), "\\s+"))).alias("n_unique_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang,
+               LENGTH(text) AS n,
+               len(regexp_split_to_array(TRIM(text), '\\s+')) AS n_tok,
+               len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b')) AS n_stop,
+               LENGTH(regexp_replace(text, '[^.!?,;]', '', 'g')) AS n_punct
+        FROM documents
+        WHERE LENGTH(TRIM(text)) > 0
+    )
+    SELECT doc_id, lang, n_tok AS n_tokens,
+           ROUND(CAST(n AS DOUBLE) / n_tok, 4)        AS avg_token_len,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tok, 4)   AS stopword_ratio,
+           ROUND(CAST(n_punct AS DOUBLE) / n, 4)      AS punct_ratio,
+           CASE WHEN n_tok >= 20 AND CAST(n_stop AS DOUBLE) / n_tok > 0.05
+                THEN 'keep' ELSE 'flag' END           AS quality_bucket
+    FROM base
+    ORDER BY doc_id
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (north-star text analysis): length, stopword
+    ratio, punctuation ratio, and a keep/flag bucket — the C4/Gopher-
+    style heuristics, as single-pass column expressions."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    n = F.length("text")
+    n_tok = F.size(tokens("text"))
+    n_stop = F.size(F.regexp_extract_all(F.col("text"), F.lit("\\b(the|a|of|and|to|in|is)\\b"), F.lit(0)))
+    n_punct = F.length(F.regexp_replace("text", "[^.!?,;]", ""))
+    stop_ratio = n_stop.cast("double") / n_tok
+    return (
+        d.select(
+            "doc_id", "lang",
+            n_tok.alias("n_tokens"),
+            F.round(n.cast("double") / n_tok, 4).alias("avg_token_len"),
+            F.round(stop_ratio, 4).alias("stopword_ratio"),
+            F.round(n_punct.cast("double") / n, 4).alias("punct_ratio"),
+            F.when((n_tok >= 20) & (stop_ratio > 0.05), "keep").otherwise("flag").alias("quality_bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_exact_fingerprint",
+    oracle="""
+    SELECT md5(LOWER(TRIM(text)))  AS fp,
+           MIN(doc_id)             AS keeper_doc_id,
+           COUNT(*)                AS n_copies
+    FROM documents
+    GROUP BY fp
+    ORDER BY fp
+    """,
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint (north star; generalizes
+    O-22/O-23): md5 of normalized text, keep the smallest id per
+    group. At 100 TB: one shuffle on the 128-bit fingerprint — i.e.
+    dedup cost is one hash-partitioned agg, never a self-join."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(fingerprint("text").alias("fp"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("n_copies"))
+        .orderBy("fp")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([LOWER(t[i]) || ' ' || LOWER(t[i+1]) || ' ' || LOWER(t[i+2])
+                              FOR i IN range(1, GREATEST(len(t) - 1, 1))]) AS shingles
+        FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t
+              FROM documents WHERE LENGTH(TRIM(text)) > 0)
+        WHERE len(t) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+    FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+    ORDER BY doc_a
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard similarity on 3-token shingle sets (north-star
+    near-dup primitive). The oracle-checkable form scores adjacent doc
+    pairs; the scale path (candidate generation via MinHash LSH so the
+    self-join never goes quadratic) is dedup_minhash_lsh (rows-only)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim(F.col("text")), "\\s+")
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.lower(F.element_at(toks, i + 1)),
+                    F.lower(F.element_at(toks, i + 2)),
+                    F.lower(F.element_at(toks, i + 3)),
+                ),
+            )
+        ).alias("shingles"),
+    ).filter(F.size(toks) >= 3)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
+    union = F.size(F.col("a.shingles")) + F.size(F.col("b.shingles")) - inter
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .orderBy("doc_a")
+    )
+
+
+@query(
+    "docs_lang_distribution",
+    oracle="""
+    SELECT COALESCE(lang, 'und') AS lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def docs_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition: docs and volume per (language, source) —
+    the per-category accounting shape of O-30 applied to a corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.coalesce("lang", F.lit("und")).alias("lang"), "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").cast("long").alias("total_chars"))
+        .orderBy("lang", "source")
+    )
+
+
+@query(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text)               AS payload_sha256
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checkable slice: treat content as an
+    opaque binary payload with typed metadata (byte length, sha256).
+    The decode/feature-extract stages (stubbed — no codec libs in the
+    container) live in operators/multimodal.py over mapInPandas."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return (
+        d.select(
+            "doc_id",
+            F.octet_length(payload).alias("n_bytes"),
+            F.lower(F.sha2(payload, 256)).alias("payload_sha256"),
+        )
+        .orderBy("doc_id")
+    )

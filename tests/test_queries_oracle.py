@@ -1,0 +1,65 @@
+"""Replicates the driver's correctness gate locally: every registered
+query with an oracle runs on Spark AND DuckDB at sf0.01; results must
+match on row count, column names, and (order-insensitively) values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from hackmd_data_pipeline_spark.plans import REGISTRY
+
+from .conftest import SF_CORRECT
+
+
+def _normalize(rows, columns):
+    """Sort columns by name, canonicalize cell values, sort rows."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def canon(v):
+        if v is None:
+            return "∅"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "NaN"
+            # driver-style value canonicalization: fixed decimal repr
+            return f"{v:.6f}"
+        return str(v)
+
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_oracle_match(spark, duck, name):
+    q = REGISTRY[name]
+    sdf = q.builder(spark, SF_CORRECT)
+    spark_cols = list(sdf.columns)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.sql(q.oracle)
+    duck_cols = list(rel.columns)
+    duck_rows = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}")
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count spark={len(spark_rows)} duck={len(duck_rows)}")
+
+    ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
+    mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
+    assert not mismatches, f"{name}: first value mismatches: {mismatches[:3]}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_runs(spark, name):
+    q = REGISTRY[name]
+    df = q.builder(spark, SF_CORRECT)
+    n = df.count()
+    assert n >= 0
+    assert len(df.columns) > 0
