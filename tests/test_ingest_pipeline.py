@@ -1,0 +1,170 @@
+"""Ingest-path tests (SURVEY.md §7 Phase 2+3): gzip-JSONL source with
+quarantine, canonical/history transforms, idempotent append, control
+table state machine, and the exactly-once streaming drain.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from hackmd_data_pipeline_spark.plans.ingest import (
+    completeness_filter, idempotent_new_rows, to_canonical, to_history)
+from hackmd_data_pipeline_spark.schemas import (
+    HISTORY_SCHEMA, PAPER_SCHEMA, RAW_BATCHES_SCHEMA)
+from hackmd_data_pipeline_spark.sources.jsonl_gz import (
+    read_raw_jsonl, split_quarantine)
+from hackmd_data_pipeline_spark.streaming.control import (
+    ControlTable, claim_pending, mark_status)
+from hackmd_data_pipeline_spark.streaming.pipeline import run_ingest_stream
+
+
+def _record(i: int, **overrides) -> dict:
+    rec = {
+        "entry_id": f"http://example.org/abs/2401.{i:05d}",
+        "title": f"Paper {i}",
+        "authors": [f"Author {i}", "Co Author"],
+        "summary": f"Summary of paper {i}\nwith a newline",
+        "primary_category": "cs.DB" if i % 2 == 0 else "cs.LG",
+        "categories": ["cs.DB", "cs.LG"],
+        "published": f"2024-01-{(i % 27) + 1:02d}T10:00:00Z",
+        "updated": f"2024-02-{(i % 27) + 1:02d}T10:00:00+00:00",
+        "journal_ref": None,
+        "doi": f"10.0000/{i}" if i % 3 == 0 else None,
+    }
+    rec.update(overrides)
+    return rec
+
+
+@pytest.fixture(scope="module")
+def raw_dir(tmp_path_factory):
+    """12 good rows (one duplicated id, one incomplete) + 1 corrupt line."""
+    d = tmp_path_factory.mktemp("raw")
+    lines = [json.dumps(_record(i), ensure_ascii=False) for i in range(10)]
+    lines.append(json.dumps(_record(3)))                    # duplicate entry_id
+    lines.append(json.dumps(_record(99, title="   ")))      # incomplete: blank title
+    lines.append('{"entry_id": "broken", not json')         # corrupt line
+    with gzip.open(d / "batch_0.jsonl.gz", "wt", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    return str(d)
+
+
+def test_source_quarantine_split(spark, raw_dir):
+    raw = read_raw_jsonl(spark, raw_dir)
+    good, bad = split_quarantine(raw)
+    assert bad.count() == 1                       # O-28 dead-letter capture
+    assert good.count() == 12
+    assert "_corrupt_record" not in good.columns
+    # lineage column present and populated (reference s3_path per row)
+    assert good.filter(F.col("source_path").contains("batch_0")).count() == 12
+
+
+def test_completeness_filter(spark, raw_dir):
+    good, _ = split_quarantine(read_raw_jsonl(spark, raw_dir))
+    kept = completeness_filter(good)
+    assert kept.count() == 11                     # blank-title row dropped
+
+
+def test_canonical_transform_schema_and_values(spark, raw_dir):
+    good, _ = split_quarantine(read_raw_jsonl(spark, raw_dir))
+    canonical = to_canonical(completeness_filter(good))
+    assert [f.name for f in PAPER_SCHEMA.fields] == canonical.columns
+    row = canonical.filter(F.col("entry_id").endswith("00004")).first()
+    assert row.published_date.isoformat() == "2024-01-05"
+    assert row.updated_date.isoformat() == "2024-02-05"
+    assert row.version == 1 and row.keywords == [] and row.topic is None
+    assert row.affiliations == {} and row.links == {}
+    # both ISO offset forms parsed (Z and +00:00)
+    assert row.published is not None and row.updated is not None
+
+
+def test_history_transform(spark, raw_dir):
+    good, _ = split_quarantine(read_raw_jsonl(spark, raw_dir))
+    hist = to_history(to_canonical(completeness_filter(good)), etl_stage="test")
+    assert [f.name for f in HISTORY_SCHEMA.fields] == hist.columns
+    rows = hist.collect()
+    assert len({r.history_id for r in rows}) == len(rows)   # uuid unique
+    assert all("\n" not in r.summary for r in rows)         # scrub (O-12)
+    assert all(r.operation_type == "insert" and r.etl_stage == "test" for r in rows)
+
+
+def test_idempotent_new_rows(spark, raw_dir):
+    good, _ = split_quarantine(read_raw_jsonl(spark, raw_dir))
+    canonical = to_canonical(completeness_filter(good))
+    existing = canonical.limit(4)
+    new = idempotent_new_rows(canonical, existing)
+    # 11 complete - 1 within-batch dup - 4 already present = 6
+    assert new.count() == 6
+    # re-applying against the union is a no-op (ON CONFLICT DO NOTHING)
+    assert idempotent_new_rows(canonical, existing.select("entry_id")
+                               .union(new.select("entry_id"))).count() == 0
+
+
+# ---------------------------------------------------------------- control
+
+
+def _seed_batches(spark, n=7):
+    rows = [
+        (f"b{i:03d}", "cs.DB", f"raw/cs_DB/b{i:03d}.jsonl.gz", 100,
+         None, "pending", None, None, None)
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, RAW_BATCHES_SCHEMA)
+
+
+def test_control_table_claim_and_status(spark, tmp_path):
+    table = ControlTable(spark, str(tmp_path / "raw_batches"), RAW_BATCHES_SCHEMA)
+    table.write(_seed_batches(spark))
+
+    claimed = claim_pending(table, 3)
+    keys = sorted(r.batch_id for r in claimed.collect())
+    assert keys == ["b000", "b001", "b002"]       # FIFO by key (O-24/O-32)
+    state = {r.batch_id: r.etl_status for r in table.read().collect()}
+    assert all(state[k] == "processing" for k in keys)
+    assert sum(v == "pending" for v in state.values()) == 4
+
+    # claim again -> next 3, no overlap (the SKIP LOCKED semantics)
+    second = sorted(r.batch_id for r in claim_pending(table, 3).collect())
+    assert second == ["b003", "b004", "b005"]
+
+    mark_status(table, ["b000", "b001"], "finished")
+    mark_status(table, ["b002"], "failed", error_msg="boom")
+    final = {r.batch_id: r for r in table.read().collect()}
+    assert final["b000"].etl_status == "finished"
+    assert final["b000"].etl_finished_at is not None
+    assert final["b002"].error_msg == "boom"
+    assert final["b003"].etl_status == "processing"  # untouched by mark
+
+
+def test_control_table_generation_gc(spark, tmp_path):
+    import os
+    table = ControlTable(spark, str(tmp_path / "gc"), RAW_BATCHES_SCHEMA)
+    for _ in range(4):
+        table.write(_seed_batches(spark, n=2))
+    gens = [d for d in os.listdir(table.root) if d.startswith("gen=")]
+    assert len(gens) <= 2                         # old generations GC'd
+    assert table.read().count() == 2
+
+
+# --------------------------------------------------------------- streaming
+
+
+def test_streaming_ingest_exactly_once(spark, raw_dir, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    counts = run_ingest_stream(spark, raw_dir, out, ckpt)
+    assert counts["canonical"] == 10              # completeness + in-batch dedup
+    assert counts["quarantine"] == 1
+    papers = spark.read.parquet(f"{out}/papers")
+    assert papers.count() == 10
+    # partition layout: primary_category is a partition column (O-3/§1.4)
+    assert papers.filter(F.col("primary_category") == "cs.DB").count() > 0
+
+    # same checkpoint -> file already claimed -> nothing new (O-24)
+    again = run_ingest_stream(spark, raw_dir, out, ckpt)
+    assert again == {"canonical": 0, "history": 0, "quarantine": 0}
+    assert spark.read.parquet(f"{out}/papers").count() == 10
