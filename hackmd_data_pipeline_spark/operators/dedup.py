@@ -24,15 +24,36 @@ from pyspark.sql import functions as F
 
 
 def shingles(text_col, n: int = 3):
-    """Distinct lowercase n-token shingles of a text column."""
+    """Distinct lowercase n-token shingles of a text column.
+
+    Built with zip_with over shifted slices — each shingle position
+    touches each token once. (The naive transform-over-indices with
+    element_at(toks, i+j) re-evaluates the split() subtree per element
+    in the interpreted HOF path — no common-subexpression elimination —
+    which benchmarked 10x slower at sf0.1.) Docs shorter than n tokens
+    yield an empty array.
+    """
     toks = F.split(F.trim(F.lower(text_col)), "\\s+")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-            ),
-        )
+    sh = toks
+    for j in range(1, n):
+        # pair position i with token i+j; tail positions get NULL b ->
+        # NULL shingle (F.concat propagates null), filtered at the end
+        sh = F.zip_with(sh, F.slice(toks, j + 1, F.size(toks)),
+                        lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(F.filter(sh, lambda x: x.isNotNull()))
+
+
+def hashed_shingles(text_col, n: int = 3):
+    """Distinct shingles hashed to 64-bit once (array<long>).
+
+    Hashing the variable-length strings to fixed 8-byte values up
+    front makes both the k derived minhashes and the exact-Jaccard
+    verify (array_intersect on longs) cheap; 64-bit collisions are
+    negligible at corpus scale.
+    """
+    return F.transform(
+        F.filter(shingles(text_col, n), lambda s: F.length(s) > 0),
+        lambda s: F.xxhash64(s),
     )
 
 
@@ -41,17 +62,25 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        shingle_n: int = 3) -> DataFrame:
     """``id | sig_0..sig_{k-1}`` — k independent minhashes per doc.
 
-    One explode + one hash-partitioned aggregation; signature width is
-    k columns, computed as k min-aggregates in a single pass (no
-    per-hash re-scan). xxhash64 with a per-hash salt plays the role of
-    k independent hash functions.
+    One explode + one hash-partitioned aggregation: signature width is
+    k columns computed as k min-aggregates in a single codegen'd pass.
+    The shingle string is hashed ONCE (xxhash64); the k "independent"
+    hash functions are cheap remixes xxhash64(h, i) of that 8-byte
+    value — k string hashes per shingle would dominate CPU. Map-side
+    partial aggregation shrinks the shuffle to ~k longs per doc.
+
+    (A shuffle-free per-row formulation via array_min over
+    higher-order-function transforms benchmarks 2x SLOWER despite
+    zero exchange: HOF lambdas are interpreted per element, while this
+    path stays whole-stage-codegen'd. Measured at sf0.1.)
     """
     ex = (
         df.select(id_col, F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"))
         .filter(F.length("shingle") > 0)
+        .withColumn("h", F.xxhash64("shingle"))
     )
     aggs = [
-        F.min(F.xxhash64(F.concat(F.lit(f"mh{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        F.min(F.xxhash64("h", F.lit(i))).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
     return ex.groupBy(id_col).agg(*aggs)
@@ -92,7 +121,8 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         .distinct()
     )
 
-    sh = df.select(F.col(id_col).alias("_id"), shingles(F.col(text_col), shingle_n).alias("_sh"))
+    sh = df.select(F.col(id_col).alias("_id"),
+                   hashed_shingles(F.col(text_col), shingle_n).alias("_sh"))
     with_a = candidates.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
     with_b = with_a.join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

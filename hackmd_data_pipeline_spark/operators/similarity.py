@@ -47,14 +47,21 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     ``queries`` must be small (it is broadcast); the corpus streams
     through one whole-stage-codegen'd projection, then a per-query
-    window takes the top k. Ties break by vec_id.
+    window takes the top k. Ties break by vec_id. Norms are computed
+    once per row on each side BEFORE the join — only the dot product
+    is per-pair work.
     """
-    q = F.broadcast(queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec")))
+    q = F.broadcast(
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+        .withColumn("_qnorm", l2_norm(F.col("_qvec")))
+    )
+    c = corpus.withColumn("_cnorm", l2_norm(F.col(vec_col)))
     scored = (
-        corpus.join(q, F.col(id_col) != F.col(query_id_col))
+        c.join(q, F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col, id_col,
-            cosine(F.col(vec_col), F.col("_qvec")).alias("_cos"),
+            (dot_product(F.col(vec_col), F.col("_qvec"))
+             / (F.col("_cnorm") * F.col("_qnorm"))).alias("_cos"),
         )
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col(id_col))
@@ -79,10 +86,20 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = corpus.select(id_col, array_to_vector(_as_double(F.col(vec_col))).alias("features"))
-    model = KMeans(k=nlist, seed=seed, featuresCol="features", predictionCol="cell").fit(train)
-    assigned = model.transform(train).select(id_col, "cell")
-    corpus_cells = corpus.join(assigned, id_col)
+    # keep the original embedding alongside the ML vector so the cell
+    # assignment needs no join back to the corpus (transform passes
+    # through all input columns)
+    train = corpus.select(id_col, vec_col,
+                          array_to_vector(_as_double(F.col(vec_col))).alias("features"))
+    # coarse quantizer: cell boundaries need not be optimal, so skip
+    # the kmeans|| init passes (random init) and cap iterations —
+    # recall is governed by nprobe, asserted in tests/test_similarity.py
+    model = KMeans(k=nlist, seed=seed, maxIter=5, initMode="random",
+                   featuresCol="features", predictionCol="cell").fit(train)
+    corpus_cells = (
+        model.transform(train).select(id_col, vec_col, "cell")
+        .withColumn("_cnorm", l2_norm(F.col(vec_col)))
+    )
 
     centroids = [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     spark = corpus.sparkSession
@@ -97,13 +114,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     wq = W.partitionBy(query_id_col).orderBy(F.col("_ccos").desc(), F.col("cell"))
     probe = (
         qc.withColumn("_r", F.row_number().over(wq)).filter(F.col("_r") <= nprobe)
-        .select(query_id_col, "_qvec", "cell")
+        .select(query_id_col, F.col("_qvec"), l2_norm(F.col("_qvec")).alias("_qnorm"), "cell")
     )
 
     scored = (
         corpus_cells.join(F.broadcast(probe), "cell")
         .filter(F.col(id_col) != F.col(query_id_col))
-        .select(query_id_col, id_col, cosine(F.col(vec_col), F.col("_qvec")).alias("_cos"))
+        .select(query_id_col, id_col,
+                (dot_product(F.col(vec_col), F.col("_qvec"))
+                 / (F.col("_cnorm") * F.col("_qnorm"))).alias("_cos"))
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col(id_col))
     return (

@@ -12,7 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_lsh_pairs, simhash_pairs
-from ..operators.similarity import brute_force_topk, cosine, ivf_topk
+from ..operators.similarity import (
+    brute_force_topk, cosine, dot_product, ivf_topk, l2_norm)
 from ..operators.textstats import lang_id_confusion
 from ..tables import load_table
 from .registry import query
@@ -105,11 +106,15 @@ def sim_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (north star), blocked by label
     (the cluster id acts as the LSH bucket): the self-join is an
-    equi-join on label — shuffle by block, never all-pairs."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    equi-join on label — shuffle by block, never all-pairs. Norms are
+    computed once per row before the join; only the dot product is
+    per-pair work."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "_norm", l2_norm(F.col("embedding")))
     a = emb.alias("a")
     b = emb.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    cos = (dot_product(F.col("a.embedding"), F.col("b.embedding"))
+           / (F.col("a._norm") * F.col("b._norm")))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import batch_id, fingerprint, sanitize_key, scrub_text, token_count, tokens
+from ..operators.dedup import shingles
 from ..tables import load_table
 from .registry import query
 
@@ -175,21 +176,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs; the scale path (candidate generation via MinHash LSH so the
     self-join never goes quadratic) is dedup_minhash_lsh (rows-only)."""
     d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    toks = F.split(F.trim(F.col("text")), "\\s+")
+    # zip_with shingling from the dedup operator (single split per row;
+    # the transform-over-indices form re-evaluates split per element)
     sh = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.lower(F.element_at(toks, i + 1)),
-                    F.lower(F.element_at(toks, i + 2)),
-                    F.lower(F.element_at(toks, i + 3)),
-                ),
-            )
-        ).alias("shingles"),
-    ).filter(F.size(toks) >= 3)
+        "doc_id", shingles(F.col("text"), 3).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))

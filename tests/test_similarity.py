@@ -1,0 +1,66 @@
+"""Quality checks for the approximate operators that the DuckDB oracle
+cannot express: IVF ANN recall vs the exact baseline, and MinHash-LSH
+recall vs exact pairwise Jaccard on a small slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hackmd_data_pipeline_spark.operators.dedup import minhash_lsh_pairs, shingles
+from hackmd_data_pipeline_spark.operators.similarity import brute_force_topk, ivf_topk
+from hackmd_data_pipeline_spark.tables import load_table
+
+from .conftest import SF_CORRECT
+
+
+def test_ivf_recall_vs_exact(spark):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
+
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # nprobe=4/16 on clustered synthetic data should recover most of
+    # the true neighbors; the exact bar documents the quality contract
+    assert recall >= 0.5, f"IVF recall {recall:.2f} below contract"
+
+    # approximate scores that DO appear must equal the exact scores
+    joined = (approx.withColumnRenamed("cosine", "c_approx")
+              .join(exact.withColumnRenamed("cosine", "c_exact"),
+                    ["query_id", "vec_id"]))
+    assert joined.filter(F.abs(F.col("c_approx") - F.col("c_exact")) > 1e-9).count() == 0
+
+
+def test_minhash_lsh_finds_exact_duplicates(spark):
+    """Exact duplicates (jaccard=1.0) MUST survive LSH banding: every
+    band hash agrees, so the pair is always a candidate."""
+    d = load_table(spark, SF_CORRECT, "documents").limit(200)
+    # clone 5 docs under shifted ids -> 5 known-duplicate pairs
+    clones = d.limit(5).select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    corpus = d.select("doc_id", "text").union(clones)
+
+    pairs = minhash_lsh_pairs(corpus, jaccard_threshold=0.99)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    expected = {(r.doc_id, r.doc_id + 1_000_000) for r in d.limit(5).collect()}
+    assert expected <= found
+
+
+def test_lsh_no_false_positives_after_verify(spark):
+    """The exact-Jaccard verify stage must hold the threshold even when
+    the banding produces spurious candidates."""
+    d = load_table(spark, SF_CORRECT, "documents").limit(300)
+    pairs = minhash_lsh_pairs(d, jaccard_threshold=0.3).collect()
+    if not pairs:
+        return
+    sh = {r.doc_id: set(r.sh) for r in
+          d.select("doc_id", shingles(F.col("text")).alias("sh")).collect()}
+    for p in pairs:
+        a, b = sh[p.id_a], sh[p.id_b]
+        true_j = len(a & b) / len(a | b)
+        assert abs(true_j - p.jaccard) < 1e-3
+        assert p.jaccard >= 0.3
