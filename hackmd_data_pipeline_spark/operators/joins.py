@@ -1,0 +1,70 @@
+"""Join operators Spark lacks natively (north-star extension surface).
+
+The reference performs no explicit SQL joins (SURVEY.md §2.H); its
+join-shaped logic is the anti-join dedup family. For a time-series /
+training-data engine we add the as-of join — "for each left row, the
+most recent right row at or before it" — with the union-scan
+formulation:
+
+  tag both sides, union, one window partitioned by key ordered by
+  (ts, side), carry the last right-side payload forward, keep left
+  rows. ONE shuffle on the key, no range join, no per-row probe —
+  this is the formulation that survives 100 TB (a naive
+  range-condition join explodes into a nested-loop or an
+  interval-join with quadratic worst case).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
+              payload_cols: tuple[str, ...],
+              direction: str = "backward") -> DataFrame:
+    """As-of join: attach the latest ``right`` payload at-or-before each
+    ``left`` row's timestamp (direction='backward'; 'forward' attaches
+    the earliest at-or-after).
+
+    Left columns pass through; each payload column p arrives as
+    ``p_asof`` (NULL when no right row qualifies). Right rows at the
+    exact same timestamp DO qualify (<= semantics), with the latest
+    (by ts, then arbitrary-but-deterministic input order) winning.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    lcols = left.columns
+    tagged_left = left.select(
+        *lcols,
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(right.schema[p].dataType).alias(f"_p_{p}") for p in payload_cols],
+    )
+    tagged_right = right.select(
+        on, ts_col,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in lcols if c not in (on, ts_col)],
+        F.lit(0).alias("_side"),
+        *[F.col(p).alias(f"_p_{p}") for p in payload_cols],
+    ).select(*lcols, "_side", *[f"_p_{p}" for p in payload_cols])
+
+    u = tagged_left.unionByName(tagged_right)
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal ts => <= semantics
+        w = (W.partitionBy(on).orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+             .rowsBetween(W.unboundedPreceding, 0))
+        carried = [F.last(f"_p_{p}", ignorenulls=True).over(w).alias(f"{p}_asof")
+                   for p in payload_cols]
+    else:
+        w = (W.partitionBy(on).orderBy(F.col(ts_col).asc(), F.col("_side").desc())
+             .rowsBetween(0, W.unboundedFollowing))
+        carried = [F.first(f"_p_{p}", ignorenulls=True).over(w).alias(f"{p}_asof")
+                   for p in payload_cols]
+
+    return (
+        u.select(*lcols, "_side", *carried)
+        .filter(F.col("_side") == 1)
+        .drop("_side")
+    )

@@ -5,5 +5,6 @@ from . import relational  # noqa: E402,F401
 from . import textops  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import control  # noqa: E402,F401
+from . import extensions  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

@@ -1,0 +1,419 @@
+"""Extension-operator query registrations (north-star surface).
+
+Operators beyond the reference's own inventory that a large-scale
+training-data pipeline needs (SURVEY.md §7 Phase 4 + the driver
+brief): as-of joins, sliding windows, per-key running stats, TF-IDF
+keywords and LDA topics (filling the reference's declared-but-empty
+``keywords``/``topic`` columns, create_table.sql:70-71 /
+arxiv_etl.py:83-84), ingest-transform parity as an oracle-checked
+query, and the multimodal feature path.
+
+Timestamp discipline: events.ts is TIMESTAMP_NTZ; all bucketing is
+pure epoch arithmetic (timestamp_add/timestamp_diff) so results are
+identical under any driver session timezone; oracle outputs CAST to
+TIMESTAMP to match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..operators.joins import asof_join
+from ..operators.multimodal import attach_meta, extract_features
+from ..tables import load_table
+from .registry import query
+
+_EPOCH = "1970-01-01 00:00:00"
+
+
+def _epoch_ntz():
+    return F.lit(_EPOCH).cast("timestamp_ntz")
+
+
+# --------------------------------------------------------------- as-of join
+
+
+@query(
+    "events_asof_join",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+               1 AS side, NULL::DOUBLE AS p_value
+        FROM events WHERE event_type = 'click'
+        UNION ALL
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, NULL, NULL,
+               0 AS side, value AS p_value
+        FROM events WHERE event_type = 'purchase'
+    ), carried AS (
+        SELECT user_id, ts, event_id, value, side,
+               LAST_VALUE(p_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, side
+                   ROWS UNBOUNDED PRECEDING) AS value_asof
+        FROM u
+    )
+    SELECT user_id, event_id AS click_id, ts AS click_ts,
+           ROUND(value, 2) AS click_value,
+           ROUND(value_asof, 2) AS purchase_value_asof
+    FROM carried WHERE side = 1
+    ORDER BY user_id, click_ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (extension; SURVEY.md §2.H notes the reference has no
+    range/as-of joins): every click gets the value of the user's most
+    recent purchase at-or-before it. Union-scan formulation — one
+    shuffle on user_id, no range join (operators/joins.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value")
+    joined = asof_join(clicks, purchases, on="user_id", ts_col="ts",
+                       payload_cols=("value",))
+    return (
+        joined.select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.round("value", 2).alias("click_value"),
+            F.round("value_asof", 2).alias("purchase_value_asof"),
+        )
+        .orderBy("user_id", "click_ts")
+    )
+
+
+# ---------------------------------------------------------- sliding window
+
+
+@query(
+    "events_sliding_window",
+    oracle=f"""
+    WITH shifted AS (
+        SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value, k.k
+        FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
+    )
+    SELECT TIMESTAMP '{_EPOCH}'
+             + INTERVAL (1800 * (CAST(FLOOR(EXTRACT(EPOCH FROM ts) / 1800) AS BIGINT) - k)) SECOND
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM shifted
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (1 h window, 30 min slide): each event
+    lands in exactly 2 windows. Explode-to-window-starts then ONE
+    shuffle on (window_start, event_type) — the same plan Structured
+    Streaming's window() generates, in pure NTZ epoch arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    slot = F.timestamp_diff("SECOND", _epoch_ntz(), F.col("ts")) / 1800
+    starts = F.array(*[
+        F.timestamp_add("SECOND", ((F.floor(slot) - k) * 1800).cast("long"), _epoch_ntz())
+        for k in (0, 1)
+    ])
+    return (
+        ev.select(F.explode(starts).alias("window_start"), "event_type", "value")
+        .groupBy("window_start", "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("value_sum"))
+        .orderBy("window_start", "event_type")
+    )
+
+
+# ------------------------------------------------------- running analytics
+
+
+@query(
+    "events_user_running_stats",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(value, 2)                                   AS value,
+           ROUND(LAG(value) OVER w, 2)                       AS prev_value,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mov_avg3,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 2) AS cum_value,
+           ROW_NUMBER() OVER w                               AS seq
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, seq
+    """,
+)
+def events_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running analytics (extension; generalizes the O-30
+    accumulation pattern): lag, 3-row moving average, cumulative sum,
+    sequence number — four frames over ONE (user_id, ts) sort, single
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id", "event_id",
+            F.round("value", 2).alias("value"),
+            F.round(F.lag("value").over(w), 2).alias("prev_value"),
+            F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias("mov_avg3"),
+            F.round(F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 2).alias("cum_value"),
+            F.row_number().over(w).alias("seq"),
+        )
+        .orderBy("user_id", "seq")
+    )
+
+
+# ------------------------------------------------------- ingest transform
+
+
+@query(
+    "ingest_canonical_parse",
+    oracle="""
+    WITH raw AS (
+        SELECT 'http://example.org/abs/' || CAST(doc_id AS VARCHAR) AS entry_id,
+               SUBSTR(text, 1, 40) AS title,
+               lang AS primary_category,
+               strftime(TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) MINUTE,
+                        '%Y-%m-%dT%H:%M:%S')
+                 || CASE WHEN doc_id % 2 = 0 THEN 'Z' ELSE '+00:00' END AS published,
+               CASE WHEN doc_id % 5 = 0 THEN NULL ELSE source END AS journal_ref
+        FROM documents
+    )
+    SELECT entry_id,
+           COALESCE(title, '') AS title,
+           COALESCE(primary_category, '') AS primary_category,
+           CAST(regexp_replace(published, 'Z$|\\+00:00$', '') AS TIMESTAMP) AS published,
+           CAST(CAST(regexp_replace(published, 'Z$|\\+00:00$', '') AS TIMESTAMP) AS DATE)
+             AS published_date,
+           COALESCE(journal_ref, '') AS journal_ref,
+           1 AS version,
+           CAST(NULL AS VARCHAR) AS topic
+    FROM raw
+    ORDER BY entry_id
+    """,
+)
+def ingest_canonical_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-10/O-11/O-13 ingest-transform parity as an oracle-checked query
+    (the pipeline form lives in plans/ingest.py + streaming/): a
+    raw-record projection derived deterministically from documents is
+    parsed exactly like parse_record (reference arxiv_etl.py:59-86) —
+    ISO-8601 with both offset spellings -> timestamp (NTZ: wire
+    strings are UTC by construction, so parsing must not consult the
+    session timezone), derived date, coalesce defaults, version
+    constant, null topic."""
+    d = load_table(spark, sf_dir, "documents")
+    base = F.timestamp_add("MINUTE", F.col("doc_id").cast("long"),
+                           F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"))
+    iso = F.concat(
+        F.date_format(base, "yyyy-MM-dd'T'HH:mm:ss"),
+        F.when(F.col("doc_id") % 2 == 0, "Z").otherwise("+00:00"),
+    )
+    raw = d.select(
+        F.concat(F.lit("http://example.org/abs/"), F.col("doc_id").cast("string")).alias("entry_id"),
+        F.substring("text", 1, 40).alias("title"),
+        F.col("lang").alias("primary_category"),
+        iso.alias("published"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(None)).otherwise(F.col("source")).alias("journal_ref"),
+    )
+    published = F.to_timestamp_ntz(
+        F.regexp_replace("published", r"Z$|\+00:00$", ""), F.lit("yyyy-MM-dd'T'HH:mm:ss"))
+    return (
+        raw.select(
+            "entry_id",
+            F.coalesce("title", F.lit("")).alias("title"),
+            F.coalesce("primary_category", F.lit("")).alias("primary_category"),
+            published.alias("published"),
+            published.cast("date").alias("published_date"),
+            F.coalesce("journal_ref", F.lit("")).alias("journal_ref"),
+            F.lit(1).alias("version"),
+            F.lit(None).cast("string").alias("topic"),
+        )
+        .orderBy("entry_id")
+    )
+
+
+# ------------------------------------------------------- keywords / topics
+
+
+@query(
+    "text_keywords_tfidf",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, LOWER(t.tok) AS term
+        FROM documents,
+             UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS t(tok)
+        WHERE LENGTH(TRIM(text)) > 0 AND LENGTH(t.tok) > 3
+    ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+        SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+    ), n AS (
+        SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 4) AS tfidf,
+               ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, df.df ASC, tf.term) AS rk
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf, rk
+    FROM scored WHERE rk <= 3
+    ORDER BY doc_id, rk
+    """,
+)
+def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction, top-3 TF-IDF terms per document — fills the
+    reference's declared-but-never-populated ``keywords`` column
+    (create_table.sql:70, hardcoded [] at arxiv_etl.py:83). Ranking is
+    integer-only (tf desc, df asc, term) so Spark and the oracle agree
+    independent of float ulps; the tfidf score itself is reported
+    rounded. Two shuffles: (doc, term) then term; the df side
+    broadcasts back."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        .filter(F.length("tok") > 3)
+        .select("doc_id", F.lower("tok").alias("term"))
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = toks.select(F.countDistinct("doc_id").alias("n_docs"))
+    w = W.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("df").asc(), F.col("term"))
+    return (
+        tf.join(df_, "term").crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4).alias("tfidf"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+@query("text_topics_lda", oracle=None)
+def text_topics_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic assignment via seeded LDA(k=5) over token counts — fills
+    the reference's declared-but-never-populated ``topic`` column
+    (create_table.sql:71, hardcoded None at arxiv_etl.py:84).
+    Iterative ML => rows-only; stability asserted in tests."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer, RegexTokenizer, StopWordsRemover
+
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    tok = RegexTokenizer(inputCol="text", outputCol="_toks", pattern=r"\s+")
+    stop = StopWordsRemover(inputCol="_toks", outputCol="_clean")
+    cv = CountVectorizer(inputCol="_clean", outputCol="features",
+                         vocabSize=2048, minDF=2.0)
+    stage1 = stop.transform(tok.transform(d.select("doc_id", "text")))
+    cv_model = cv.fit(stage1)
+    vec = cv_model.transform(stage1)
+    lda = LDA(k=5, seed=42, maxIter=10, featuresCol="features")
+    model = lda.fit(vec)
+    assigned = model.transform(vec)
+
+    @F.udf("int")
+    def argmax_vec(v):
+        arr = v.toArray()
+        return int(arr.argmax())
+
+    return (
+        assigned.select("doc_id", argmax_vec("topicDistribution").alias("topic_id"))
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> media-shaped rows: payload = utf-8 bytes of text,
+    modality cycled by doc_id, duration for 'video' rows derived from
+    n_chars (10 ms per char)."""
+    d = load_table(spark, sf_dir, "documents")
+    modality = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        modality.alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        (F.col("n_chars") * 10).alias("duration_ms"),
+    )
+
+
+@query("multimodal_features", oracle=None)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over mapInPandas (north star):
+    the decode step is the deterministic stub (no codec libs in this
+    container — operators/multimodal.py documents the swap point); the
+    Spark plumbing (schema, batch shape, payload dropped before any
+    shuffle) is real. Determinism asserted in tests."""
+    media = _media(spark, sf_dir)
+    feats = extract_features(media)
+    return feats.select(
+        "media_id", "modality",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias("feature_sum"),
+        F.size("feature").alias("dim"),
+    ).orderBy("media_id")
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(n_chars * 10 AS BIGINT) AS duration_ms,
+           CAST((n_chars * 10) // 1000 + 1 AS BIGINT) AS n_frames
+    FROM documents
+    WHERE doc_id % 3 = 2
+    ORDER BY media_id
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (north star): one row per 1000 ms
+    sample point via explode(sequence(...)) — JVM-side fan-out, then
+    count per media. The oracle checks the fan-out arithmetic."""
+    media = _media(spark, sf_dir).filter(F.col("modality") == "video")
+    frames = media.select(
+        "media_id", "duration_ms",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("duration_ms"),
+                             F.lit(1000).cast("long"))).alias("frame_ts_ms"),
+    )
+    return (
+        frames.groupBy("media_id", "duration_ms")
+        .agg(F.count("*").cast("long").alias("n_frames"))
+        .select("media_id", F.col("duration_ms").cast("long").alias("duration_ms"), "n_frames")
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "multimodal_meta_by_modality",
+    oracle="""
+    SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+           COUNT(*) AS n_media,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           COUNT(DISTINCT sha256(text)) AS n_distinct_payloads
+    FROM documents
+    GROUP BY modality
+    ORDER BY modality
+    """,
+)
+def multimodal_meta_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata accounting: per-modality volume and distinct
+    payloads from the typed metadata struct (attach_meta) — payloads
+    themselves never shuffle; only the 32-byte checksum does."""
+    media = attach_meta(_media(spark, sf_dir))
+    return (
+        media.groupBy("modality")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum(F.col("meta.n_bytes")).cast("long").alias("total_bytes"),
+            F.countDistinct(F.col("meta.sha256")).alias("n_distinct_payloads"),
+        )
+        .orderBy("modality")
+    )

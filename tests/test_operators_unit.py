@@ -1,0 +1,92 @@
+"""Unit tests for extension operators not fully covered by the oracle
+gate: as-of join directions/edges, multimodal decode-stub determinism
+and the NotImplementedError contract for unknown modalities.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from hackmd_data_pipeline_spark.operators.joins import asof_join
+from hackmd_data_pipeline_spark.operators.multimodal import (
+    default_decode_stub, extract_features)
+
+
+def _ts(minute):
+    return dt.datetime(2024, 1, 1, 0, minute, 0)
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    trades = spark.createDataFrame(
+        [(1, _ts(5), "t1"), (1, _ts(10), "t2"), (2, _ts(7), "t3")],
+        T.StructType([
+            T.StructField("sym", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("trade_id", T.StringType()),
+        ]))
+    quotes = spark.createDataFrame(
+        [(1, _ts(4), 100.0), (1, _ts(5), 101.0), (1, _ts(9), 102.0),
+         (2, _ts(8), 50.0)],
+        T.StructType([
+            T.StructField("sym", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("px", T.DoubleType()),
+        ]))
+    return trades, quotes
+
+
+def test_asof_backward(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = {r.trade_id: r.px_asof
+           for r in asof_join(trades, quotes, "sym", "ts", ("px",)).collect()}
+    assert out["t1"] == 101.0   # same-ts quote qualifies (<=)
+    assert out["t2"] == 102.0   # most recent before
+    assert out["t3"] is None    # sym 2's only quote is after t3
+
+
+def test_asof_forward(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = {r.trade_id: r.px_asof
+           for r in asof_join(trades, quotes, "sym", "ts", ("px",),
+                              direction="forward").collect()}
+    assert out["t1"] == 101.0   # same-ts qualifies (>=)
+    assert out["t2"] is None    # nothing at/after minute 10
+    assert out["t3"] == 50.0
+
+
+def test_asof_bad_direction(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, "sym", "ts", ("px",), direction="sideways")
+
+
+def test_decode_stub_deterministic_and_gated():
+    f1 = default_decode_stub(b"hello world", "image")
+    f2 = default_decode_stub(b"hello world", "image")
+    assert f1 == f2 and len(f1) == 8
+    assert abs(sum(f1) - 1.0) < 1e-6          # normalized histogram
+    assert default_decode_stub(b"", "audio") == [0.0] * 8
+    with pytest.raises(NotImplementedError):
+        default_decode_stub(b"x", "hologram")
+
+
+def test_extract_features_mapinpandas(spark):
+    media = spark.createDataFrame(
+        [(1, "image", b"abc"), (2, "video", b"defg")],
+        T.StructType([
+            T.StructField("media_id", T.LongType()),
+            T.StructField("modality", T.StringType()),
+            T.StructField("payload", T.BinaryType()),
+        ]))
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    assert set(rows) == {1, 2}
+    expected = default_decode_stub(b"abc", "image")
+    # feature column is array<float> (float32) — compare with tolerance
+    assert all(abs(a - b) < 1e-6 for a, b in zip(rows[1].feature, expected))
+    # payload column dropped from the output schema
+    assert "payload" not in extract_features(media).columns
