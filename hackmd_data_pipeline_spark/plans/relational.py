@@ -516,6 +516,87 @@ def join_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query(
+    "join_q14_promo_share",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM l_shipdate) * 100
+                + EXTRACT(month FROM l_shipdate) AS INT) AS ship_month,
+           ROUND(SUM(CASE WHEN p_type = 'PROMO'
+                          THEN l_extendedprice * (1 - l_discount) END), 2) AS promo_revenue,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+           ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY ship_month
+    ORDER BY ship_month
+    """,
+)
+def join_q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo-revenue share per ship month. part is a
+    dimension -> broadcast; ONE shuffle (the month agg). Month key is
+    year*100+month integer arithmetic on the NTZ column — no
+    date_trunc, which would coerce through the session timezone."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy((F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+                 .cast("int").alias("ship_month"))
+        .agg(
+            F.round(F.sum(promo_rev), 2).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(100.0 * F.sum(F.coalesce(promo_rev, F.lit(0.0))) / F.sum(rev), 4)
+            .alias("promo_share_pct"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+@query(
+    "join_q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS returned_revenue,
+           COUNT(*) AS n_return_lines
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY returned_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def join_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item report: top-20 customers by
+    returned revenue. The returnflag filter lands in the lineitem scan
+    (pushed predicate); customer and nation broadcast; the fact-side
+    shuffle is the orders equi-join + final agg. Top-k is
+    TakeOrderedAndProject — no global sort."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("returned_revenue"),
+            F.count("*").alias("n_return_lines"),
+        )
+        .select("c_custkey", "c_name", "n_name", "returned_revenue", "n_return_lines")
+        .orderBy(F.col("returned_revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
 # -------------------------------------------------- events / window analytics
 
 
