@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from ..operators.joins import asof_join
 from ..operators.multimodal import attach_meta, extract_features
+from ..operators.skew import salted_agg
 from ..tables import load_table
 from .registry import query
 
@@ -416,4 +417,70 @@ def multimodal_meta_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(F.col("meta.sha256")).alias("n_distinct_payloads"),
         )
         .orderBy("modality")
+    )
+
+
+# ------------------------------------------------------------ skew / cube
+
+
+@query(
+    "agg_salted_hot_keys",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_quantity), 2)      AS sum_qty,
+           COUNT(*)                        AS n_rows,
+           ROUND(SUM(l_extendedprice) / COUNT(*), 4) AS avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py): lineitem
+    has only 3 return flags — the canonical whale-key shape. Salting
+    spreads each key over 16 reducers in phase 1; phase 2 merges 16
+    partial rows per key. The oracle checks it equals the plain
+    group-by exactly (algebraic aggregates compose losslessly)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li, ["l_returnflag"],
+        partial_aggs=[
+            F.sum("l_quantity").alias("_sq"),
+            F.count("*").alias("_n"),
+            F.sum("l_extendedprice").alias("_sp"),
+        ],
+        final_aggs=[
+            F.round(F.sum("_sq"), 2).alias("sum_qty"),
+            F.sum("_n").alias("n_rows"),
+            F.round(F.sum("_sp") / F.sum("_n"), 4).alias("avg_price"),
+        ],
+        buckets=16, salt_source="l_orderkey",
+    )
+    return out.orderBy("l_returnflag")
+
+
+@query(
+    "agg_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+    """,
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority) — all 4 grouping sets in one pass
+    (SURVEY.md §2.F free extension: the reference has no grouping
+    sets; Spark expands them in a single shuffle). NULLS LAST pinned on
+    both sides — Spark defaults nulls-first ascending, DuckDB
+    nulls-last."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .orderBy(F.asc_nulls_last("o_orderstatus"),
+                 F.asc_nulls_last("o_orderpriority"))
     )
