@@ -200,3 +200,92 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         .filter(F.col("hamming") <= max_hamming)
         .orderBy("id_a", "id_b")
     )
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken '03,
+    the MOSS algorithm) — the rolling-hash fingerprint family of the
+    north star: ``id | fp`` distinct fingerprint rows.
+
+    Rolling char k-gram polynomial hashes of the lowercased UTF-8
+    bytes (base-257 in uint64 wraparound arithmetic), then the min
+    hash of every window of ``w`` consecutive k-grams, deduplicated.
+    Guarantee: any substring match of length >= w + k - 1 between two
+    docs yields at least one shared fingerprint; fingerprint density
+    is ~2/(w+1) of positions, independent of doc length.
+
+    Plan shape: ONE Arrow-batched mapInPandas pass, zero shuffle —
+    per-position work is a numpy sliding-window matmul + windowed
+    min, fully vectorized. (The explode + per-doc-window DataFrame
+    formulation was measured 5x slower at sf0.1: per-element
+    interpreted-HOF hashing plus a window shuffle, for work that is
+    embarrassingly per-row.) At 100 TB the fingerprint table is the
+    ~2/(w+1)-density index you join, not the text.
+    """
+    import numpy as np
+
+    powers = (np.uint64(257) ** np.arange(k - 1, -1, -1, dtype=np.uint64))
+
+    def fp_batches(batches):
+        import pandas as pd
+
+        with np.errstate(over="ignore"):  # uint64 wraparound IS the hash
+            for pdf in batches:
+                out_ids: list = []
+                out_fps: list = []
+                for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                    if text is None:
+                        continue
+                    b = np.frombuffer(
+                        str(text).lower().encode("utf-8"), dtype=np.uint8
+                    ).astype(np.uint64)
+                    if len(b) < k + w - 1:  # no full window
+                        continue
+                    grams = np.lib.stride_tricks.sliding_window_view(b, k) @ powers
+                    mins = np.lib.stride_tricks.sliding_window_view(grams, w).min(axis=1)
+                    # bit-reinterpret uint64 -> int64 (Spark LongType)
+                    uniq = np.unique(mins).view(np.int64)
+                    out_ids.extend([doc_id] * len(uniq))
+                    out_fps.extend(uniq.tolist())
+                yield pd.DataFrame({
+                    id_col: pd.array(out_ids, dtype="int64"),
+                    "fp": pd.array(out_fps, dtype="int64"),
+                })
+
+    schema = df.select(id_col).schema.add("fp", "long")
+    return df.select(id_col, text_col).mapInPandas(fp_batches, schema=schema)
+
+
+def winnowing_pairs(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 8, w: int = 4,
+                    min_shared: int = 3, max_df: int = 20) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints:
+    ``(id_a, id_b, n_shared)`` with n_shared >= min_shared. The join is
+    an equi-join on fp (shuffle by fingerprint, never all-pairs) —
+    the same sub-quadratic posture as the LSH families.
+
+    ``max_df`` is the MOSS-style stop-fingerprint cut: fingerprints
+    present in more than max_df docs carry no discriminating signal
+    (boilerplate) and would make their equi-join buckets quadratic —
+    they are dropped before the self-join. This is what keeps the
+    candidate space bounded on templated corpora at any scale: bucket
+    size is capped by construction, so worst-case pair rows are
+    n_fps * max_df^2, linear in corpus size for fixed max_df.
+    """
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    rare = (fps.groupBy("fp").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_df).select("fp"))
+    fps = fps.join(rare, "fp", "left_semi")
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"),
+                 F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("id_a", "id_b")
+    )

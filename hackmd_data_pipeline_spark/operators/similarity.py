@@ -26,14 +26,28 @@ def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def dot_product(a: Column, b: Column) -> Column:
-    """Left-fold sum of elementwise products (deterministic fp order)."""
-    prods = F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y)
+def dot_product_raw(a: Column, b: Column) -> Column:
+    """Left-fold dot product over arrays ALREADY cast to double.
+
+    Hoist the float->double cast to a once-per-row projection before
+    any join (float->double widening is exact, so this never changes a
+    value) — per-pair work is then 2 HOF passes, not 4.
+    """
+    prods = F.zip_with(a, b, lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def dot_product(a: Column, b: Column) -> Column:
+    """Left-fold sum of elementwise products (deterministic fp order)."""
+    return dot_product_raw(_as_double(a), _as_double(b))
+
+
+def l2_norm_raw(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
 def l2_norm(a: Column) -> Column:
-    return F.sqrt(F.aggregate(_as_double(a), F.lit(0.0), lambda acc, x: acc + x * x))
+    return l2_norm_raw(_as_double(a))
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -52,15 +66,16 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     is per-pair work.
     """
     q = F.broadcast(
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
-        .withColumn("_qnorm", l2_norm(F.col("_qvec")))
+        queries.select(F.col(query_id_col), _as_double(F.col(vec_col)).alias("_qvec"))
+        .withColumn("_qnorm", l2_norm_raw(F.col("_qvec")))
     )
-    c = corpus.withColumn("_cnorm", l2_norm(F.col(vec_col)))
+    c = (corpus.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_cvec"))
+         .withColumn("_cnorm", l2_norm_raw(F.col("_cvec"))))
     scored = (
         c.join(q, F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col, id_col,
-            (dot_product(F.col(vec_col), F.col("_qvec"))
+            (dot_product_raw(F.col("_cvec"), F.col("_qvec"))
              / (F.col("_cnorm") * F.col("_qnorm"))).alias("_cos"),
         )
     )
@@ -73,37 +88,94 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def _train_quantizer(corpus: DataFrame, nlist: int, vec_col: str,
+                     sample_cap: int = 8192, seed: int = 42,
+                     iters: int = 10, restarts: int = 4):
+    """Coarse-quantizer training on a BOUNDED corpus sample, driver-side.
+
+    This is the faiss posture: the quantizer never sees the full
+    corpus — a capped sample is collected (the only data-path collect
+    in the similarity family, bounded by ``sample_cap`` regardless of
+    corpus size) and spherical-kmeans'd in numpy with ``restarts``
+    seeded restarts, keeping the highest mean max-cosine (the
+    spherical inertia analog). At 100 TB the sample is the same size;
+    only the fraction shrinks. Returns an (nlist, dim) float64 array
+    of UNIT-NORM centroids.
+    """
+    import numpy as np
+
+    n = corpus.count()
+    frac = min(1.0, sample_cap / max(n, 1))
+    sample = corpus.select(vec_col).sample(False, frac, seed).limit(sample_cap).collect()
+    x = np.asarray([r[0] for r in sample], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    k_eff = min(nlist, len(x))
+
+    def one_restart(rs: int):
+        rng = np.random.default_rng(rs)
+        # kmeans++-style seeding (distance-proportional), spherical Lloyd's
+        first = int(rng.integers(len(x)))
+        chosen = [first]
+        d2 = 2.0 - 2.0 * (x @ x[first])  # squared euclid on unit vectors
+        for _ in range(1, k_eff):
+            probs = np.maximum(d2, 0)
+            total = probs.sum()
+            nxt = int(rng.choice(len(x), p=probs / total)) if total > 0 \
+                else int(rng.integers(len(x)))
+            chosen.append(nxt)
+            d2 = np.minimum(d2, 2.0 - 2.0 * (x @ x[nxt]))
+        cents = x[chosen].copy()
+        for _ in range(iters):
+            assign = (x @ cents.T).argmax(axis=1)
+            for c in range(len(cents)):
+                members = x[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+                else:  # empty cell: re-seed from a random point
+                    cents[c] = x[rng.integers(len(x))]
+            cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+        return cents, float((x @ cents.T).max(axis=1).mean())
+
+    trained = [one_restart(seed + i * 1000) for i in range(restarts)]
+    return max(trained, key=lambda t: t[1])[0]
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              nlist: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", seed: int = 42) -> DataFrame:
     """Approximate cosine top-k via IVF (inverted-file) partitioning.
 
-    Train KMeans(nlist) on the corpus, assign each vector to its nearest
-    centroid, score queries only against vectors in their nprobe
-    nearest cells. Recall < 1.0 by construction — rows-only check.
+    Quantizer trained on a bounded sample (``_train_quantizer``); cell
+    assignment is ONE vectorized mapInPandas pass (a batch×nlist
+    matmul per Arrow batch — no iterative jobs, no per-row Python);
+    queries score only against their nprobe nearest cells. Recall
+    < 1.0 by construction — rows-only check; recall vs the exact
+    baseline asserted in tests/test_similarity.py.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    import numpy as np
 
-    # keep the original embedding alongside the ML vector so the cell
-    # assignment needs no join back to the corpus (transform passes
-    # through all input columns)
-    train = corpus.select(id_col, vec_col,
-                          array_to_vector(_as_double(F.col(vec_col))).alias("features"))
-    # coarse quantizer: cell boundaries need not be optimal, so skip
-    # the kmeans|| init passes (random init) and cap iterations —
-    # recall is governed by nprobe, asserted in tests/test_similarity.py
-    model = KMeans(k=nlist, seed=seed, maxIter=5, initMode="random",
-                   featuresCol="features", predictionCol="cell").fit(train)
-    corpus_cells = (
-        model.transform(train).select(id_col, vec_col, "cell")
-        .withColumn("_cnorm", l2_norm(F.col(vec_col)))
-    )
+    cents = _train_quantizer(corpus, nlist, vec_col, seed=seed)
 
-    centroids = [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    def assign_cells(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.linalg.norm(m, axis=1)
+            unit = m / np.maximum(norms[:, None], 1e-12)
+            yield pdf.assign(cell=(unit @ cents.T).argmax(axis=1).astype("int32"),
+                             _cnorm=norms)
+
+    in_schema = corpus.select(id_col, vec_col).schema
+    out_schema = (in_schema.add("cell", "integer").add("_cnorm", "double"))
+    corpus_cells = corpus.select(id_col, vec_col).mapInPandas(
+        assign_cells, schema=out_schema)
+
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(centroids, ["cell", "centroid"])
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>")
 
     # nprobe nearest cells per query (query set and centroids are tiny)
     qc = (
@@ -114,14 +186,16 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     wq = W.partitionBy(query_id_col).orderBy(F.col("_ccos").desc(), F.col("cell"))
     probe = (
         qc.withColumn("_r", F.row_number().over(wq)).filter(F.col("_r") <= nprobe)
-        .select(query_id_col, F.col("_qvec"), l2_norm(F.col("_qvec")).alias("_qnorm"), "cell")
+        .select(query_id_col, _as_double(F.col("_qvec")).alias("_qvec"),
+                l2_norm(F.col("_qvec")).alias("_qnorm"), "cell")
     )
 
     scored = (
-        corpus_cells.join(F.broadcast(probe), "cell")
+        corpus_cells.withColumn("_cvec", _as_double(F.col(vec_col)))
+        .join(F.broadcast(probe), "cell")
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(query_id_col, id_col,
-                (dot_product(F.col(vec_col), F.col("_qvec"))
+                (dot_product_raw(F.col("_cvec"), F.col("_qvec"))
                  / (F.col("_cnorm") * F.col("_qnorm"))).alias("_cos"))
     )
     w = W.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col(id_col))

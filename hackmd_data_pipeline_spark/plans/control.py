@@ -1,4 +1,5 @@
-"""Work-queue / control-plane queries (SURVEY.md §2.E, O-24..O-28).
+"""Work-queue / control-plane queries (SURVEY.md §2.E, O-24..O-28;
+the pending/failed status equality filters are O-18).
 
 The reference's state machine lives in Postgres control tables
 (raw_batches etc., reference create_table.sql:8-18) mutated with

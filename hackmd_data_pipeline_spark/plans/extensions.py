@@ -314,13 +314,13 @@ def text_topics_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = lda.fit(vec)
     assigned = model.transform(vec)
 
-    @F.udf("int")
-    def argmax_vec(v):
-        arr = v.toArray()
-        return int(arr.argmax())
-
+    # native argmax: position of the max in the distribution (1-based
+    # array_position on a value drawn from the same array is exact)
+    from pyspark.ml.functions import vector_to_array
+    arr = vector_to_array(F.col("topicDistribution"))
+    topic_id = (F.array_position(arr, F.array_max(arr)) - 1).cast("int")
     return (
-        assigned.select("doc_id", argmax_vec("topicDistribution").alias("topic_id"))
+        assigned.select("doc_id", topic_id.alias("topic_id"))
         .orderBy("doc_id")
     )
 

@@ -705,3 +705,83 @@ def events_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(k).cast("long").alias("k_sum"), F.count(k).alias("k_present"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "join_q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*)                                    AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def join_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped scan-heavy aggregate: zero joins, zero group
+    keys — the whole query is predicate pushdown + a single global
+    partial/final agg. At 100 TB this is the pure scan-throughput
+    probe: all four predicates reach the parquet reader (min/max
+    row-group skipping on l_shipdate), and the projection is 3 columns
+    regardless of table width."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "join_q18_large_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey,
+           ROUND(o_totalprice, 2)   AS total_price,
+           ROUND(big.sum_qty, 2)    AS sum_qty
+    FROM orders
+    JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 300) big
+      ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def join_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume-customer query: aggregate the
+    fact on its key (one shuffle), HAVING-filter to <1% of orders,
+    then BROADCAST the survivor set into orders and customer — the
+    selective-agg-then-broadcast plan that keeps both big tables
+    unshuffled. Top-k via TakeOrderedAndProject, never a global
+    sort. (HAVING > 300 keeps the survivor set broadcastable at any
+    SF: selectivity is threshold-, not size-, determined.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sum_qty"))
+        .filter(F.col("_sum_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+            F.round("_sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("total_price"), "o_orderkey")
+        .limit(100)
+    )

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_lsh_pairs, simhash_pairs
 from ..operators.similarity import (
-    brute_force_topk, cosine, dot_product, ivf_topk, l2_norm)
+    brute_force_topk, cosine, dot_product_raw, ivf_topk, l2_norm_raw)
 from ..operators.textstats import lang_id_confusion
 from ..tables import load_table
 from .registry import query
@@ -109,11 +109,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join on label — shuffle by block, never all-pairs. Norms are
     computed once per row before the join; only the dot product is
     per-pair work."""
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "_norm", l2_norm(F.col("embedding")))
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label",
+                F.transform("embedding", lambda x: x.cast("double")).alias("_emb"))
+        .withColumn("_norm", l2_norm_raw(F.col("_emb")))
+    )
     a = emb.alias("a")
     b = emb.alias("b")
-    cos = (dot_product(F.col("a.embedding"), F.col("b.embedding"))
+    cos = (dot_product_raw(F.col("a._emb"), F.col("b._emb"))
            / (F.col("a._norm") * F.col("b._norm")))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label"))

@@ -18,6 +18,12 @@ from ..operators.dedup import shingles
 from ..tables import load_table
 from .registry import query
 
+# BPE-ish pre-tokenizer (GPT-2-shaped): contractions, space-prefixed
+# letter runs, digit runs, punctuation runs. Lookahead-free on purpose
+# so Java regex (Spark) and RE2 (DuckDB) tokenize identically.
+_BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+_BPE_RE_SQL = _BPE_RE.replace("'", "''").replace("\\", "\\\\")
+
 
 @query(
     "fn_scalar_suite",
@@ -56,11 +62,12 @@ def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_token_stats",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
            len(regexp_split_to_array(TRIM(text), '\\s+'))   AS n_tokens,
            LENGTH(text)                                     AS n_chars_actual,
-           len(list_distinct(regexp_split_to_array(LOWER(TRIM(text)), '\\s+'))) AS n_unique_tokens
+           len(list_distinct(regexp_split_to_array(LOWER(TRIM(text)), '\\s+'))) AS n_unique_tokens,
+           len(regexp_extract_all(text, '{_BPE_RE_SQL}'))   AS n_bpe_tokens
     FROM documents
     WHERE LENGTH(TRIM(text)) > 0
     ORDER BY doc_id
@@ -68,8 +75,11 @@ def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (north-star text analysis): whitespace tokens,
-    char count, unique-token count. Pure codegen'd expressions — at
-    100 TB this is a single narrow scan, no shuffle."""
+    char count, unique-token count, and a BPE-ish pre-tokenizer count
+    (GPT-2-style contraction/letter-run/digit-run/punct-run regex,
+    written lookahead-free so Java regex and DuckDB RE2 agree). Pure
+    codegen'd expressions — at 100 TB this is a single narrow scan,
+    no shuffle."""
     d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     return (
         d.select(
@@ -77,6 +87,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(tokens("text")).alias("n_tokens"),
             F.length("text").alias("n_chars_actual"),
             F.size(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), "\\s+"))).alias("n_unique_tokens"),
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)).alias("n_bpe_tokens"),
         )
         .orderBy("doc_id")
     )
@@ -242,3 +253,16 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query("dedup_winnowing", oracle=None)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprint near-dup (north star; the
+    MOSS algorithm — operators/dedup.py::winnowing_pairs). Guarantee:
+    any shared substring >= w+k-1 chars produces a shared fingerprint;
+    pairs sharing >= 3 fingerprints surface. xxhash64 has no DuckDB
+    twin -> rows-only; the substring-match guarantee and density are
+    property-tested in tests/test_winnowing.py."""
+    from ..operators.dedup import winnowing_pairs
+    d = load_table(spark, sf_dir, "documents")
+    return winnowing_pairs(d, k=8, w=4, min_shared=3)

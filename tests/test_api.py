@@ -1,0 +1,37 @@
+"""Engine facade: spark.sql over registered views must agree with
+DuckDB on the same SQL (the §3.3 surface — the reference delegates all
+SQL to PostgreSQL; we delegate to Catalyst)."""
+
+from __future__ import annotations
+
+from hackmd_data_pipeline_spark.api import Engine
+
+from .conftest import SF_CORRECT
+
+# ANSI-portable statements that run unchanged on Spark SQL and DuckDB.
+PORTABLE_SQL = [
+    "SELECT COUNT(*) AS n FROM lineitem WHERE l_quantity < 10",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    """
+    SELECT n_name, COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+]
+
+
+def test_sql_surface_matches_duckdb(spark, duck):
+    eng = Engine(spark, SF_CORRECT)
+    for stmt in PORTABLE_SQL:
+        got = sorted(tuple(r) for r in eng.sql(stmt).collect())
+        want = sorted(duck.sql(stmt).fetchall())
+        assert got == want, f"divergence on: {stmt}"
+
+
+def test_named_query_dispatch(spark):
+    eng = Engine(spark, SF_CORRECT)
+    assert "q1_pricing_summary" in eng.query_names()
+    assert eng.query("q1_pricing_summary").count() > 0
