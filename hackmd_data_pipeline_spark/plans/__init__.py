@@ -6,5 +6,6 @@ from . import textops  # noqa: E402,F401
 from . import similarity  # noqa: E402,F401
 from . import control  # noqa: E402,F401
 from . import extensions  # noqa: E402,F401
+from . import subqueries  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

@@ -1,0 +1,288 @@
+"""Correlated-subquery / decorrelation query shapes (extension surface).
+
+The reference's only subquery-shaped logic is the EXISTS point-lookup
+(O-20, reference tests/test.ipynb cell bc52a9c3) and the set-difference
+anti-join (O-23c, reference src/extract/arxiv_collector.py:217-222).
+This module generalizes that family to the full decorrelation
+spectrum Catalyst handles — EXISTS, NOT EXISTS, NOT IN, and correlated
+scalar aggregates — written as explicit DataFrame joins so the plan
+shape is pinned (semi/anti/broadcast) rather than left to subquery
+rewrite. Each has a DuckDB oracle written in genuine subquery form, so
+the comparison also cross-checks that our join rewrite IS the
+decorrelated semantics.
+
+Scale posture: every correlated probe becomes a keyed semi/anti join
+(shuffle on the key, never nested-loop); scalar subqueries become a
+pre-aggregated build side that is threshold-selective and therefore
+broadcast-able at any SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .registry import query
+
+
+@query(
+    "subq_q4_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def subq_q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped correlated EXISTS: count orders per priority that
+    have at least one returned line. The EXISTS decorrelates to a LEFT
+    SEMI join on the order key — existence never duplicates the probe
+    side, so no post-join distinct is needed. Both filters reach their
+    scans; the semi join shuffles only (orderkey) pairs that survive."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "subq_q13_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def subq_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped distribution query: per-customer order counts
+    through a LEFT OUTER join with an extra join-time predicate (the
+    filter belongs in the ON clause — in WHERE it would silently turn
+    the outer join inner and drop zero-order customers), then the
+    histogram of those counts. Two shuffles by construction (custkey,
+    then c_count); COUNT(o_orderkey) — not COUNT(*) — so unmatched
+    customers count 0."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, (c.c_custkey == o.o_custkey)
+               & (o.o_orderpriority != "1-URGENT"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "subq_q16_notin_suppliers",
+    oracle="""
+    SELECT p_brand, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_size >= 25
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 100)
+    GROUP BY p_brand
+    ORDER BY supplier_cnt DESC, p_brand
+    """,
+)
+def subq_q16_notin_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped NOT IN: distinct supplier count per brand,
+    excluding a blacklist subquery. NOT IN over a non-null key column
+    is exactly a LEFT ANTI join (the null-aware special case cannot
+    arise: s_suppkey is the supplier PK); the blacklist is
+    threshold-selective and broadcast. part is a dimension -> broadcast
+    too, so the only shuffle is the distinct-count on (brand, suppkey)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") >= 25)
+    bad = (load_table(spark, sf_dir, "supplier")
+           .filter(F.col("s_acctbal") < 100).select("s_suppkey"))
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand")
+    )
+
+
+@query(
+    "subq_q17_small_qty_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+)
+def subq_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped correlated scalar aggregate: revenue from
+    lines whose quantity is under half the part's average. The
+    correlated AVG decorrelates to a per-part pre-aggregation joined
+    back on partkey. The avg must be computed over ALL lines of the
+    part (correlation is on partkey alone), but only brand parts are
+    ever probed — so the agg input is first SEMI-joined to the brand's
+    partkeys, shrinking the pre-agg by the brand's selectivity while
+    staying semantically identical. Both the partkey set and the tiny
+    per-part-avg result are broadcast: the fact table never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_parts = (load_table(spark, sf_dir, "part")
+                   .filter(F.col("p_brand") == "Brand#13")
+                   .select("p_partkey"))
+    part_avg = (
+        li.join(F.broadcast(brand_parts),
+                li.l_partkey == brand_parts.p_partkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg((F.lit(0.5) * F.avg("l_quantity")).alias("_half_avg"))
+        .withColumnRenamed("l_partkey", "_avg_partkey")
+    )
+    return (
+        li.join(F.broadcast(brand_parts),
+                li.l_partkey == brand_parts.p_partkey, "left_semi")
+        .join(F.broadcast(part_avg), li.l_partkey == part_avg._avg_partkey)
+        .filter(F.col("l_quantity") < F.col("_half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "subq_q22_idle_rich_customers",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS numcust,
+           ROUND(SUM(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                       WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def subq_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped: above-average-balance customers with no
+    urgent orders, grouped by segment. Two decorrelations in one
+    query: the uncorrelated scalar AVG becomes a 1-row cross
+    (broadcast) join — never a collect() to the driver — and the NOT
+    EXISTS becomes a LEFT ANTI join against the pre-filtered orders
+    keys. Filter, anti-probe, and one agg shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = (c.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("_avg_bal")))
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_custkey"))
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("numcust"),
+             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "win_order_analytics",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER()   OVER w                            AS rn,
+           ROUND(LAG(o_totalprice)  OVER w, 2)              AS prev_price,
+           ROUND(LEAD(o_totalprice) OVER w, 2)              AS next_price,
+           NTILE(4)       OVER w                            AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6)                  AS pct_rank,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS UNBOUNDED PRECEDING), 2)              AS running_spend
+    FROM orders
+    WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, rn
+    """,
+)
+def win_order_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-analytics suite over per-customer order timelines:
+    lag/lead, ntile, percent_rank, running sum — the O-33 window
+    family widened to the full analytic set. ALL functions share one
+    window spec (partition custkey, order by date + key tiebreak), so
+    the plan is a single shuffle + single sort with every function
+    evaluated in one Window operator pass — adding a function to the
+    suite costs zero extra shuffles. The running sum pins ROWS
+    UNBOUNDED PRECEDING explicitly (the default RANGE frame is
+    tie-sensitive)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        o.select(
+            "o_custkey", "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+            F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.sum("o_totalprice").over(w_run), 2).alias("running_spend"),
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "agg_exact_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.25), 2) AS p25,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.50), 2) AS p50,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.75), 2) AS p75,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.95), 2) AS p95,
+           ROUND(MAX(o_totalprice), 2)                 AS p100
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont`` — same formula, so the
+    oracle is a true value check). Exact percentile materializes the
+    group's values; that is the CORRECTNESS baseline. The 100 TB path
+    is ``approx_percentile`` (KLL-ish mergeable sketch, map-side
+    combinable) — benchmarked as agg_approx_distinct's family; here we
+    pin exact semantics."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def pct(p: float, alias: str):
+        return F.round(F.percentile("o_totalprice", F.lit(p)), 2).alias(alias)
+
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(pct(0.25, "p25"), pct(0.50, "p50"), pct(0.75, "p75"),
+             pct(0.95, "p95"),
+             F.round(F.max("o_totalprice"), 2).alias("p100"))
+        .orderBy("o_orderpriority")
+    )

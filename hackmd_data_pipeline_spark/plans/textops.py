@@ -265,4 +265,7 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested in tests/test_winnowing.py."""
     from ..operators.dedup import winnowing_pairs
     d = load_table(spark, sf_dir, "documents")
-    return winnowing_pairs(d, k=8, w=4, min_shared=3)
+    # w=8: fingerprint density 2/(w+1) = ~22% of positions — halves the
+    # fp-index volume vs w=4 while still guaranteeing detection of any
+    # shared substring >= 15 chars
+    return winnowing_pairs(d, k=8, w=8, min_shared=3)

@@ -1,0 +1,84 @@
+"""Bucketed-layout tests: the write-once-shuffle-never contract.
+
+The whole point of bucketing is plan-shape, so these tests assert on
+the executed plan: a join between two same-bucketed tables must show
+ZERO shuffle exchanges, and a groupBy on the bucket key must aggregate
+in one pass without an exchange.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from hackmd_data_pipeline_spark.operators.bucketing import (
+    colocated_join, write_bucketed)
+from hackmd_data_pipeline_spark.tables import load_table
+
+from .conftest import SF_CORRECT
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+N_SHUFFLE = re.compile(r"\bExchange (hash|range)partitioning")
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("bucketed")
+    # common key name on both sides so the join is a plain `on=[key]`
+    o = (load_table(spark, SF_CORRECT, "orders")
+         .withColumnRenamed("o_orderkey", "orderkey"))
+    li = (load_table(spark, SF_CORRECT, "lineitem")
+          .withColumnRenamed("l_orderkey", "orderkey"))
+    write_bucketed(o, "orders_b", ["orderkey"], 8,
+                   sort_cols=["orderkey"], path=str(root / "orders_b"))
+    write_bucketed(li, "lineitem_b", ["orderkey"], 8,
+                   sort_cols=["orderkey"], path=str(root / "lineitem_b"))
+    yield
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_colocated_join_no_shuffle(spark, bucketed):
+    # force the join path (not broadcast) so the assertion is about
+    # bucketing, not about the small test input
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = colocated_join(
+            spark, "orders_b", "lineitem_b", on=["orderkey"]
+        ).select("orderkey", "o_totalprice", "l_extendedprice")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert not N_SHUFFLE.search(plan), f"bucketed join shuffled:\n{plan}"
+        assert joined.count() == 60000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_groupby_on_bucket_key_no_shuffle(spark, bucketed):
+    agg = (spark.table("lineitem_b").groupBy("orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty")))
+    plan = _plan(agg)
+    assert not N_SHUFFLE.search(plan), f"bucket-key agg shuffled:\n{plan}"
+    assert agg.count() == (
+        spark.table("lineitem_b").select("orderkey").distinct().count())
+
+
+def test_colocated_join_values_match_plain_join(spark, bucketed):
+    o = load_table(spark, SF_CORRECT, "orders")
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    want = o.join(li, o.o_orderkey == li.l_orderkey).count()
+    got = colocated_join(spark, "orders_b", "lineitem_b",
+                         on=["orderkey"]).count()
+    assert got == want

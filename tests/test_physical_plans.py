@@ -99,3 +99,41 @@ def test_minhash_lsh_joins_are_equi(spark):
     plan = plan_of(spark, "dedup_minhash_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q4_exists_plans_semi_join(spark):
+    plan = plan_of(spark, "subq_q4_priority_exists")
+    assert "LeftSemi" in plan, "EXISTS must decorrelate to a semi join"
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_notin_plans_broadcast_anti(spark):
+    plan = plan_of(spark, "subq_q16_notin_suppliers")
+    assert "LeftAnti" in plan, "NOT IN over non-null key must be an anti join"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q17_fact_never_shuffles(spark):
+    # both the brand partkey set and the per-part avg are broadcast:
+    # the only hash exchange allowed is the per-part partial agg
+    plan = plan_of(spark, "subq_q17_small_qty_revenue")
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 3
+    assert len(re.findall(r"\bhashpartitioning\(", plan)) <= 1, plan
+
+
+def test_q22_scalar_subquery_is_broadcast_not_collect(spark):
+    plan = plan_of(spark, "subq_q22_idle_rich_customers")
+    # 1-row scalar agg joined via broadcast nested loop (1 row -> free),
+    # urgent-keys anti join present; no cartesian product
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_window_suite_single_shuffle(spark):
+    plan = plan_of(spark, "win_order_analytics")
+    # all analytic functions share one window spec -> exactly one
+    # hashpartitioning exchange (the other exchange is the final
+    # rangepartitioning presentation sort) and ONE Window operator
+    # evaluating all six functions
+    assert len(re.findall(r"\bhashpartitioning\(", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
