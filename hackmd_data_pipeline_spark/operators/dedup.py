@@ -289,3 +289,68 @@ def winnowing_pairs(df: DataFrame, id_col: str = "doc_id",
         .filter(F.col("n_shared") >= min_shared)
         .orderBy("id_a", "id_b")
     )
+
+
+def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a",
+                   id_col_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup candidate pairs: assigns every
+    id in ``pairs`` its cluster's MINIMUM id (the canonical
+    representative) — ``id | cluster_id``.
+
+    Min-label propagation: start with label = id, repeatedly take the
+    min label over each node's neighborhood (both directions of the
+    undirected edge), stop when an iteration changes nothing.
+    Convergence needs at most (cluster diameter) rounds — near-dup
+    clusters are shallow (stars around a template), so this terminates
+    in 2-4 rounds in practice; ``max_iter`` bounds pathological chains.
+
+    Each round is one shuffle (groupBy id over the edge list union);
+    labels are checkpointed via localCheckpoint every few rounds to
+    stop the iterative lineage from growing a quadratic plan — the
+    standard Spark-iterative-algorithm posture (same reason GraphX
+    checkpoints Pregel state).
+    """
+    edges = (
+        pairs.select(F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst"))
+        .union(pairs.select(F.col(id_col_b).alias("src"), F.col(id_col_a).alias("dst")))
+        .distinct()
+        # materialize ONCE: every propagation round joins the edge
+        # list, and without this the whole upstream candidate-pair
+        # pipeline (e.g. MinHash-LSH) would re-execute per round
+        .localCheckpoint(eager=True)
+    )
+    labels = (edges.select(F.col("src").alias("id"))
+              .distinct()
+              .withColumn("label", F.col("id")))
+
+    # labels are monotonically non-increasing (least of self and
+    # neighborhood minima), so the label sum strictly decreases until
+    # the fixpoint: an overflow-safe sum comparison detects
+    # convergence with one cheap agg job instead of a join per round
+    def label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = None
+    for it in range(max_iter):
+        # candidate label per node: min over neighbors' labels
+        neigh = (
+            edges.join(labels.withColumnRenamed("id", "dst2"),
+                       edges.dst == F.col("dst2"))
+            .groupBy("src").agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
+        cur_sum = label_sum(labels)
+        if prev_sum is not None and cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))

@@ -1,0 +1,79 @@
+"""Incremental time-rollup maintenance (hypertable-style aggregates).
+
+A 100 TB events store is queried through pre-aggregated rollups
+(hourly/daily), not raw scans. The maintenance problem is INCREMENTAL
+refresh: when late data lands for a handful of dates, recompute ONLY
+those date partitions, idempotently, without touching the rest of the
+rollup table. Spark-native answer: date-partitioned parquet +
+``partitionOverwriteMode=dynamic`` — the write replaces exactly the
+partitions present in the refresh DataFrame and leaves every other
+partition byte-identical. Re-running the same refresh is a no-op
+(same input -> same partition contents), which is the idempotency
+contract the reference gets from ON CONFLICT DO NOTHING (reference
+src/core/pg_engine.py:113) transplanted to analytical storage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_GRAINS = ("hour", "day")
+
+
+def _trunc(ts, grain: str):
+    """NTZ-safe truncation: integer epoch arithmetic. date_trunc would
+    coerce a TIMESTAMP_NTZ through the session timezone — under a
+    non-UTC driver session the bucket boundaries would shift."""
+    if grain not in _GRAINS:
+        raise ValueError(f"grain must be one of {_GRAINS}, got {grain!r}")
+    unit = grain.upper()
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return F.timestamp_add(unit, F.timestamp_diff(unit, epoch, ts), epoch)
+
+
+def time_rollup(events: DataFrame, grain: str = "hour",
+                ts_col: str = "ts", key_cols: Sequence[str] = ("event_type",),
+                value_col: str = "value") -> DataFrame:
+    """Tumbling-``grain`` aggregate: one row per (bucket, *key_cols)
+    with count / sum / min / max — the mergeable-summary set (avg is
+    derivable as sum/count downstream; quantiles would use mergeable
+    approx sketches). Single shuffle on the group keys; the
+    ``event_date`` column doubles as the storage partition key."""
+    bucket = _trunc(F.col(ts_col), grain)
+    return (
+        events.groupBy(F.to_date(bucket).alias("event_date"),
+                       bucket.alias("bucket"), *key_cols)
+        .agg(F.count("*").alias("n_events"),
+             F.sum(value_col).alias("sum_value"),
+             F.min(value_col).alias("min_value"),
+             F.max(value_col).alias("max_value"))
+    )
+
+
+def refresh_rollup(events: DataFrame, dest: str, grain: str = "hour",
+                   dates: Sequence[str] | None = None,
+                   ts_col: str = "ts",
+                   key_cols: Sequence[str] = ("event_type",),
+                   value_col: str = "value") -> None:
+    """(Re)build the rollup at ``dest`` for ``dates`` (None = all).
+
+    The date filter is applied to the RAW events before aggregation —
+    at scale the events table is itself date-partitioned, so the
+    filter prunes input partitions and the refresh reads only the
+    affected dates' data. Dynamic partition overwrite then swaps in
+    exactly those output partitions atomically per-partition."""
+    spark = events.sparkSession
+    if dates is not None:
+        events = events.filter(F.to_date(_trunc(F.col(ts_col), grain))
+                               .isin([str(d) for d in dates]))
+    rolled = time_rollup(events, grain, ts_col, key_cols, value_col)
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (rolled.repartition("event_date")
+         .write.partitionBy("event_date").mode("overwrite").parquet(dest))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)

@@ -489,3 +489,39 @@ def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc_nulls_last("o_orderstatus"),
                  F.asc_nulls_last("o_orderpriority"))
     )
+
+
+@query(
+    "events_rollup_daily",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('day', ts) AS TIMESTAMP) AS DATE) AS event_date,
+           CAST(date_trunc('day', ts) AS TIMESTAMP)               AS bucket,
+           event_type,
+           COUNT(*)                 AS n_events,
+           ROUND(SUM(value), 2)     AS sum_value,
+           ROUND(MIN(value), 6)     AS min_value,
+           ROUND(MAX(value), 6)     AS max_value
+    FROM events
+    GROUP BY event_date, bucket, event_type
+    ORDER BY bucket, event_type
+    """,
+)
+def events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily hypertable-style rollup (operators/rollup.py::time_rollup)
+    — the pre-aggregate a 100 TB events store is actually queried
+    through. Incremental partition-scoped refresh + idempotent re-run
+    semantics live in refresh_rollup (dynamic partition overwrite),
+    tested in tests/test_rollup.py; this query value-checks the
+    aggregate itself. NTZ-safe epoch arithmetic for the day bucket."""
+    from ..operators.rollup import time_rollup
+    ev = load_table(spark, sf_dir, "events")
+    r = time_rollup(ev, "day")
+    return (
+        r.select(
+            "event_date", "bucket", "event_type", "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+            F.round("min_value", 6).alias("min_value"),
+            F.round("max_value", 6).alias("max_value"),
+        )
+        .orderBy("bucket", "event_type")
+    )

@@ -166,3 +166,63 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``lang`` column (north star); heuristic -> rows-only."""
     d = load_table(spark, sf_dir, "documents")
     return lang_id_confusion(d)
+
+
+@query(
+    "emb_normalize_quantize",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS raw,
+               SQRT(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+        FROM embeddings
+    ), u AS (
+        SELECT vec_id, norm,
+               list_transform(raw, x -> x / norm) AS unit
+        FROM v
+    ), s AS (
+        SELECT vec_id, norm, unit,
+               list_max(list_transform(unit, x -> ABS(x))) AS max_abs
+        FROM u
+    )
+    SELECT vec_id,
+           list_transform(unit,
+                x -> CAST(FLOOR(x * (127.0 / max_abs) + 0.5) AS INT)) AS qvec,
+           ROUND(max_abs / 127.0, 8) AS scale,
+           ROUND(norm, 6)            AS norm
+    FROM s
+    ORDER BY vec_id
+    """,
+)
+def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-store maintenance (north star): unit-L2 normalize +
+    symmetric int8 quantization (operators/similarity.py::
+    normalize_quantize). The quantizer is an explicit floor-formula so
+    the DuckDB oracle value-checks every int8 element; zero shuffle,
+    zero Python — a pure projection pass that shrinks a 100 TB float32
+    embedding store 4x before ANN indexing."""
+    from ..operators.similarity import normalize_quantize
+    emb = load_table(spark, sf_dir, "embeddings")
+    return normalize_quantize(emb).orderBy("vec_id")
+
+
+@query("dedup_cluster_resolve", oracle=None)
+def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup RESOLUTION: MinHash-LSH candidate pairs ->
+    connected components (min-label propagation, operators/dedup.py::
+    dedup_clusters) -> one canonical doc per duplicate cluster. This is
+    the operator a training-data pipeline actually runs: pairs alone
+    don't dedup a corpus; the cluster's min id becomes the keeper.
+    Iterative (label propagation) => rows-only; convergence and
+    cluster correctness are unit-tested on known clusters in
+    tests/test_operators_unit.py."""
+    from ..operators.dedup import dedup_clusters, minhash_lsh_pairs
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(d, jaccard_threshold=0.5)
+    return (
+        dedup_clusters(pairs)
+        .select(F.col("id").alias("doc_id"), "cluster_id",
+                (F.col("id") == F.col("cluster_id")).alias("is_canonical"))
+        .orderBy("doc_id")
+    )

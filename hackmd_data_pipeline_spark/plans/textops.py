@@ -269,3 +269,57 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fp-index volume vs w=4 while still guaranteeing detection of any
     # shared substring >= 15 chars
     return winnowing_pairs(d, k=8, w=8, min_shared=3)
+
+
+# PII patterns written lookahead-free so Java regex (Spark) and RE2
+# (DuckDB) agree byte-for-byte. The documents fixture is synthetic
+# word-soup with no natural PII, so the query derives a deterministic
+# PII-bearing column first (same derivation in the oracle) — the
+# point under test is the redaction operator, not the fixture.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-555-[0-9]{3,8}"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+    WITH pii AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@example.com or +1-555-' || doc_id AS text
+        FROM documents
+        WHERE LENGTH(TRIM(text)) > 0
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}'))  AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}'))  AS n_phones,
+           LENGTH(regexp_replace(regexp_replace(text,
+                  '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                  '{_PHONE_RE}', '[PHONE]', 'g'))        AS n_chars_redacted
+    FROM pii
+    ORDER BY doc_id
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (north-star text analysis): count and redact
+    emails/phones into [EMAIL]/[PHONE] placeholders. Single
+    projection pass, codegen'd regexes, no shuffle — the shape of
+    every masking pass a training-data pipeline runs before release.
+    Patterns are lookahead-free so the DuckDB oracle value-checks the
+    redacted lengths exactly."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    pii_text = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+        F.lit("@example.com or +1-555-"), F.col("doc_id"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(pii_text, _EMAIL_RE, "[EMAIL]"),
+        _PHONE_RE, "[PHONE]")
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(pii_text, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+            F.size(F.regexp_extract_all(pii_text, F.lit(_PHONE_RE), 0)).alias("n_phones"),
+            F.length(redacted).alias("n_chars_redacted"),
+        )
+        .orderBy("doc_id")
+    )

@@ -90,3 +90,42 @@ def test_extract_features_mapinpandas(spark):
     assert all(abs(a - b) < 1e-6 for a, b in zip(rows[1].feature, expected))
     # payload column dropped from the output schema
     assert "payload" not in extract_features(media).columns
+
+
+def test_dedup_clusters_known_components(spark):
+    from hackmd_data_pipeline_spark.operators.dedup import dedup_clusters
+    # two components: {1,2,3,4} chained (diameter 3, needs >1 round)
+    # and {10,11}; 20-20 self-free singleton absent from pairs
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"])
+    got = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_converges_on_long_chain(spark):
+    from hackmd_data_pipeline_spark.operators.dedup import dedup_clusters
+    # path graph 0-1-2-...-9: worst case for min-label propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["id_a", "id_b"])
+    got = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {i: 0 for i in range(10)}
+
+
+def test_normalize_quantize_roundtrip(spark):
+    import math
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        normalize_quantize)
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [-1.0, 0.0, 2.0])],
+        ["vec_id", "embedding"])
+    rows = {r.vec_id: r for r in normalize_quantize(df).collect()}
+    # norm recorded exactly
+    assert abs(rows[1].norm - 5.0) < 1e-6
+    # dequantized unit vector reconstructs within int8 step size
+    for vid, orig in ((1, [3.0, 4.0]), (2, [-1.0, 0.0, 2.0])):
+        n = math.sqrt(sum(x * x for x in orig))
+        unit = [x / n for x in orig]
+        deq = [q * rows[vid].scale for q in rows[vid].qvec]
+        assert all(abs(a - b) <= rows[vid].scale for a, b in zip(deq, unit))
+        # max-magnitude component hits exactly +/-127
+        assert max(abs(q) for q in rows[vid].qvec) == 127

@@ -1,0 +1,75 @@
+"""Incremental rollup maintenance: correctness of the tumbling
+aggregate, partition-scoped refresh (untouched partitions stay
+byte-identical), and idempotent re-runs.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.sql import functions as F
+
+from hackmd_data_pipeline_spark.operators.rollup import (
+    refresh_rollup, time_rollup)
+from hackmd_data_pipeline_spark.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def _files_by_partition(dest: str) -> dict[str, set[tuple[str, float]]]:
+    """partition dir -> set of (filename, mtime) for its parquet files."""
+    out: dict[str, set[tuple[str, float]]] = {}
+    for p in pathlib.Path(dest).glob("event_date=*/*.parquet"):
+        out.setdefault(p.parent.name, set()).add((p.name, p.stat().st_mtime))
+    return out
+
+
+def test_rollup_matches_direct_agg(spark, tmp_path):
+    ev = load_table(spark, SF_SMOKE, "events")
+    rolled = time_rollup(ev, "hour")
+    direct = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 6).alias("sum_value"))
+    )
+    got = {(r.bucket, r.event_type): (r.n_events, round(r.sum_value, 6))
+           for r in rolled.collect()}
+    want = {(r.bucket, r.event_type): (r.n_events, r.sum_value)
+            for r in direct.collect()}
+    assert got == want
+    # event_date is derived from the bucket, never drifts
+    assert all(r.event_date == r.bucket.date() for r in rolled.collect())
+
+
+def test_incremental_refresh_touches_only_target_partitions(spark, tmp_path):
+    ev = load_table(spark, SF_SMOKE, "events")
+    dest = str(tmp_path / "rollup")
+    refresh_rollup(ev, dest, "hour")
+    before = _files_by_partition(dest)
+    assert len(before) > 1, "need multiple date partitions for this test"
+
+    # refresh ONE date; all other partitions must remain byte-identical
+    target = sorted(before)[0].split("=", 1)[1]
+    refresh_rollup(ev, dest, "hour", dates=[target])
+    after = _files_by_partition(dest)
+    assert set(after) == set(before)
+    for part in before:
+        if part == f"event_date={target}":
+            continue
+        assert after[part] == before[part], f"{part} was rewritten"
+
+    # and the refreshed table still equals a full rebuild, row-for-row
+    full = time_rollup(ev, "hour")
+    stored = spark.read.parquet(dest)
+    assert sorted(map(tuple, stored.select(*full.columns).collect())) == \
+        sorted(map(tuple, full.collect()))
+
+
+def test_refresh_is_idempotent(spark, tmp_path):
+    ev = load_table(spark, SF_SMOKE, "events")
+    dest = str(tmp_path / "rollup")
+    refresh_rollup(ev, dest, "hour")
+    first = sorted(map(tuple, spark.read.parquet(dest).collect()))
+    refresh_rollup(ev, dest, "hour")
+    second = sorted(map(tuple, spark.read.parquet(dest).collect()))
+    assert first == second

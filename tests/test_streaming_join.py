@@ -1,0 +1,90 @@
+"""Stream-stream interval join (Structured Streaming extension
+surface): correlating two live event streams — the streaming analog
+of the as-of/range join family. Both sides carry watermarks and the
+join predicate bounds event-time distance, so Spark can size and
+expire the join state; without the time bound the state would grow
+unboundedly at 100 TB/day stream rates.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+VIEW_SCHEMA = T.StructType([
+    T.StructField("view_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("view_time", T.TimestampType()),
+])
+CLICK_SCHEMA = T.StructType([
+    T.StructField("click_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("click_time", T.TimestampType()),
+])
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def _m(minutes: float) -> dt.datetime:
+    return T0 + dt.timedelta(minutes=minutes)
+
+
+VIEWS = [(1, 100, _m(0)), (2, 100, _m(30)), (3, 200, _m(5)), (4, 300, _m(10))]
+CLICKS = [
+    (11, 100, _m(4)),    # joins view 1 (within 10 min)
+    (12, 100, _m(33)),   # joins view 2
+    (13, 200, _m(16)),   # outside 10 min of view 3 -> no join
+    (14, 300, _m(10)),   # boundary: equal times join
+    (15, 400, _m(7)),    # user with no view -> no join
+]
+
+
+def _expected():
+    out = set()
+    for vid, vu, vt in VIEWS:
+        for cid, cu, ct in CLICKS:
+            if vu == cu and vt <= ct <= vt + dt.timedelta(minutes=10):
+                out.add((vid, cid))
+    return out
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    vdir, cdir = tmp_path / "views", tmp_path / "clicks"
+    for d, schema, rows in ((vdir, VIEW_SCHEMA, VIEWS),
+                            (cdir, CLICK_SCHEMA, CLICKS)):
+        d.mkdir()
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append").parquet(str(d))
+
+    views = (spark.readStream.schema(VIEW_SCHEMA).parquet(str(vdir))
+             .withWatermark("view_time", "1 hour"))
+    clicks = (spark.readStream.schema(CLICK_SCHEMA).parquet(str(cdir))
+              .withWatermark("click_time", "1 hour"))
+
+    joined = views.alias("v").join(
+        clicks.alias("c"),
+        (F.col("v.user_id") == F.col("c.user_id"))
+        & (F.col("c.click_time") >= F.col("v.view_time"))
+        & (F.col("c.click_time") <= F.col("v.view_time") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("view_id", "click_id")
+
+    collected = []
+    q = (joined.writeStream
+         .foreachBatch(lambda b, _e: collected.extend(b.collect()))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append")
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+    assert {(r.view_id, r.click_id) for r in collected} == _expected()
+    # sanity: the streaming result is exactly the batch join result
+    bv = spark.createDataFrame(VIEWS, VIEW_SCHEMA).alias("v")
+    bc = spark.createDataFrame(CLICKS, CLICK_SCHEMA).alias("c")
+    batch = bv.join(bc, (F.col("v.user_id") == F.col("c.user_id"))
+                    & (F.col("c.click_time") >= F.col("v.view_time"))
+                    & (F.col("c.click_time") <= F.col("v.view_time")
+                       + F.expr("INTERVAL 10 MINUTES")))
+    assert {(r.view_id, r.click_id) for r in batch.collect()} == _expected()
