@@ -77,3 +77,53 @@ def refresh_rollup(events: DataFrame, dest: str, grain: str = "hour",
          .write.partitionBy("event_date").mode("overwrite").parquet(dest))
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+def merge_rollup_batch(batch: DataFrame, dest: str, grain: str = "hour",
+                       ts_col: str = "ts",
+                       key_cols: Sequence[str] = ("event_type",),
+                       value_col: str = "value") -> None:
+    """Merge one micro-batch of raw events into the rollup at ``dest``.
+
+    The rollup's aggregates are MERGEABLE (count/sum/min/max), so a
+    streaming refresh never re-reads the raw history: aggregate the
+    batch, union it with the EXISTING rollup rows of just the affected
+    dates, re-aggregate (sum the counts/sums, min/max the extremes),
+    and dynamic-partition-overwrite those dates. Cost per micro-batch
+    is proportional to the batch + touched partitions, independent of
+    total history size — the property that makes a 100 TB rollup
+    maintainable from a stream. Designed for foreachBatch (see
+    streaming tests); idempotent per batch only if the batch is
+    replayed whole, which is exactly Spark's foreachBatch replay unit.
+    """
+    spark = batch.sparkSession
+    delta = time_rollup(batch, grain, ts_col, key_cols, value_col)
+    dates = [str(r.event_date)
+             for r in delta.select("event_date").distinct().collect()]
+    if not dates:
+        return
+    merged = delta
+    try:
+        existing = (spark.read.parquet(dest)
+                    .filter(F.col("event_date").isin(dates))
+                    .select(*delta.columns))
+        merged = delta.unionByName(existing)
+    except Exception:  # first batch: no rollup exists yet
+        pass
+    merged = (
+        merged.groupBy("event_date", "bucket", *key_cols)
+        .agg(F.sum("n_events").alias("n_events"),
+             F.sum("sum_value").alias("sum_value"),
+             F.min("min_value").alias("min_value"),
+             F.max("max_value").alias("max_value"))
+        # materialize BEFORE the write: the plan reads the same path
+        # it is about to overwrite (classic self-overwrite hazard)
+        .localCheckpoint(eager=True)
+    )
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (merged.repartition("event_date")
+         .write.partitionBy("event_date").mode("overwrite").parquet(dest))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)

@@ -1,0 +1,142 @@
+"""Property-based tests (hypothesis) for the custom operators whose
+semantics have a simple executable specification: the Spark operator
+must agree with a naive in-Python reference on arbitrary generated
+inputs. Spark-side evaluation is batched per example set (hypothesis
+drives the data; one Spark job per example) with small deadline-free
+settings since JVM round-trips dominate.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hackmd_data_pipeline_spark.operators.dedup import dedup_clusters
+from hackmd_data_pipeline_spark.operators.joins import asof_join
+from hackmd_data_pipeline_spark.operators.similarity import normalize_quantize
+from hackmd_data_pipeline_spark.operators.skew import salted_agg
+
+SETTINGS = settings(max_examples=12, deadline=None,
+                    suppress_health_check=[HealthCheck.too_slow])
+
+
+# ------------------------------------------------------------ as-of join
+
+_ts = st.integers(min_value=0, max_value=50)
+_key = st.integers(min_value=0, max_value=3)
+
+
+@SETTINGS
+@given(
+    lefts=st.lists(st.tuples(_key, _ts), min_size=1, max_size=15),
+    rights=st.lists(st.tuples(_key, _ts, st.integers(-100, 100)),
+                    min_size=0, max_size=15),
+)
+def test_asof_backward_matches_naive(spark, lefts, rights):
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k long, ts long, lid long")
+    right = spark.createDataFrame(rights, "k long, ts long, px long") \
+        if rights else spark.createDataFrame([], "k long, ts long, px long")
+    got = {r.lid: r.px_asof
+           for r in asof_join(left, right, on="k", ts_col="ts",
+                              payload_cols=("px",)).collect()}
+
+    def naive(k, t):
+        cands = [(rt, i, px) for i, (rk, rt, px) in enumerate(rights)
+                 if rk == k and rt <= t]
+        # latest ts wins; ties broken by input order (latest wins)
+        return max(cands)[2] if cands else None
+
+    want = {i: naive(k, t) for i, (k, t) in enumerate(lefts)}
+    assert got == want
+
+
+# ------------------------------------------------------ salted aggregation
+
+
+@SETTINGS
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 2), st.integers(-1000, 1000)),
+    min_size=1, max_size=40))
+def test_salted_agg_equals_plain_agg(spark, rows):
+    df = spark.createDataFrame(rows, "k long, v long")
+    plain = {(r.k,): (r.s, r.n) for r in
+             df.groupBy("k").agg(F.sum("v").alias("s"),
+                                 F.count("*").alias("n")).collect()}
+    salted = salted_agg(
+        df, ["k"],
+        partial_aggs=[F.sum("v").alias("s"), F.count("*").alias("n")],
+        final_aggs=[F.sum("s").alias("s"), F.sum("n").alias("n")],
+        buckets=4)
+    got = {(r.k,): (r.s, r.n) for r in salted.collect()}
+    assert got == plain
+
+
+# ------------------------------------------------- int8 quantize roundtrip
+
+
+@SETTINGS
+@given(vecs=st.lists(
+    st.lists(st.floats(min_value=-1e3, max_value=1e3,
+                       allow_nan=False, allow_infinity=False,
+                       width=32),
+             min_size=2, max_size=8),
+    min_size=1, max_size=10))
+def test_quantize_roundtrip_bound(spark, vecs):
+    # keep only vectors with a nonzero component (zero vectors have no
+    # defined direction)
+    vecs = [v for v in vecs if any(abs(x) > 1e-3 for x in v)]
+    if not vecs:
+        return
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<float>")
+    for r in normalize_quantize(df).collect():
+        orig = [float(x) for x in vecs[r.vec_id]]
+        # float32 storage rounds the input: recompute from float32
+        import numpy as np
+        orig = np.asarray(orig, dtype=np.float32).astype(np.float64)
+        n = math.sqrt(float((orig * orig).sum()))
+        unit = orig / n
+        assert abs(r.norm - n) < 1e-4 * max(n, 1.0)
+        deq = [q * r.scale for q in r.qvec]
+        # each element within one quantization step of the unit vector
+        assert all(abs(a - b) <= r.scale + 1e-12
+                   for a, b in zip(deq, unit))
+
+
+# ------------------------------------------------- connected components
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=1, max_size=20))
+def test_dedup_clusters_match_union_find(spark, edges):
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want

@@ -73,3 +73,45 @@ def test_refresh_is_idempotent(spark, tmp_path):
     refresh_rollup(ev, dest, "hour")
     second = sorted(map(tuple, spark.read.parquet(dest).collect()))
     assert first == second
+
+
+def test_streaming_merge_rollup_equals_batch_rollup(spark, tmp_path):
+    """Feed events through a file stream in two micro-batches; the
+    merged rollup must equal the one-shot batch rollup of all events.
+    """
+    from hackmd_data_pipeline_spark.operators.rollup import (
+        merge_rollup_batch)
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    # split source into two file drops (by event_id parity)
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "drop1"))
+    dest = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    schema = ev.schema
+
+    def run_available():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = (stream.writeStream
+             .foreachBatch(lambda b, _e: merge_rollup_batch(b, dest, "hour"))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    run_available()
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "drop2"))
+    run_available()
+
+    want = sorted(
+        (r.bucket, r.event_type, r.n_events, round(r.sum_value, 6),
+         round(r.min_value, 6), round(r.max_value, 6))
+        for r in time_rollup(ev, "hour").collect())
+    got = sorted(
+        (r.bucket, r.event_type, r.n_events, round(r.sum_value, 6),
+         round(r.min_value, 6), round(r.max_value, 6))
+        for r in spark.read.parquet(dest).collect())
+    assert got == want
