@@ -137,3 +137,30 @@ def test_window_suite_single_shuffle(spark):
     # evaluating all six functions
     assert len(re.findall(r"\bhashpartitioning\(", plan)) == 1, plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+# ------------------------------------------------- registry-wide sweep
+
+# queries where a BroadcastNestedLoopJoin is INTENTIONAL and bounded:
+#   - 1-row scalar-aggregate build sides (cutoffs, corpus size, avg):
+#     o19_time_range_filter, subq_q22_idle_rich_customers,
+#     text_keywords_tfidf
+#   - deliberately-broadcast tiny query/centroid sets on a non-equi
+#     condition (the documented brute-force baseline and the
+#     query-to-nprobe-cells probe): sim_cosine_topk, sim_ann_ivf
+_BNLJ_OK = {
+    "o19_time_range_filter",
+    "subq_q22_idle_rich_customers",
+    "text_keywords_tfidf",
+    "sim_cosine_topk",
+    "sim_ann_ivf",
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_unbounded_join_anywhere(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in _BNLJ_OK:
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans a nested-loop join")
