@@ -286,3 +286,28 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.max("o_totalprice"), 2).alias("p100"))
         .orderBy("o_orderpriority")
     )
+
+
+@query("agg_approx_percentiles", oracle=None)
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles per group — the 100 TB path for
+    agg_exact_percentiles: ``approx_percentile`` builds a bounded-size
+    mergeable sketch per partition (map-side combine, fixed memory per
+    group regardless of group cardinality). accuracy=1000 bounds rank
+    error at 1/1000 of the group. Sketch internals differ per engine
+    -> rows-only; accuracy vs the exact query is asserted in
+    tests/test_queries_oracle.py::test_approx_percentiles_close."""
+    o = load_table(spark, sf_dir, "orders")
+    pcts = F.array(*(F.lit(p) for p in (0.25, 0.50, 0.75, 0.95)))
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.approx_percentile("o_totalprice", pcts, F.lit(1000)).alias("pcts"))
+        .select(
+            "o_orderpriority",
+            F.round(F.col("pcts")[0], 2).alias("p25"),
+            F.round(F.col("pcts")[1], 2).alias("p50"),
+            F.round(F.col("pcts")[2], 2).alias("p75"),
+            F.round(F.col("pcts")[3], 2).alias("p95"),
+        )
+        .orderBy("o_orderpriority")
+    )

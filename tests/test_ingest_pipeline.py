@@ -168,3 +168,37 @@ def test_streaming_ingest_exactly_once(spark, raw_dir, tmp_path):
     again = run_ingest_stream(spark, raw_dir, out, ckpt)
     assert again == {"canonical": 0, "history": 0, "quarantine": 0}
     assert spark.read.parquet(f"{out}/papers").count() == 10
+
+
+def test_csv_source_quarantine_split(spark, tmp_path):
+    """Delimited-text twin of the JSONL dead-letter split: bad rows
+    (wrong arity / unparseable types) land in quarantine with lineage,
+    good rows parse with the explicit schema."""
+    import gzip
+
+    from pyspark.sql import types as T
+
+    from hackmd_data_pipeline_spark.sources.csv_src import (
+        read_delimited, split_quarantine)
+
+    p = tmp_path / "batch.csv.gz"
+    lines = [
+        "entry_id,n_authors,published",
+        "a1,3,2024-01-01 10:00:00",
+        "a2,not_a_number,2024-01-02 11:00:00",   # bad int
+        "a3,5,2024-01-03 12:00:00",
+    ]
+    with gzip.open(p, "wt") as f:
+        f.write("\n".join(lines))
+
+    schema = T.StructType([
+        T.StructField("entry_id", T.StringType()),
+        T.StructField("n_authors", T.IntegerType()),
+        T.StructField("published", T.TimestampType()),
+    ])
+    good, bad = split_quarantine(read_delimited(spark, str(p), schema))
+    assert {r.entry_id for r in good.collect()} == {"a1", "a3"}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert "not_a_number" in bad_rows[0]._corrupt_record
+    assert bad_rows[0].source_path.endswith("batch.csv.gz")

@@ -63,3 +63,18 @@ def test_rows_only_runs(spark, name):
     n = df.count()
     assert n >= 0
     assert len(df.columns) > 0
+
+
+def test_approx_percentiles_close(spark):
+    """The sketch path must land within ~1% of the exact percentiles
+    (rank error 1/accuracy on a smooth-ish distribution)."""
+    exact = {r.o_orderpriority: (r.p25, r.p50, r.p75, r.p95)
+             for r in REGISTRY["agg_exact_percentiles"]
+             .builder(spark, SF_CORRECT).collect()}
+    approx = {r.o_orderpriority: (r.p25, r.p50, r.p75, r.p95)
+              for r in REGISTRY["agg_approx_percentiles"]
+              .builder(spark, SF_CORRECT).collect()}
+    assert set(exact) == set(approx)
+    for k in exact:
+        for e, a in zip(exact[k], approx[k]):
+            assert abs(e - a) <= 0.02 * abs(e) + 1e-9, (k, e, a)
