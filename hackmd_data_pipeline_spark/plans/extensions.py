@@ -525,3 +525,39 @@ def events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "event_type")
     )
+
+
+@query("docs_train_val_test_split", oracle=None)
+def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment by hashed doc_id
+    (operators/sampling.py) — stable across runs, partitionings, and
+    incremental ingests, unlike randomSplit. Assignment is a pure
+    projection; this query reports per-(split, lang) counts.
+    xxhash64 has no DuckDB twin -> rows-only; disjointness,
+    determinism under repartition, and fraction tolerance are
+    unit/property-tested."""
+    from ..operators.sampling import deterministic_split
+    d = load_table(spark, sf_dir, "documents")
+    split = deterministic_split(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        split.groupBy("split", "lang").agg(F.count("*").alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+@query("docs_pack_sequences", oracle=None)
+def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing (operators/packing.py): documents
+    greedily packed per partition into <=1024-token training
+    sequences; reports per-sequence fill stats. Budget-respect,
+    no-doc-lost, and overflow flagging are unit-tested; per-partition
+    ids make the pack embarrassingly parallel (zero shuffle before
+    the stats agg)."""
+    from ..operators.packing import pack_sequences, packing_stats
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0)
+    with_counts = d.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"))
+    packed = pack_sequences(with_counts, max_tokens=1024)
+    return packing_stats(packed, 1024).orderBy("seq_id")

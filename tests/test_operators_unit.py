@@ -129,3 +129,68 @@ def test_normalize_quantize_roundtrip(spark):
         assert all(abs(a - b) <= rows[vid].scale for a, b in zip(deq, unit))
         # max-magnitude component hits exactly +/-127
         assert max(abs(q) for q in rows[vid].qvec) == 127
+
+
+def test_deterministic_split_properties(spark):
+    from hackmd_data_pipeline_spark.operators.sampling import (
+        deterministic_split)
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = deterministic_split(df, "doc_id", fr)
+    counts = {r.split: r.n for r in
+              s1.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    # exhaustive (fractions sum to 1 -> no NULL split) and disjoint by
+    # construction; fractions hit within 2% absolute
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == 20000
+    for k, f in fr.items():
+        assert abs(counts[k] / 20000 - f) < 0.02, (k, counts[k])
+    # stable under arbitrary repartition: same assignment per key
+    s2 = deterministic_split(df.repartition(17), "doc_id", fr)
+    assert (s1.withColumnRenamed("split", "a")
+            .join(s2.withColumnRenamed("split", "b"), "doc_id")
+            .filter(F.col("a") != F.col("b")).count()) == 0
+    # different seed -> different (but still complete) assignment
+    s3 = deterministic_split(df, "doc_id", fr, seed=1)
+    moved = (s1.withColumnRenamed("split", "a")
+             .join(s3.withColumnRenamed("split", "b"), "doc_id")
+             .filter(F.col("a") != F.col("b")).count())
+    assert moved > 0
+
+
+def test_pack_sequences_budget_and_completeness(spark):
+    from hackmd_data_pipeline_spark.operators.packing import (
+        pack_sequences, packing_stats)
+    rows = [(i, n) for i, n in enumerate(
+        [100, 900, 200, 1500, 50, 50, 50, 1024, 1000, 30])]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").coalesce(1)
+    packed = pack_sequences(df, max_tokens=1024).collect()
+    # every doc packed exactly once
+    assert sorted(r.doc_id for r in packed) == [r[0] for r in rows]
+    # only oversize docs flagged
+    assert {r.doc_id for r in packed if r.overflow} == {3}
+    # budget respected for every non-overflow sequence
+    stats = packing_stats(
+        pack_sequences(df, max_tokens=1024), 1024).collect()
+    for s in stats:
+        if not s.has_overflow:
+            assert s.seq_tokens <= 1024, s
+    # oversize doc sits alone in its sequence
+    by_seq = {}
+    for r in packed:
+        by_seq.setdefault(r.seq_id, []).append(r.doc_id)
+    seq_of_3 = next(r.seq_id for r in packed if r.doc_id == 3)
+    assert by_seq[seq_of_3] == [3]
+
+
+def test_pack_sequences_parallel_partitions_unique_ids(spark):
+    from hackmd_data_pipeline_spark.operators.packing import pack_sequences
+    df = (spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+          .withColumn("n_tokens", (F.col("doc_id") % 300) + 1)
+          .repartition(8))
+    packed = pack_sequences(df, max_tokens=1024)
+    assert packed.count() == 5000
+    # seq ids never collide across partitions (high-bits partition prefix)
+    per_seq = packed.groupBy("seq_id").agg(
+        F.sum("n_tokens").alias("t"), F.max("overflow").alias("o"))
+    assert per_seq.filter((F.col("t") > 1024) & (~F.col("o"))).count() == 0
