@@ -561,3 +561,49 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"))
     packed = pack_sequences(with_counts, max_tokens=1024)
     return packing_stats(packed, 1024).orderBy("seq_id")
+
+
+@query(
+    "events_interval_join",
+    oracle="""
+    SELECT c.event_id                       AS click_id,
+           p.event_id                       AS purchase_id,
+           c.user_id,
+           CAST(c.ts AS TIMESTAMP)          AS click_ts,
+           ROUND(EXTRACT(EPOCH FROM (c.ts - p.ts)), 3) AS secs_after_purchase
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts <= c.ts
+     AND p.ts >= c.ts - INTERVAL 5 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY click_id, purchase_id
+    """,
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-interval range join (operators/rangejoin.py): every
+    click paired with the same user's purchases in the preceding 5
+    minutes. The range predicate is rewritten as a 2-bin bucketed
+    EQUI-join (explode left to 2 candidate bins, bin right once,
+    exact filter after) — shuffles by (user, bin), never a
+    nested-loop; plan-asserted. The DuckDB oracle states the raw
+    BETWEEN form, so the rewrite's semantics are value-checked."""
+    from ..operators.rangejoin import interval_join
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("event_id").alias("purchase_id"),
+                         F.col("ts").alias("purchase_ts")))
+    j = interval_join(clicks, purchases, on=["user_id"],
+                      left_ts="click_ts", right_ts="purchase_ts",
+                      delta_seconds=300)
+    return (
+        j.select(
+            "click_id", "purchase_id", "user_id", "click_ts",
+            F.round(F.timestamp_diff("MICROSECOND", F.col("purchase_ts"),
+                                     F.col("click_ts")) / 1e6, 3)
+            .alias("secs_after_purchase"),
+        )
+        .orderBy("click_id", "purchase_id")
+    )

@@ -140,3 +140,41 @@ def test_dedup_clusters_match_union_find(spark, edges):
         union(a, b)
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+# ------------------------------------------------- bounded range join
+
+
+@SETTINGS
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 600)),
+                   min_size=1, max_size=12),
+    rights=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 600)),
+                    min_size=0, max_size=12),
+)
+def test_interval_join_matches_nonequi(spark, lefts, rights):
+    import datetime as dt
+
+    from hackmd_data_pipeline_spark.operators.rangejoin import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(k, ts(s), i) for i, (k, s) in enumerate(lefts)],
+        "k long, lts timestamp_ntz, lid long")
+    right = spark.createDataFrame(
+        [(k, ts(s), i) for i, (k, s) in enumerate(rights)],
+        "k long, rts timestamp_ntz, rid long") if rights else \
+        spark.createDataFrame([], "k long, rts timestamp_ntz, rid long")
+
+    got = {(r.lid, r.rid) for r in interval_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        delta_seconds=60).collect()}
+    want = {(li, ri)
+            for li, (lk, lsec) in enumerate(lefts)
+            for ri, (rk, rsec) in enumerate(rights)
+            if lk == rk and lsec - 60 <= rsec <= lsec}
+    assert got == want
