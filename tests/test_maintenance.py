@@ -1,0 +1,42 @@
+"""Maintenance operators: compaction file-count math and dense stable
+global id assignment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hackmd_data_pipeline_spark.operators.maintenance import (
+    assign_global_ids, compact, table_file_stats)
+from hackmd_data_pipeline_spark.tables import load_table
+
+from .conftest import SF_CORRECT
+
+
+def test_compact_reduces_file_count(spark, tmp_path):
+    src = str(tmp_path / "fragmented")
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    li.repartition(40).write.parquet(src)   # simulate small-file ingest
+    assert table_file_stats(spark, src)["n_files"] == 40
+
+    total = table_file_stats(spark, src)["total_bytes"]
+    result = compact(spark, src, target_file_bytes=total // 4 + 1,
+                     dest=str(tmp_path / "compacted"))
+    assert result["after"]["n_files"] <= 4
+    # lossless: same rows after compaction
+    assert (spark.read.parquet(result["dest"]).count() == li.count())
+
+
+def test_assign_global_ids_dense_and_stable(spark):
+    d = load_table(spark, SF_CORRECT, "documents").repartition(7)
+    n = d.count()
+    ids1 = assign_global_ids(d)
+    got = [r.global_id for r in ids1.select("global_id").collect()]
+    assert sorted(got) == list(range(n))          # dense 0..n-1, unique
+    # stable: same ids for same rows across two materializations
+    a = {(r.doc_id): r.global_id for r in ids1.collect()}
+    b = {(r.doc_id): r.global_id
+         for r in assign_global_ids(d).collect()}
+    assert a == b
+    # schema passthrough + appended column
+    assert ids1.columns == d.columns + ["global_id"]
