@@ -105,27 +105,15 @@ def sim_centroid_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (north star), blocked by label
-    (the cluster id acts as the LSH bucket): the self-join is an
-    equi-join on label — shuffle by block, never all-pairs. Norms are
-    computed once per row before the join; only the dot product is
-    per-pair work."""
-    emb = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "label",
-                F.transform("embedding", lambda x: x.cast("double")).alias("_emb"))
-        .withColumn("_norm", l2_norm_raw(F.col("_emb")))
-    )
-    a = emb.alias("a")
-    b = emb.alias("b")
-    cos = (dot_product_raw(F.col("a._emb"), F.col("b._emb"))
-           / (F.col("a._norm") * F.col("b._norm")))
+    (the cluster id acts as the LSH bucket): ONE shuffle on the block
+    key, then a vectorized per-block matmul kernel
+    (operators/similarity.py::block_cosine_pairs) — never all-pairs
+    across blocks, no interpreted per-pair folds."""
+    from ..operators.similarity import block_cosine_pairs
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = block_cosine_pairs(emb, threshold=0.95)
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label"))
-               & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"),
-                cos.alias("_cos"))
-        .filter(F.col("_cos") >= 0.95)
-        .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
+        pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
 
