@@ -32,6 +32,18 @@ def main() -> None:
 
     # warmup: JVM + parquet footer caches
     REGISTRY["q1_pricing_summary"].builder(spark, sf_dir).count()
+    # warmup: python/Arrow workers (one per core) — several queries run
+    # Arrow-batched stages; steady-state numbers should not charge the
+    # first of them the one-time worker fork + numpy import cost
+    n_workers = spark.sparkContext.defaultParallelism
+
+    def _noop(batches):
+        import numpy  # noqa: F401  (pre-import in every worker)
+        import pandas  # noqa: F401
+        yield from batches
+
+    (spark.range(0, n_workers * 4, 1, n_workers)
+     .mapInPandas(_noop, "id long").count())
 
     timings: dict[str, float] = {}
     for name in sorted(REGISTRY):

@@ -255,7 +255,16 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
                 })
 
     schema = df.select(id_col).schema.add("fp", "long")
-    return df.select(id_col, text_col).mapInPandas(fp_batches, schema=schema)
+    narrow = df.select(id_col, text_col)
+    # fingerprinting is CPU-bound Python: if the scan produced fewer
+    # partitions than cores (one small parquet file -> ONE task doing
+    # every doc serially), spread the rows first — the tiny (id, text)
+    # shuffle buys full-core parallelism for the Arrow stage. At scale
+    # the scan already yields >= cores partitions and this is a no-op.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target)
+    return narrow.mapInPandas(fp_batches, schema=schema)
 
 
 def winnowing_pairs(df: DataFrame, id_col: str = "doc_id",
