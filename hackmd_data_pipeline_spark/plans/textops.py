@@ -323,3 +323,119 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "fn_datetime_suite",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE)                          AS order_date,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP)   AS due_ts,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)  AS month_end,
+           EXTRACT(YEAR FROM o_orderdate)::BIGINT             AS order_year,
+           EXTRACT(QUARTER FROM o_orderdate)::BIGINT          AS order_quarter,
+           dayofweek(o_orderdate)::BIGINT                     AS dow,
+           strftime(o_orderdate, '%Y-%m')                     AS month_key
+    FROM orders
+    WHERE o_orderkey < 100
+    ORDER BY o_orderkey
+    """,
+)
+def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime scalar-function suite (O-16 family widened): date
+    extraction, interval arithmetic, month-end, calendar parts,
+    format keys — all NTZ-safe (no session-timezone coercion) and
+    value-checked against DuckDB. DuckDB dayofweek is 0=Sunday;
+    Spark dayofweek is 1=Sunday — normalized via -1."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    return (
+        o.select(
+            "o_orderkey",
+            F.to_date("o_orderdate").alias("order_date"),
+            F.timestamp_add("DAY", F.lit(30), F.col("o_orderdate")).alias("due_ts"),
+            F.last_day("o_orderdate").alias("month_end"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+            (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("month_key"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "fn_collection_suite",
+    oracle="""
+    SELECT doc_id,
+           list_sort(regexp_split_to_array(LOWER(TRIM(text)), '\\s+'))[1:5]
+                                                             AS first5_sorted,
+           len(list_distinct(regexp_split_to_array(LOWER(TRIM(text)), '\\s+')))
+                                                             AS n_distinct,
+           list_contains(regexp_split_to_array(LOWER(TRIM(text)), '\\s+'), 'spark')
+                                                             AS has_spark,
+           array_to_string(regexp_split_to_array(TRIM(text), '\\s+')[1:3], '|')
+                                                             AS first3_joined
+    FROM documents
+    WHERE LENGTH(TRIM(text)) > 0
+    ORDER BY doc_id
+    """,
+)
+def fn_collection_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection (array) scalar-function suite: sort, slice, distinct
+    count, containment, join-to-string — the GIN-array-containment
+    capability of the reference's schema (create_table.sql:76-81 GIN
+    on authors/categories) expressed as native array functions, all
+    codegen'd, value-checked against DuckDB list functions."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks_cased = F.split(F.trim(F.col("text")), r"\s+")
+    return (
+        d.select(
+            "doc_id",
+            F.slice(F.array_sort(toks), 1, 5).alias("first5_sorted"),
+            F.size(F.array_distinct(toks)).alias("n_distinct"),
+            F.array_contains(toks, "spark").alias("has_spark"),
+            F.array_join(F.slice(toks_cased, 1, 3), "|").alias("first3_joined"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_editdistance",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, SUBSTR(LOWER(TRIM(text)), 1, 40) AS head
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.head, b.head) AS edit_dist
+    FROM d a JOIN d b
+      ON SUBSTR(a.head, 1, 8) = SUBSTR(b.head, 1, 8)
+     AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 10
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup on document heads, PREFIX-BLOCKED: the
+    quadratic levenshtein only runs inside 8-char-prefix buckets (an
+    equi-join — shuffle by prefix, never all-pairs; same sub-quadratic
+    posture as the LSH families, and the blocking is sound for small
+    edit budgets because a shared long prefix survives head edits).
+    Value-checked against DuckDB's levenshtein."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.length(F.trim("text")) > 0)
+         .select("doc_id",
+                 F.substring(F.lower(F.trim(F.col("text"))), 1, 40).alias("head"))
+         .withColumn("_blk", F.substring("head", 1, 8)))
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, (F.col("a._blk") == F.col("b._blk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.levenshtein(F.col("a.head"), F.col("b.head")).alias("edit_dist"))
+        .filter(F.col("edit_dist") <= 10)
+        .orderBy("id_a", "id_b")
+    )
