@@ -202,3 +202,19 @@ def test_csv_source_quarantine_split(spark, tmp_path):
     assert len(bad_rows) == 1
     assert "not_a_number" in bad_rows[0]._corrupt_record
     assert bad_rows[0].source_path.endswith("batch.csv.gz")
+
+
+def test_orc_roundtrip_preserves_schema_and_values(spark, tmp_path):
+    """Format breadth: the canonical store is parquet+zstd, but ORC is
+    a first-class interchange format — a schema-stable roundtrip must
+    be lossless (arrays and NTZ timestamps included)."""
+    from .conftest import SF_CORRECT
+
+    from hackmd_data_pipeline_spark.tables import load_table
+
+    src = load_table(spark, SF_CORRECT, "orders").limit(500)
+    dest = str(tmp_path / "orders_orc")
+    src.write.format("orc").option("compression", "zstd").save(dest)
+    back = spark.read.format("orc").load(dest)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))

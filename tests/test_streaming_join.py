@@ -88,3 +88,72 @@ def test_stream_stream_interval_join(spark, tmp_path):
                     & (F.col("c.click_time") <= F.col("v.view_time")
                        + F.expr("INTERVAL 10 MINUTES")))
     assert {(r.view_id, r.click_id) for r in batch.collect()} == _expected()
+
+
+def test_streaming_session_window_agg(spark, tmp_path):
+    """Built-in session_window with a watermark: gaps > 10 min close a
+    session; result equals the batch session_window aggregation."""
+    import datetime as dt
+
+    schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    t0 = dt.datetime(2024, 1, 1, 9, 0, 0)
+
+    def m(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (1, m(0), 1.0), (1, m(5), 2.0),      # session A: 0-15
+        (1, m(40), 3.0),                     # session B: 40-50
+        (2, m(2), 5.0),                      # session C: 2-12
+    ]
+    src = tmp_path / "sessions_src"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(src / "b1"))
+
+    agg_cols = [F.count("*").alias("n"), F.sum("value").alias("v")]
+    stream = (
+        spark.readStream.schema(schema).parquet(str(src / "*"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "10 minutes"), F.col("user_id"))
+        .agg(*agg_cols)
+    )
+    collected = []
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema).parquet(str(src / "*"))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "10 minutes"), F.col("user_id"))
+            .agg(*agg_cols)
+        )
+        q = (stream.writeStream
+             .foreachBatch(lambda b, _e: collected.extend(b.collect()))
+             .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    drain()
+    # append mode emits a session only after the watermark passes its
+    # close; nothing can emit from the first drop alone
+    assert collected == []
+    # a much-later event advances the watermark past all three sessions
+    spark.createDataFrame([(99, m(240), 0.0)], schema).coalesce(1) \
+        .write.parquet(str(src / "b2"))
+    drain()
+
+    got = {(r.user_id, r.session_window.start, r.session_window.end):
+           (r.n, r.v) for r in collected}
+    batch = (spark.createDataFrame(rows, schema)
+             .groupBy(F.session_window("ts", "10 minutes"), "user_id")
+             .agg(*agg_cols))
+    want = {(r.user_id, r.session_window.start, r.session_window.end):
+            (r.n, r.v) for r in batch.collect()}
+    assert got == want  # user 99's still-open session is NOT emitted
+    assert len(got) == 3  # two sessions for user 1, one for user 2
