@@ -102,11 +102,32 @@ def _train_quantizer(corpus: DataFrame, nlist: int, vec_col: str,
     only the fraction shrinks. Returns an (nlist, dim) float64 array
     of UNIT-NORM centroids.
     """
+    import math
+
     import numpy as np
 
-    n = corpus.count()
-    frac = min(1.0, sample_cap / max(n, 1))
-    sample = corpus.select(vec_col).sample(False, frac, seed).limit(sample_cap).collect()
+    # per-partition head sample: ceil(cap/nparts) rows from each input
+    # partition, then a global limit. No count() job, no full scan —
+    # CollectLimit executes partitions incrementally and each task
+    # early-exits after its head rows, so at 100 TB the quantizer
+    # training touches a few Arrow batches per partition instead of
+    # sampling the whole corpus. (Head-of-partition bias is acceptable
+    # for a coarse quantizer; recall is governed by nprobe.)
+    nparts = max(corpus.rdd.getNumPartitions(), 1)
+    per_part = math.ceil(sample_cap / nparts)
+
+    def head(batches):
+        taken = 0
+        for pdf in batches:
+            if taken >= per_part:
+                return
+            chunk = pdf.iloc[: per_part - taken][[vec_col]]
+            taken += len(chunk)
+            yield chunk
+
+    sample = (corpus.select(vec_col).mapInPandas(
+        head, schema=corpus.select(vec_col).schema)
+        .limit(sample_cap).collect())
     x = np.asarray([r[0] for r in sample], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     k_eff = min(nlist, len(x))
