@@ -311,3 +311,28 @@ def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query("agg_hll_mergeable", oracle=None)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (Apache DataSketches HLL via
+    hll_sketch_agg / hll_union_agg): per-priority customer-uniques
+    sketches UNIONED into a global estimate without touching raw data
+    again — the rollup pattern that lets a 100 TB store answer
+    daily->monthly->all-time uniques by merging kilobyte sketches
+    instead of rescanning. Sketch bytes are engine-specific ->
+    rows-only; estimate accuracy vs exact is asserted in
+    tests/test_queries_oracle.py::test_hll_estimates_close."""
+    o = load_table(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sketch"),
+        F.count("*").alias("n_rows"))
+    per_group_est = per_group.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sketch").alias("est_uniques"), "n_rows")
+    global_est = (per_group
+                  .agg(F.hll_union_agg("sketch").alias("merged"))
+                  .select(F.lit("ALL").alias("o_orderpriority"),
+                          F.hll_sketch_estimate("merged").alias("est_uniques"),
+                          F.lit(None).cast("long").alias("n_rows")))
+    return per_group_est.unionByName(global_est).orderBy("o_orderpriority")

@@ -164,3 +164,34 @@ def test_no_unbounded_join_anywhere(spark, name):
     if name not in _BNLJ_OK:
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans a nested-loop join")
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime Bloom-filter join pruning: when the dim side is
+    selective and broadcast is disabled (the 100 TB fact-fact case),
+    Spark injects a bloom_filter_agg on the dim keys and a
+    might_contain filter on the FACT scan — rows that cannot join die
+    at the scan, before the shuffle. Thresholds are size-based; the
+    test pins them low enough to fire at test scale."""
+    from pyspark.sql import functions as F
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        from hackmd_data_pipeline_spark.tables import load_table
+        li = load_table(spark, SF_CORRECT, "lineitem")
+        o = load_table(spark, SF_CORRECT, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT")
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority").count())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "no runtime bloom filter injected"
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -78,3 +78,23 @@ def test_approx_percentiles_close(spark):
     for k in exact:
         for e, a in zip(exact[k], approx[k]):
             assert abs(e - a) <= 0.02 * abs(e) + 1e-9, (k, e, a)
+
+
+def test_hll_estimates_close(spark):
+    """HLL(lgK=12) estimates must land within 2% of exact uniques,
+    including the merged (union) global estimate."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.tables import load_table
+    got = {r.o_orderpriority: r.est_uniques
+           for r in REGISTRY["agg_hll_mergeable"]
+           .builder(spark, SF_CORRECT).collect()}
+    o = load_table(spark, SF_CORRECT, "orders")
+    exact = {r.o_orderpriority: r.n for r in
+             o.groupBy("o_orderpriority")
+             .agg(F.countDistinct("o_custkey").alias("n")).collect()}
+    exact["ALL"] = o.select("o_custkey").distinct().count()
+    assert set(got) == set(exact)
+    for k in exact:
+        assert abs(got[k] - exact[k]) <= 0.02 * exact[k] + 2, (
+            k, got[k], exact[k])
