@@ -439,3 +439,138 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 10)
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "docs_vocabulary_topk",
+    oracle="""
+    WITH toks AS (
+        SELECT UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '\\s+')) AS term
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+    )
+    SELECT term, COUNT(*) AS freq
+    FROM toks WHERE LENGTH(term) > 0
+    GROUP BY term
+    ORDER BY freq DESC, term
+    LIMIT 100
+    """,
+)
+def docs_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building (tokenizer-training precursor): global token
+    frequency top-k. One explode + one map-side-combined agg +
+    TakeOrderedAndProject — the canonical word-count whose plan shape
+    is exactly what a 100 TB vocab scan needs (the shuffle moves one
+    row per distinct term per partition, not per token)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return (
+        d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term").agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "term")
+        .limit(100)
+    )
+
+
+@query(
+    "text_repetition_score",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               [LOWER(t[i]) || ' ' || LOWER(t[i+1]) || ' ' || LOWER(t[i+2])
+                FOR i IN range(1, GREATEST(len(t) - 1, 1))] AS shingles
+        FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t
+              FROM documents WHERE LENGTH(TRIM(text)) > 0)
+        WHERE len(t) >= 3
+    )
+    SELECT doc_id,
+           len(shingles)                                 AS n_shingles,
+           len(list_distinct(shingles))                  AS n_distinct,
+           ROUND(1.0 - CAST(len(list_distinct(shingles)) AS DOUBLE)
+                 / len(shingles), 4)                     AS repetition,
+           CASE WHEN 1.0 - CAST(len(list_distinct(shingles)) AS DOUBLE)
+                     / len(shingles) > 0.5
+                THEN 'flag' ELSE 'keep' END              AS repetition_bucket
+    FROM sh
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher-style quality rule): the
+    duplicate fraction of 3-token shingles — looping/boilerplate text
+    scores high and gets flagged. Single projection pass (the shingle
+    arrays never leave their row), no shuffle, value-checked."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    all_sh = F.filter(
+        F.zip_with(
+            F.zip_with(F.transform(toks, lambda x: F.lower(x)),
+                       F.slice(F.transform(toks, lambda x: F.lower(x)), 2, F.size(toks)),
+                       lambda a, b: F.concat(a, F.lit(" "), b)),
+            F.slice(F.transform(toks, lambda x: F.lower(x)), 3, F.size(toks)),
+            lambda ab, c: F.concat(ab, F.lit(" "), c)),
+        lambda x: x.isNotNull())
+    rep = (F.lit(1.0)
+           - F.size(F.array_distinct(all_sh)).cast("double") / F.size(all_sh))
+    return (
+        d.filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.size(all_sh).alias("n_shingles"),
+            F.size(F.array_distinct(all_sh)).alias("n_distinct"),
+            F.round(rep, 4).alias("repetition"),
+            F.when(rep > 0.5, "flag").otherwise("keep").alias("repetition_bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "docs_decontamination",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id, source,
+               list_distinct([LOWER(t[i]) || ' ' || LOWER(t[i+1]) || ' ' ||
+                              LOWER(t[i+2]) || ' ' || LOWER(t[i+3]) || ' ' ||
+                              LOWER(t[i+4])
+                              FOR i IN range(1, GREATEST(len(t) - 3, 1))]) AS shingles
+        FROM (SELECT doc_id, source, regexp_split_to_array(TRIM(text), '\\s+') AS t
+              FROM documents WHERE LENGTH(TRIM(text)) > 0)
+        WHERE len(t) >= 5
+    )
+    SELECT tr.doc_id       AS train_doc_id,
+           bm.doc_id       AS benchmark_doc_id,
+           len(list_intersect(tr.shingles, bm.shingles)) AS n_shared_5grams
+    FROM sh tr JOIN sh bm
+      ON tr.source <> 'src0' AND bm.source = 'src0'
+     AND len(list_intersect(tr.shingles, bm.shingles)) >= 2
+    ORDER BY train_doc_id, benchmark_doc_id
+    """,
+)
+def docs_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >= 2
+    distinct 5-gram shingles with any benchmark doc (source 'src0'
+    stands in for the held-out benchmark). The Spark plan is the
+    sub-quadratic form — explode shingles, EQUI-join train to
+    benchmark on the shingle hash (shuffle by shingle, the benchmark
+    side is tiny and broadcast), count shared shingles per pair. The
+    DuckDB oracle states the naive all-pairs intersect form, so the
+    equi-join rewrite is value-checked against the quadratic
+    definition."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    sh = (
+        d.filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 5)
+        .select("doc_id", "source",
+                F.explode(F.array_distinct(shingles(F.col("text"), 5))).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+    )
+    train = (sh.filter(F.col("source") != "src0")
+             .select(F.col("doc_id").alias("train_doc_id"), "shingle"))
+    bench = (sh.filter(F.col("source") == "src0")
+             .select(F.col("doc_id").alias("benchmark_doc_id"), "shingle"))
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("train_doc_id", "benchmark_doc_id")
+        .agg(F.count("*").alias("n_shared_5grams"))
+        .filter(F.col("n_shared_5grams") >= 2)
+        .orderBy("train_doc_id", "benchmark_doc_id")
+    )
