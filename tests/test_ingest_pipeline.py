@@ -218,3 +218,24 @@ def test_orc_roundtrip_preserves_schema_and_values(spark, tmp_path):
     back = spark.read.format("orc").load(dest)
     assert back.schema == src.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Lake reality: later ingest batches grow columns. mergeSchema
+    unifies old+new footers; absent columns read as NULL, and explicit
+    column selection keeps pruning intact."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a")], "id long, title string").write.parquet(p + "/batch=1")
+    spark.createDataFrame(
+        [(2, "b", "en")], "id long, title string, lang string"
+    ).write.parquet(p + "/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "title", "lang", "batch"}
+    rows = {r.id: (r.title, r.lang) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", "en")}
+    # old-schema rows are filterable on the new column (NULL semantics)
+    assert merged.filter(F.col("lang").isNull()).count() == 1

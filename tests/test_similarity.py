@@ -64,3 +64,38 @@ def test_lsh_no_false_positives_after_verify(spark):
         true_j = len(a & b) / len(a | b)
         assert abs(true_j - p.jaccard) < 1e-3
         assert p.jaccard >= 0.3
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
+    """The persisted IVF index: search results must match the
+    in-memory IVF path (same quantizer seed), and the probe scan must
+    read only the probed cell directories (partition pruning visible
+    in the scan's partition filters)."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        build_ivf_index, ivf_search_index, ivf_topk)
+    from hackmd_data_pipeline_spark.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+
+    idx = str(tmp_path / "ivf_index")
+    build_ivf_index(emb, idx, nlist=16, seed=42)
+    got = ivf_search_index(spark, idx, queries, k=10, nprobe=4)
+    want = ivf_topk(emb, queries, k=10, nlist=16, nprobe=4, seed=42)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # partition pruning: the data scan must carry a partition filter
+    # on cell (cell IN (...)), i.e. only nprobe directories are read
+    probe_cells = {int(r.cell) for r in
+                   spark.read.parquet(idx + "/data").select("cell")
+                   .distinct().collect()}
+    assert len(probe_cells) > 4, "index degenerate: too few cells to prune"
+    import re
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*cell[^\]]*)\]", plan)
+    assert m, f"no partition filter on cell in scan:\n{plan}"
