@@ -56,3 +56,40 @@ def deterministic_split(df: DataFrame, key_col: str,
     """
     return df.withColumn(split_col_name,
                          split_column(F.col(key_col), fractions, seed))
+
+
+def stratified_downsample(df: DataFrame, class_col: str, key_col: str,
+                          max_class_fraction: float,
+                          seed: int = 0) -> DataFrame:
+    """Deterministically cap any class's share of the corpus at
+    ``max_class_fraction`` (data-mix rebalancing: stop one dominant
+    language/source from swamping a training mix).
+
+    Per-class keep-fractions are derived from class counts (one tiny
+    agg collect — #classes rows, the only driver data); rows are then
+    kept by the same hash-bucket rule as deterministic_split, so the
+    SAMPLE IS STABLE: the same row survives across runs and
+    partitionings, and when new data shifts a class's keep-fraction,
+    only keys at the moving bucket threshold change state — never an
+    arbitrary reshuffle of the whole sample.
+    """
+    if not 0.0 < max_class_fraction <= 1.0:
+        raise ValueError(f"max_class_fraction must be in (0, 1], got "
+                         f"{max_class_fraction}")
+    counts = {r[0]: r[1] for r in
+              df.groupBy(class_col).agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    cap = max_class_fraction * total
+    keep_frac = {cls: min(1.0, cap / n) for cls, n in counts.items()}
+
+    spark = df.sparkSession
+    frac_df = F.broadcast(spark.createDataFrame(
+        [(cls, f) for cls, f in keep_frac.items()],
+        f"{class_col} string, _keep_frac double"))
+    bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)),
+                    F.lit(GRANULARITY))
+    return (
+        df.join(frac_df, class_col)
+        .filter(bucket < (F.col("_keep_frac") * GRANULARITY).cast("long"))
+        .drop("_keep_frac")
+    )

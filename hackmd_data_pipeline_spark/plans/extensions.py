@@ -607,3 +607,23 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_id", "purchase_id")
     )
+
+
+@query("docs_rebalance_langs", oracle=None)
+def docs_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix rebalancing (operators/sampling.py::
+    stratified_downsample): cap any language at 30% of the corpus by
+    deterministic hash downsampling; reports per-lang before/after.
+    Hash-based -> rows-only; cap + determinism-under-repartition are
+    unit-tested."""
+    from ..operators.sampling import stratified_downsample
+    d = load_table(spark, sf_dir, "documents")
+    kept = stratified_downsample(d, "lang", "doc_id", 0.30)
+    before = d.groupBy("lang").agg(F.count("*").alias("n_before"))
+    after = kept.groupBy("lang").agg(F.count("*").alias("n_after"))
+    return (
+        before.join(after, "lang", "left")
+        .select("lang", "n_before",
+                F.coalesce("n_after", F.lit(0)).alias("n_after"))
+        .orderBy("lang")
+    )

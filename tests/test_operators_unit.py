@@ -194,3 +194,22 @@ def test_pack_sequences_parallel_partitions_unique_ids(spark):
     per_seq = packed.groupBy("seq_id").agg(
         F.sum("n_tokens").alias("t"), F.max("overflow").alias("o"))
     assert per_seq.filter((F.col("t") > 1024) & (~F.col("o"))).count() == 0
+
+
+def test_stratified_downsample_caps_and_determinism(spark):
+    from hackmd_data_pipeline_spark.operators.sampling import (
+        stratified_downsample)
+    # skewed classes: 'big' is 80% of rows, cap at 30%
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, "big").otherwise("small").alias("lang"))
+    out = stratified_downsample(df, "lang", "doc_id", 0.30)
+    counts = {r.lang: r.n for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # 'small' untouched (2000 rows), 'big' capped near 3000 (30% of 10k)
+    assert counts["small"] == 2000
+    assert abs(counts["big"] - 3000) < 150
+    # deterministic: same survivors on re-run and under repartition
+    again = stratified_downsample(df.repartition(13), "lang", "doc_id", 0.30)
+    assert sorted(r.doc_id for r in out.collect()) == \
+        sorted(r.doc_id for r in again.collect())
