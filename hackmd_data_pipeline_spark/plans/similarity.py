@@ -12,8 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_lsh_pairs, simhash_pairs
-from ..operators.similarity import (
-    brute_force_topk, cosine, dot_product_raw, ivf_topk, l2_norm_raw)
+from ..operators.similarity import brute_force_topk, ivf_topk
 from ..operators.textstats import lang_id_confusion
 from ..tables import load_table
 from .registry import query

@@ -213,3 +213,26 @@ def test_stratified_downsample_caps_and_determinism(spark):
     again = stratified_downsample(df.repartition(13), "lang", "doc_id", 0.30)
     assert sorted(r.doc_id for r in out.collect()) == \
         sorted(r.doc_id for r in again.collect())
+
+
+def test_operator_argument_validation(spark):
+    import pytest as _pt
+
+    from hackmd_data_pipeline_spark.operators.packing import pack_sequences
+    from hackmd_data_pipeline_spark.operators.rangejoin import interval_join
+    from hackmd_data_pipeline_spark.operators.rollup import time_rollup
+    from hackmd_data_pipeline_spark.operators.sampling import (
+        deterministic_split, stratified_downsample)
+
+    df = spark.createDataFrame([(1, 1)], "doc_id long, n_tokens long")
+    with _pt.raises(ValueError, match="max_tokens"):
+        pack_sequences(df, max_tokens=0)
+    with _pt.raises(ValueError, match="delta_seconds"):
+        interval_join(df, df, on=["doc_id"], left_ts="a", right_ts="b",
+                      delta_seconds=0)
+    with _pt.raises(ValueError, match="grain"):
+        time_rollup(df, grain="fortnight")
+    with _pt.raises(ValueError, match="fractions"):
+        deterministic_split(df, "doc_id", {"a": 0.9, "b": 0.3})
+    with _pt.raises(ValueError, match="max_class_fraction"):
+        stratified_downsample(df, "doc_id", "doc_id", 0.0)
