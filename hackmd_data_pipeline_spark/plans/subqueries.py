@@ -336,3 +336,75 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.hll_sketch_estimate("merged").alias("est_uniques"),
                           F.lit(None).cast("long").alias("n_rows")))
     return per_group_est.unionByName(global_est).orderBy("o_orderpriority")
+
+
+@query(
+    "agg_pivot_priority_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS urgent,
+           COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 END), 0) AS high,
+           COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0) AS medium,
+           COALESCE(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END), 0) AS notspec,
+           COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 END), 0) AS low
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def agg_pivot_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide): order counts per (segment x priority) as a
+    wide matrix. The values list is pinned explicitly — with it, pivot
+    is ONE pass (conditional aggregation, exactly the oracle's CASE
+    form); without it Spark needs an extra distinct-scan job to
+    discover the columns. Long->wide never shuffles more than the
+    underlying groupBy."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority",
+               ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+        .count()
+    )
+    renames = {"1-URGENT": "urgent", "2-HIGH": "high", "3-MEDIUM": "medium",
+               "4-NOT SPECIFIED": "notspec", "5-LOW": "low"}
+    out = pivoted
+    for old, new in renames.items():
+        out = out.withColumnRenamed(old, new)
+    return out.select(
+        "c_mktsegment",
+        *[F.coalesce(F.col(n), F.lit(0)).alias(n) for n in renames.values()],
+    ).orderBy("c_mktsegment")
+
+
+@query(
+    "agg_unpivot_priority_matrix",
+    oracle="""
+    WITH wide AS (
+        SELECT c_mktsegment,
+               COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS urgent,
+               COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 END), 0) AS low
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, 'urgent' AS priority, urgent AS n FROM wide
+    UNION ALL
+    SELECT c_mktsegment, 'low'    AS priority, low    AS n FROM wide
+    ORDER BY c_mktsegment, priority
+    """,
+)
+def agg_unpivot_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide->long) via stack(): the inverse reshape, a pure
+    projection (each input row fans out to k output rows in place —
+    no shuffle beyond the upstream pivot's)."""
+    wide = agg_pivot_priority_by_segment(spark, sf_dir)
+    return (
+        wide.select(
+            "c_mktsegment",
+            F.expr("stack(2, 'urgent', urgent, 'low', low) AS (priority, n)"),
+        )
+        .select("c_mktsegment", "priority", F.col("n").cast("long").alias("n"))
+        .orderBy("c_mktsegment", "priority")
+    )
