@@ -356,7 +356,9 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a",
                         F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # LAZY checkpoint: the convergence agg below is the action that
+        # materializes it — one job per round instead of two
+        new_labels = new_labels.localCheckpoint(eager=False)
         labels = new_labels
         cur_sum = label_sum(labels)
         if prev_sum is not None and cur_sum == prev_sum:
