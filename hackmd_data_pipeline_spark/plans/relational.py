@@ -785,3 +785,119 @@ def join_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_price"), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "join_q7_nation_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           ROUND(SUM(volume), 2) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               EXTRACT(YEAR FROM l_shipdate)::BIGINT AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                             AND TIMESTAMP '1996-12-31 23:59:59'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def join_q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped bilateral trade volume: revenue between two
+    nations by year and direction. Five-way join where every
+    dimension (supplier, customer, nation x2) broadcasts — lineitem
+    and orders are the only shuffled sides, and the nation-pair filter
+    prunes both probe streams before the fact-fact join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nkey"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nkey"),
+                  F.col("n_name").alias("cust_nation"))
+    pair = ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")) | \
+           ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    sup = (s.join(F.broadcast(n1), s.s_nationkey == F.col("s_nkey"))
+           .select("s_suppkey", "supp_nation"))
+    cus = (c.join(F.broadcast(n2), c.c_nationkey == F.col("c_nkey"))
+           .select("c_custkey", "cust_nation"))
+    shipping = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") <= F.lit("1996-12-31 23:59:59").cast("timestamp_ntz")))
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cus), o.o_custkey == cus.c_custkey)
+        .filter(pair)
+        .select(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+    )
+    return (
+        shipping.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "join_q8_market_share",
+    oracle="""
+    SELECT o_year,
+           ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / SUM(volume), 4) AS mkt_share
+    FROM (
+        SELECT EXTRACT(YEAR FROM o_orderdate)::BIGINT AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n1.n_name AS nation
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        WHERE p_type = 'PROMO'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped market share: one nation's fraction of PROMO
+    part revenue per year — conditional aggregation over a star join
+    (part/supplier/nation broadcast; the selective p_type filter
+    reaches the part scan and shrinks the fact stream first)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    sup_nation = (s.join(F.broadcast(
+        n.select(F.col("n_nationkey").alias("_nk"), F.col("n_name").alias("nation"))),
+        s.s_nationkey == F.col("_nk")).select("s_suppkey", "nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    all_nations = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sup_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.year("o_orderdate").cast("long").alias("o_year"),
+                vol.alias("volume"), "nation")
+    )
+    share = (F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume"))
+                   .otherwise(F.lit(0.0)))
+             / F.sum("volume"))
+    return (
+        all_nations.groupBy("o_year")
+        .agg(F.round(share, 4).alias("mkt_share"))
+        .orderBy("o_year")
+    )
