@@ -408,3 +408,31 @@ def agg_unpivot_priority_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_mktsegment", "priority", F.col("n").cast("long").alias("n"))
         .orderBy("c_mktsegment", "priority")
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority,
+           COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+    ORDER BY c_mktsegment NULLS LAST, o_orderpriority NULLS LAST
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (completes the cube/rollup family):
+    per-segment totals, per-priority totals, and the grand total in
+    ONE pass — Spark expands the sets into a single Expand + aggregate
+    (one shuffle), not three scans."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey)
+    j.createOrReplaceTempView("_gs_input")
+    return spark.sql("""
+        SELECT c_mktsegment, o_orderpriority,
+               COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        FROM _gs_input
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        ORDER BY c_mktsegment NULLS LAST, o_orderpriority NULLS LAST
+    """)
