@@ -55,3 +55,26 @@ def lang_id_confusion(df: DataFrame, text_col: str = "text",
         .agg(F.count("*").alias("n"))
         .orderBy("true_lang", "predicted_lang")
     )
+
+
+def normalize_nfc(df: DataFrame, text_col: str = "text",
+                  out_col: str = "text_nfc") -> DataFrame:
+    """Unicode NFC normalization (combining marks composed, ligature
+    codepoints preserved — NFC, not NFKC) as one Arrow-batched
+    mapInPandas pass. Spark has no built-in unicode normalizer, and a
+    row-at-a-time UDF would pay per-row serde; pandas' .str.normalize
+    runs the ICU-equivalent path per batch. Canonical-form text is a
+    precondition for every hash-based dedup family: byte-different
+    but canonically-equal strings must fingerprint identically.
+    """
+    from pyspark.sql import types as T
+
+    def norm(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[text_col].astype("string").str.normalize("NFC")
+            yield pdf
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.StringType())])
+    return df.mapInPandas(norm, out_schema)

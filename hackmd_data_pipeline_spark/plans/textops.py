@@ -574,3 +574,43 @@ def docs_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_shared_5grams") >= 2)
         .orderBy("train_doc_id", "benchmark_doc_id")
     )
+
+
+@query(
+    "text_normalize_nfc",
+    oracle="""
+    WITH accented AS (
+        SELECT doc_id,
+               SUBSTR(text, 1, 20) || ' cafe' || chr(769)
+                    || ' ' || chr(64257) || 'ne A' || chr(778) AS raw
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+    )
+    SELECT doc_id,
+           LENGTH(raw)                 AS len_raw,
+           LENGTH(nfc_normalize(raw))  AS len_nfc,
+           nfc_normalize(raw)          AS text_nfc
+    FROM accented
+    ORDER BY doc_id
+    """,
+)
+def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (operators/textstats.py::
+    normalize_nfc, Arrow-batched — Spark has no builtin normalizer).
+    The fixture is ASCII, so a combining-mark suffix is derived
+    deterministically on both sides; the oracle is DuckDB's
+    nfc_normalize, checked byte-for-byte. Canonical form is the
+    precondition for hash dedup: 'e'+U+0301 and U+00E9 must
+    fingerprint identically."""
+    from ..operators.textstats import normalize_nfc
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    raw = F.concat(
+        F.substring("text", 1, 20), F.lit(" cafe\u0301 \ufb01ne A\u030a"))
+    with_raw = d.select("doc_id", raw.alias("raw"))
+    return (
+        normalize_nfc(with_raw, text_col="raw", out_col="text_nfc")
+        .select("doc_id",
+                F.length("raw").alias("len_raw"),
+                F.length("text_nfc").alias("len_nfc"),
+                "text_nfc")
+        .orderBy("doc_id")
+    )
