@@ -436,3 +436,46 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
         ORDER BY c_mktsegment NULLS LAST, o_orderpriority NULLS LAST
     """)
+
+
+@query(
+    "events_user_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               CAST(MIN(CAST(ts AS TIMESTAMP)) AS DATE) AS cohort_date
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_date,
+               DATE_DIFF('day', f.cohort_date,
+                         CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) AS day_offset
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_date, day_offset, COUNT(*) AS n_active_users
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_date, day_offset
+    ORDER BY cohort_date, day_offset
+    """,
+)
+def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen date; how many
+    are active N days later (first week). The classic product-analytics
+    query: first-touch agg (one shuffle on user), broadcast the
+    per-user cohort back onto the event stream, distinct + count per
+    (cohort, offset). NTZ date arithmetic throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = (ev.groupBy("user_id")
+              .agg(F.to_date(F.min("ts")).alias("cohort_date")))
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select("user_id", "cohort_date",
+                F.datediff(F.to_date("ts"), F.col("cohort_date")).alias("day_offset"))
+        .filter(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_date", "day_offset")
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_date", "day_offset")
+    )

@@ -614,3 +614,43 @@ def text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "text_nfc")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "fn_string_suite",
+    oracle="""
+    SELECT doc_id,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0')          AS padded_id,
+           split_part(source, 'c', 2)                     AS src_num,
+           strpos(lang, 'e')::BIGINT                      AS e_pos,
+           translate(lang || '.' || source, '.', '/')     AS slashed,
+           reverse(lang)                                  AS lang_rev,
+           repeat(lang, 2)                                AS lang2,
+           CASE WHEN LENGTH(text) >= 10
+                THEN SUBSTR(text, LENGTH(text) - 9, 10)
+                ELSE text END                             AS tail10
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar-function suite (O-14/O-16 family widened): pad,
+    split-part, position, translate, reverse, repeat, tail-substring.
+    All codegen'd; value-checked against DuckDB's identically-named
+    functions (both follow the 1-based SQL position convention)."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    return (
+        d.select(
+            "doc_id",
+            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded_id"),
+            F.split_part(F.col("source"), F.lit("c"), F.lit(2)).alias("src_num"),
+            F.instr("lang", "e").cast("long").alias("e_pos"),
+            F.translate(F.concat_ws(".", "lang", "source"), ".", "/").alias("slashed"),
+            F.reverse("lang").alias("lang_rev"),
+            F.repeat("lang", 2).alias("lang2"),
+            F.when(n >= 10, F.substring(F.col("text"), n - 9, 10))
+            .otherwise(F.col("text")).alias("tail10"),
+        )
+        .orderBy("doc_id")
+    )
