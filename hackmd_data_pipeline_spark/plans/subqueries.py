@@ -479,3 +479,83 @@ def events_user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active_users"))
         .orderBy("cohort_date", "day_offset")
     )
+
+
+@query(
+    "agg_mode_per_segment",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority AS mode_priority, n
+    FROM (
+        SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n,
+               ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY COUNT(*) DESC, o_orderpriority) AS rk
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_mktsegment, o_orderpriority
+    ) ranked
+    WHERE rk = 1
+    ORDER BY c_mktsegment
+    """,
+)
+def agg_mode_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode per group: most frequent priority per
+    segment, ties broken by value (F.mode's tie choice is
+    unspecified, so the engine pins count-then-value ordering — the
+    count agg shuffles once, the top-1 window rides the same
+    clustering)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    counts = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("n"), "o_orderpriority")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("c_mktsegment",
+                F.col("o_orderpriority").alias("mode_priority"), "n")
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH f AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view'     THEN CAST(ts AS TIMESTAMP) END) AS t_view,
+               MIN(CASE WHEN event_type = 'click'    THEN CAST(ts AS TIMESTAMP) END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*)                                                    AS n_users,
+           COALESCE(SUM(CASE WHEN t_view IS NOT NULL THEN 1 END), 0)   AS viewed,
+           COALESCE(SUM(CASE WHEN t_click > t_view THEN 1 END), 0)     AS clicked_after_view,
+           COALESCE(SUM(CASE WHEN t_purchase > t_click
+                              AND t_click > t_view THEN 1 END), 0)     AS full_funnel
+    FROM f
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: users progressing view -> click ->
+    purchase in strict first-occurrence order. ONE conditional-min agg
+    per user (single shuffle), then a global conditional count — no
+    joins, no window; NULL comparisons drop non-progressors exactly as
+    the SQL three-valued logic does."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(kind: str, alias: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts"))).alias(alias)
+
+    f = ev.groupBy("user_id").agg(
+        first_ts("view", "t_view"), first_ts("click", "t_click"),
+        first_ts("purchase", "t_purchase"))
+    one = F.lit(1)
+    return f.agg(
+        F.count("*").alias("n_users"),
+        F.coalesce(F.sum(F.when(F.col("t_view").isNotNull(), one)), F.lit(0)).alias("viewed"),
+        F.coalesce(F.sum(F.when(F.col("t_click") > F.col("t_view"), one)), F.lit(0)).alias("clicked_after_view"),
+        F.coalesce(F.sum(F.when((F.col("t_purchase") > F.col("t_click"))
+                                & (F.col("t_click") > F.col("t_view")), one)), F.lit(0)).alias("full_funnel"),
+    )
