@@ -559,3 +559,95 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when((F.col("t_purchase") > F.col("t_click"))
                                 & (F.col("t_click") > F.col("t_view")), one)), F.lit(0)).alias("full_funnel"),
     )
+
+
+@query(
+    "events_type_cooccurrence",
+    oracle="""
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ), totals AS (
+        SELECT event_type, COUNT(*) AS n_users FROM ut GROUP BY event_type
+    ), n AS (
+        SELECT COUNT(DISTINCT user_id) AS n_all FROM ut
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           COUNT(*) AS n_both,
+           ROUND((CAST(COUNT(*) AS DOUBLE) / n.n_all)
+                 / ((CAST(ta.n_users AS DOUBLE) / n.n_all)
+                    * (CAST(tb.n_users AS DOUBLE) / n.n_all)), 4) AS lift
+    FROM ut a
+    JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    JOIN totals ta ON ta.event_type = a.event_type
+    JOIN totals tb ON tb.event_type = b.event_type
+    CROSS JOIN n
+    GROUP BY type_a, type_b, ta.n_users, tb.n_users, n.n_all
+    ORDER BY type_a, type_b
+    """,
+)
+def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence with lift: which event types the
+    same users perform together, against independence. The self-join
+    is keyed on user_id (shuffle by user, bucket size = types per
+    user — bounded by the type vocabulary, never by corpus size);
+    totals and the user count broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    totals = ut.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    n_all = ut.select(F.countDistinct("user_id").alias("n_all"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+               & (F.col("a.event_type") < F.col("b.event_type")))
+        .groupBy(F.col("a.event_type").alias("type_a"),
+                 F.col("b.event_type").alias("type_b"))
+        .agg(F.count("*").alias("n_both"))
+    )
+    ta = totals.select(F.col("event_type").alias("type_a"),
+                       F.col("n_users").alias("_na"))
+    tb = totals.select(F.col("event_type").alias("type_b"),
+                       F.col("n_users").alias("_nb"))
+    lift = ((F.col("n_both").cast("double") / F.col("n_all"))
+            / ((F.col("_na").cast("double") / F.col("n_all"))
+               * (F.col("_nb").cast("double") / F.col("n_all"))))
+    return (
+        pairs.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(n_all))
+        .select("type_a", "type_b", "n_both", F.round(lift, 4).alias("lift"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "events_range_frame_7d",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id
+               ORDER BY EXTRACT(EPOCH FROM CAST(ts AS TIMESTAMP))
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW), 2)
+             AS sum_7d
+    FROM events
+    WHERE user_id < 20
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def events_range_frame_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user trailing-7-day value sum —
+    a RANGE (value-based) frame over epoch seconds, not a ROWS frame,
+    so gaps and bursts weigh correctly. Identical epoch arithmetic on
+    both engines; one shuffle + one sort per partition key."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    secs = F.timestamp_diff("SECOND", epoch, F.col("ts"))
+    w = (W.partitionBy("user_id").orderBy(secs.cast("long"))
+         .rangeBetween(-604800, 0))
+    return (
+        ev.select(
+            "event_id", "user_id", "ts",
+            F.round(F.sum("value").over(w), 2).alias("sum_7d"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
