@@ -154,6 +154,7 @@ _BNLJ_OK = {
     "text_keywords_tfidf",
     "sim_cosine_topk",
     "sim_ann_ivf",
+    "events_type_cooccurrence",  # 1-row user-count scalar cross join
 }
 
 
