@@ -651,3 +651,42 @@ def events_range_frame_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts", "event_id")
     )
+
+
+@query(
+    "agg_stats_suite",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(STDDEV_SAMP(o_totalprice), 2)              AS sd_price,
+           ROUND(VAR_SAMP(o_totalprice), 1)                 AS var_price,
+           ROUND(CORR(o_totalprice, o_custkey), 4)          AS corr_price_cust,
+           ROUND(COVAR_SAMP(o_totalprice, o_custkey), 1)    AS covar_price_cust,
+           ROUND(SKEWNESS(o_totalprice), 4)                 AS skew_price,
+           ROUND(KURTOSIS_POP(o_totalprice), 4)             AS kurt_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-moment aggregates per group: stddev/variance/
+    correlation/covariance/skewness/kurtosis — all built-in mergeable
+    (central-moment) aggregates, map-side combinable like sum/count.
+    Both engines use numerically-stable one-pass moment updates;
+    results rounded to the digits where they provably agree.
+    (Spark's kurtosis is the POPULATION excess kurtosis; DuckDB's
+    default is the bias-corrected sample estimator, so the oracle uses
+    kurtosis_pop for like-for-like.)"""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.stddev_samp("o_totalprice"), 2).alias("sd_price"),
+            F.round(F.var_samp("o_totalprice"), 1).alias("var_price"),
+            F.round(F.corr("o_totalprice", "o_custkey"), 4).alias("corr_price_cust"),
+            F.round(F.covar_samp("o_totalprice", "o_custkey"), 1).alias("covar_price_cust"),
+            F.round(F.skewness("o_totalprice"), 4).alias("skew_price"),
+            F.round(F.kurtosis("o_totalprice"), 4).alias("kurt_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
