@@ -690,3 +690,92 @@ def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               MAX(o_orderdate)            AS last_order,
+               COUNT(*)                    AS frequency,
+               SUM(o_totalprice)           AS monetary
+        FROM orders GROUP BY o_custkey
+    ), scored AS (
+        SELECT o_custkey,
+               NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
+               NTILE(4) OVER (ORDER BY frequency, o_custkey)  AS f_score,
+               NTILE(4) OVER (ORDER BY monetary, o_custkey)   AS m_score
+        FROM rfm
+    )
+    SELECT r_score, f_score, m_score, COUNT(*) AS n_customers
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency/frequency/monetary
+    quartiles (deterministic NTILE with key tiebreak), bucketed into
+    segments. One agg shuffle + three single-partition windows over
+    the AGGREGATED rows (customer-cardinality, not order-cardinality
+    — the global NTILE is acceptable precisely because it runs on the
+    reduced table; at extreme customer counts swap in
+    approx-percentile cut points)."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = (o.groupBy("o_custkey")
+           .agg(F.max("o_orderdate").alias("last_order"),
+                F.count("*").alias("frequency"),
+                F.sum("o_totalprice").alias("monetary")))
+
+    def score(col: str):
+        return F.ntile(4).over(W.orderBy(col, "o_custkey"))
+
+    scored = rfm.select(
+        "o_custkey",
+        score("last_order").alias("r_score"),
+        score("frequency").alias("f_score"),
+        score("monetary").alias("m_score"))
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@query(
+    "orders_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+        SELECT o_orderpriority,
+               EXTRACT(YEAR FROM o_orderdate)::BIGINT AS o_year,
+               SUM(o_totalprice) AS revenue
+        FROM orders GROUP BY o_orderpriority, o_year
+    )
+    SELECT o_orderpriority, o_year,
+           ROUND(revenue, 2) AS revenue,
+           ROUND(100.0 * (revenue - LAG(revenue) OVER w)
+                 / LAG(revenue) OVER w, 2) AS yoy_pct
+    FROM yearly
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_year)
+    ORDER BY o_orderpriority, o_year
+    """,
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per priority: yearly agg (one shuffle),
+    then lag over the aggregated rows — the windowing rides the agg's
+    clustering, first year's growth is NULL by construction."""
+    o = load_table(spark, sf_dir, "orders")
+    yearly = (o.groupBy("o_orderpriority",
+                        F.year("o_orderdate").cast("long").alias("o_year"))
+              .agg(F.sum("o_totalprice").alias("revenue")))
+    w = W.partitionBy("o_orderpriority").orderBy("o_year")
+    prev = F.lag("revenue").over(w)
+    return (
+        yearly.select(
+            "o_orderpriority", "o_year",
+            F.round("revenue", 2).alias("revenue"),
+            F.round(100.0 * (F.col("revenue") - prev) / prev, 2).alias("yoy_pct"),
+        )
+        .orderBy("o_orderpriority", "o_year")
+    )
