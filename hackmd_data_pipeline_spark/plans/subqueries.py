@@ -779,3 +779,29 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "o_year")
     )
+
+
+@query(
+    "events_value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(value / 25.0) AS BIGINT) * 25 AS bin_lo,
+           COUNT(*) AS n
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type, bin_lo
+    ORDER BY event_type, bin_lo
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram per event type: floor-binning is a pure
+    projection, so the histogram costs exactly one map-side-combined
+    agg — the distributed-histogram primitive (for data-dependent
+    bins, compose with approx_percentile cut points)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bin_lo = (F.floor(F.col("value") / 25.0).cast("long") * 25)
+    return (
+        ev.groupBy("event_type", bin_lo.alias("bin_lo"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "bin_lo")
+    )
