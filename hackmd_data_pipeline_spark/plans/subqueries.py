@@ -805,3 +805,89 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("event_type", "bin_lo")
     )
+
+
+@query(
+    "dq_profile_orders",
+    oracle="""
+    SELECT 'o_custkey' AS col, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey)     AS n_null,
+           COUNT(DISTINCT o_custkey)       AS n_distinct,
+           ROUND(MIN(o_custkey), 2)        AS min_val,
+           ROUND(MAX(o_custkey), 2)        AS max_val
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+           COUNT(DISTINCT o_totalprice),
+           ROUND(MIN(o_totalprice), 2), ROUND(MAX(o_totalprice), 2)
+    FROM orders
+    ORDER BY col
+    """,
+)
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profiling: null count, distinct count,
+    min/max per column — the pre-ingest audit every pipeline runs.
+    All columns profile in ONE scan (a single agg computes every
+    column's stats; the per-column rows are unpivoted from that one
+    result row), vs the oracle's one-scan-per-column UNION form."""
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.agg(
+        F.count("*").alias("_n"),
+        *[f for c in ("o_custkey", "o_totalprice") for f in (
+            F.count(c).alias(f"_nn_{c}"),
+            F.countDistinct(c).alias(f"_nd_{c}"),
+            F.round(F.min(c), 2).alias(f"_mn_{c}"),
+            F.round(F.max(c), 2).alias(f"_mx_{c}"),
+        )]
+    )
+    rows = []
+    for c in ("o_custkey", "o_totalprice"):
+        rows.append(agg.select(
+            F.lit(c).alias("col"), F.col("_n").alias("n_rows"),
+            (F.col("_n") - F.col(f"_nn_{c}")).alias("n_null"),
+            F.col(f"_nd_{c}").alias("n_distinct"),
+            F.col(f"_mn_{c}").cast("double").alias("min_val"),
+            F.col(f"_mx_{c}").cast("double").alias("max_val")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("col")
+
+
+@query(
+    "dq_violations_orders",
+    oracle="""
+    SELECT 'orphan_custkey' AS violation, COUNT(*) AS n
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'dup_orderkey', COUNT(*) FROM (
+        SELECT o_orderkey FROM orders
+        GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'nonpositive_price', COUNT(*) FROM orders
+    WHERE o_totalprice <= 0
+    ORDER BY violation
+    """,
+)
+def dq_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint-violation audit: FK orphans (anti join), duplicate
+    primary keys (agg + HAVING), domain-range breaches — the checks
+    the reference delegates to Postgres constraints
+    (create_table.sql FK/PK clauses), re-expressed as declarative
+    audits that SCALE (each check is one keyed shuffle or pure scan,
+    results are counts not row dumps)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    orphans = (o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+               .agg(F.count("*").alias("n"))
+               .select(F.lit("orphan_custkey").alias("violation"), "n"))
+    dups = (o.groupBy("o_orderkey").agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") > 1)
+            .agg(F.count("*").alias("n"))
+            .select(F.lit("dup_orderkey").alias("violation"), "n"))
+    negs = (o.filter(F.col("o_totalprice") <= 0)
+            .agg(F.count("*").alias("n"))
+            .select(F.lit("nonpositive_price").alias("violation"), "n"))
+    return orphans.unionByName(dups).unionByName(negs).orderBy("violation")
