@@ -891,3 +891,128 @@ def dq_violations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n"))
             .select(F.lit("nonpositive_price").alias("violation"), "n"))
     return orphans.unionByName(dups).unionByName(negs).orderBy("violation")
+
+
+@query(
+    "orders_priority_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderpriority AS cur,
+               LAG(o_orderpriority) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS prev
+        FROM orders
+    )
+    SELECT prev, cur, COUNT(*) AS n
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev, cur
+    ORDER BY prev, cur
+    """,
+)
+def orders_priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix of order priorities per customer
+    (lag over the per-customer timeline, then count pairs) — the
+    Markov-chain counting primitive; one shuffle for the window, one
+    for the pair agg."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.col("o_orderpriority").alias("cur"),
+        F.lag("o_orderpriority").over(w).alias("prev"))
+    return (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur").agg(F.count("*").alias("n"))
+        .orderBy("prev", "cur")
+    )
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+        FROM events
+    ), days AS (
+        SELECT DISTINCT d FROM activity
+    ), wau AS (
+        SELECT days.d, COUNT(DISTINCT a.user_id) AS wau
+        FROM days JOIN activity a
+          ON a.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+        GROUP BY days.d
+    ), dau AS (
+        SELECT d, COUNT(*) AS dau FROM activity GROUP BY d
+    )
+    SELECT dau.d AS day, dau.dau, wau.wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 4) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    ORDER BY day
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU engagement ("stickiness"): daily actives over trailing-
+    7-day actives. The WAU side avoids a range join entirely: each
+    active (user, day) EXPLODES into the 7 window-days it contributes
+    to, then one distinct-count per window-day — shuffle by day,
+    linear in activity, the same explode-to-buckets posture as the
+    sliding-window query. The oracle states the naive range-join
+    definition."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = activity.select("d").distinct()
+    dau = activity.groupBy("d").agg(F.count("*").alias("dau"))
+    contrib = (
+        activity.select(
+            "user_id",
+            F.explode(F.sequence(F.col("d"), F.date_add(F.col("d"), 6)))
+            .alias("window_day"))
+    )
+    wau = (contrib.join(F.broadcast(days), contrib.window_day == days.d)
+           .groupBy("window_day")
+           .agg(F.countDistinct("user_id").alias("wau")))
+    return (
+        dau.join(wau, dau.d == wau.window_day)
+        .select(dau.d.alias("day"), "dau", "wau",
+                F.round(F.col("dau").cast("double") / F.col("wau"), 4)
+                .alias("stickiness"))
+        .orderBy("day")
+    )
+
+
+@query(
+    "docs_zipf_rank_frequency",
+    oracle="""
+    WITH freq AS (
+        SELECT term, COUNT(*) AS f
+        FROM (SELECT UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '\\s+')) AS term
+              FROM documents WHERE LENGTH(TRIM(text)) > 0)
+        WHERE LENGTH(term) > 0
+        GROUP BY term
+    )
+    SELECT ROW_NUMBER() OVER (ORDER BY f DESC, term) AS rank, term, f,
+           ROUND(f * ROW_NUMBER() OVER (ORDER BY f DESC, term), 1) AS rank_x_freq
+    FROM freq
+    ORDER BY rank
+    LIMIT 30
+    """,
+)
+def docs_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency table: vocabulary ranked by frequency with
+    the rank x freq product (roughly constant under Zipf's law — the
+    corpus-sanity diagnostic run before tokenizer training). The rank
+    window runs over the AGGREGATED vocabulary (vocab-cardinality,
+    not token-cardinality)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    freq = (
+        d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"))
+        .filter(F.length("term") > 0)
+        .groupBy("term").agg(F.count("*").alias("f"))
+    )
+    w = W.orderBy(F.desc("f"), "term")
+    return (
+        freq.select(F.row_number().over(w).alias("rank"), "term", "f")
+        .withColumn("rank_x_freq",
+                    F.round((F.col("f") * F.col("rank")).cast("double"), 1))
+        .orderBy("rank")
+        .limit(30)
+    )
