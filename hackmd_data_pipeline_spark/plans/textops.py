@@ -654,3 +654,60 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "docs_curation_funnel",
+    oracle="""
+    WITH nonempty AS (
+        SELECT * FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ), quality AS (
+        SELECT * FROM nonempty
+        WHERE len(regexp_split_to_array(TRIM(text), '\\s+')) >= 20
+          AND CAST(len(regexp_extract_all(text,
+                '\\b(the|a|of|and|to|in|is)\\b')) AS DOUBLE)
+              / len(regexp_split_to_array(TRIM(text), '\\s+')) > 0.05
+    ), deduped AS (
+        SELECT md5(LOWER(TRIM(text))) AS fp, MIN(doc_id) AS keeper
+        FROM quality GROUP BY fp
+    )
+    SELECT 'raw' AS stage, (SELECT COUNT(*) FROM documents) AS n_docs, 0 AS stage_order
+    UNION ALL SELECT 'nonempty', (SELECT COUNT(*) FROM nonempty), 1
+    UNION ALL SELECT 'quality_keep', (SELECT COUNT(*) FROM quality), 2
+    UNION ALL SELECT 'exact_dedup', (SELECT COUNT(*) FROM deduped), 3
+    ORDER BY stage_order
+    """,
+)
+def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone curation funnel: the corpus-cleaning pipeline's stage
+    counts in one query — raw -> non-empty -> quality keep (length +
+    stopword-ratio rules, same thresholds as text_quality_score) ->
+    exact-dedup survivors. Each stage is a filter/agg over the
+    previous one, so lineage is a single DAG: Spark computes all four
+    counts from ONE scan lineage (the intermediate frames share the
+    parquet scan), where the oracle re-states each stage as a
+    subquery. This is the report a training-data pipeline publishes
+    per ingest batch."""
+    d = load_table(spark, sf_dir, "documents")
+    nonempty = d.filter(F.length(F.trim("text")) > 0)
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_stop = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit("\\b(the|a|of|and|to|in|is)\\b"), F.lit(0)))
+    quality = nonempty.filter(
+        (n_tok >= 20) & (n_stop.cast("double") / n_tok > 0.05))
+    deduped = quality.groupBy(
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp")).agg(
+        F.min("doc_id").alias("keeper"))
+
+    def stage(name: str, df: DataFrame, order: int) -> DataFrame:
+        return df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs",
+            F.lit(order).cast("int").alias("stage_order"))
+
+    return (
+        stage("raw", d, 0)
+        .unionByName(stage("nonempty", nonempty, 1))
+        .unionByName(stage("quality_keep", quality, 2))
+        .unionByName(stage("exact_dedup", deduped, 3))
+        .orderBy("stage_order")
+    )
