@@ -1016,3 +1016,89 @@ def docs_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .limit(30)
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+        SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sd
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           ROUND(e.value, 2) AS value,
+           ROUND((e.value - s.mu) / s.sd, 4) AS zscore
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE ABS((e.value - s.mu) / s.sd) > 3
+    ORDER BY e.event_id
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection per event type: two-pass — per-type
+    moments (one agg, a handful of rows), broadcast back onto the
+    stream, filter |z| > 3. The fact side never shuffles; this is the
+    monitoring query a pipeline runs over every metric column."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd"))
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 3)
+        .select("event_id", "event_type",
+                F.round("value", 2).alias("value"),
+                F.round(z, 4).alias("zscore"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "orders_pareto_customers",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey, SUM(o_totalprice) AS revenue
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT o_custkey, revenue,
+               SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum_rev,
+               SUM(revenue) OVER () AS total_rev,
+               ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey) AS rk
+        FROM per_cust
+    )
+    SELECT COUNT(*)                                        AS n_top_customers,
+           (SELECT COUNT(*) FROM per_cust)                 AS n_customers,
+           ROUND(MIN(cum_rev / total_rev), 4)              AS first_share,
+           ROUND(MAX(cum_rev / total_rev), 4)              AS reached_share
+    FROM ranked
+    WHERE cum_rev - revenue < 0.8 * total_rev
+    """,
+)
+def orders_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: the minimal top-revenue customer set
+    covering 80% of revenue (cum-share window over the aggregated
+    per-customer table — customer-cardinality, not order-cardinality).
+    The predicate keeps exactly the customers whose PRE-inclusion
+    cumulative share is below the threshold, i.e. the canonical
+    'crossing' set."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    w = W.orderBy(F.desc("revenue"), "o_custkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow)
+    ranked = per_cust.select(
+        "o_custkey", "revenue",
+        F.sum("revenue").over(w).alias("cum_rev"),
+        F.sum("revenue").over(
+            W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("total_rev"))
+    n_customers = per_cust.agg(F.count("*").alias("n")).select("n")
+    top = ranked.filter(
+        F.col("cum_rev") - F.col("revenue") < 0.8 * F.col("total_rev"))
+    return (
+        top.agg(
+            F.count("*").alias("n_top_customers"),
+            F.round(F.min(F.col("cum_rev") / F.col("total_rev")), 4).alias("first_share"),
+            F.round(F.max(F.col("cum_rev") / F.col("total_rev")), 4).alias("reached_share"))
+        .crossJoin(F.broadcast(n_customers.withColumnRenamed("n", "n_customers")))
+        .select("n_top_customers", "n_customers", "first_share", "reached_share")
+    )
