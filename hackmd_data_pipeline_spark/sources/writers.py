@@ -36,16 +36,26 @@ def write_partitioned_parquet(df: DataFrame, path: str,
                               partition_cols: tuple[str, ...] = ("primary_category",),
                               sort_col: str | None = "published_date",
                               max_records_per_file: int = 1_000_000,
-                              mode: str = "append") -> None:
+                              mode: str = "append",
+                              extra_options: dict | None = None) -> None:
     """Canonical-zone sink: Parquet+zstd, partition-pruned by category,
-    row-group-skippable by date (the index substitute, SURVEY.md §1.4)."""
+    row-group-skippable by date (the index substitute, SURVEY.md §1.4).
+    ``extra_options`` passes writer options through (e.g. a smaller
+    ``parquet.block.size`` — row-group granularity is the skipping
+    granularity, tested in tests/test_ingest_pipeline.py)."""
     out = df
     if sort_col is not None:
-        out = out.sortWithinPartitions(sort_col)
-    (
-        out.write.mode(mode)
-        .option("compression", "zstd")
-        .option("maxRecordsPerFile", max_records_per_file)
-        .partitionBy(*partition_cols)
-        .parquet(path)
-    )
+        # sort by (partition cols, sort col): a partitionBy write that
+        # receives data NOT ordered by its partition expressions
+        # re-sorts each task on those expressions alone — which would
+        # silently destroy a bare sortWithinPartitions(sort_col) order.
+        # Leading with the partition cols satisfies the writer's
+        # required ordering, so the date order survives into the row
+        # groups (asserted on parquet stats in tests)
+        out = out.sortWithinPartitions(*partition_cols, sort_col)
+    w = (out.write.mode(mode)
+         .option("compression", "zstd")
+         .option("maxRecordsPerFile", max_records_per_file))
+    for k, v in (extra_options or {}).items():
+        w = w.option(k, v)
+    w.partitionBy(*partition_cols).parquet(path)

@@ -239,3 +239,48 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert rows == {1: ("a", None), 2: ("b", "en")}
     # old-schema rows are filterable on the new column (NULL semantics)
     assert merged.filter(F.col("lang").isNull()).count() == 1
+
+
+def test_canonical_writer_rowgroup_stats_are_skippable(spark, tmp_path):
+    """The §1.4 index substitute made measurable: sortWithinPartitions
+    on the date column must yield parquet row groups whose min/max
+    spans are narrow and monotonically ordered — the property min/max
+    skipping needs. Written with a small block size to force several
+    row groups per file, then inspected via pyarrow metadata."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hackmd_data_pipeline_spark.sources.writers import (
+        write_partitioned_parquet)
+    from hackmd_data_pipeline_spark.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    o = (load_table(spark, SF_CORRECT, "orders")
+         .withColumnRenamed("o_orderpriority", "primary_category")
+         .withColumnRenamed("o_orderdate", "published_date")
+         .coalesce(1))
+    dest = str(tmp_path / "canonical")
+    write_partitioned_parquet(
+        o, dest, mode="overwrite",
+        extra_options={"parquet.block.size": 64 * 1024})
+
+    files = glob.glob(dest + "/primary_category=*/*.parquet")
+    assert files, "no partitioned files written"
+    multi = 0
+    for f in files:
+        meta = pq.ParquetFile(f).metadata
+        schema_names = meta.schema.to_arrow_schema().names
+        col_idx = schema_names.index("published_date")
+        spans = []
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(col_idx).statistics
+            spans.append((st.min, st.max))
+        if len(spans) > 1:
+            multi += 1
+            # sorted write => row groups ordered and pairwise
+            # non-overlapping (max of group i <= min of group i+1)
+            for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+                assert hi1 <= lo2, f"overlapping row groups in {f}: {spans}"
+    assert multi > 0, "block size did not force multiple row groups"
