@@ -61,6 +61,11 @@ def test_colocated_join_no_shuffle(spark, bucketed):
         plan = _plan(joined)
         assert "SortMergeJoin" in plan
         assert not N_SHUFFLE.search(plan), f"bucketed join shuffled:\n{plan}"
+        # sortBy at write time means the merge join needs NO sort
+        # either: the stored per-bucket order is trusted (one file per
+        # bucket), eliding both Sort operators too
+        assert not re.search(r"\(\d+\) Sort\b", plan), (
+            f"bucketed join re-sorted despite sortBy:\n{plan}")
         assert joined.count() == 60000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
