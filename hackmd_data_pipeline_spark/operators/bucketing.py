@@ -32,6 +32,12 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     are the unit of join parallelism, so pick ~(cluster cores x 2-4)
     for fact tables; both sides of a co-located join MUST agree on
     (bucket_cols, num_buckets).
+
+    ``sort_cols`` caveat: the reader only TRUSTS the stored per-bucket
+    sort (eliding the merge-join Sort) when each bucket holds exactly
+    ONE file — i.e. one writing task, or a compaction pass after
+    multi-task writes. Multi-file buckets still join shuffle-free but
+    re-sort defensively.
     """
     w = df.write.format("parquet").mode(mode)
     if path is not None:

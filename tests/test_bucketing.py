@@ -35,11 +35,14 @@ N_SHUFFLE = re.compile(r"\bExchange (hash|range)partitioning")
 @pytest.fixture(scope="module")
 def bucketed(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("bucketed")
-    # common key name on both sides so the join is a plain `on=[key]`
+    # common key name on both sides so the join is a plain `on=[key]`;
+    # ONE input task -> one file per bucket, the condition under which
+    # the reader trusts the stored per-bucket sort (multi-file buckets
+    # make Spark re-sort defensively)
     o = (load_table(spark, SF_CORRECT, "orders")
-         .withColumnRenamed("o_orderkey", "orderkey"))
+         .withColumnRenamed("o_orderkey", "orderkey").coalesce(1))
     li = (load_table(spark, SF_CORRECT, "lineitem")
-          .withColumnRenamed("l_orderkey", "orderkey"))
+          .withColumnRenamed("l_orderkey", "orderkey").coalesce(1))
     write_bucketed(o, "orders_b", ["orderkey"], 8,
                    sort_cols=["orderkey"], path=str(root / "orders_b"))
     write_bucketed(li, "lineitem_b", ["orderkey"], 8,
