@@ -33,11 +33,14 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     for fact tables; both sides of a co-located join MUST agree on
     (bucket_cols, num_buckets).
 
-    ``sort_cols`` caveat: the reader only TRUSTS the stored per-bucket
-    sort (eliding the merge-join Sort) when each bucket holds exactly
-    ONE file — i.e. one writing task, or a compaction pass after
-    multi-task writes. Multi-file buckets still join shuffle-free but
-    re-sort defensively.
+    ``sort_cols`` caveat: since Spark 3 (SPARK-28595) the reader
+    ignores the stored per-bucket sort by default; merge joins elide
+    their Sort operators only with
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true`` AND
+    exactly one file per bucket (one writing task, or a post-write
+    compaction). Otherwise buckets still join shuffle-free but
+    re-sort defensively. Both modes are plan-asserted in
+    tests/test_bucketing.py.
     """
     w = df.write.format("parquet").mode(mode)
     if path is not None:

@@ -55,23 +55,31 @@ def bucketed(spark, tmp_path_factory):
 def test_colocated_join_no_shuffle(spark, bucketed):
     # force the join path (not broadcast) so the assertion is about
     # bucketing, not about the small test input
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # Spark 3+ ignores the stored per-bucket sort by default
+        # (SPARK-28595); this legacy conf re-enables sorted-scan
+        # output ordering when each bucket is a single file
+        "spark.sql.legacy.bucketedTableScan.outputOrdering": "true",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
     try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
         joined = colocated_join(
             spark, "orders_b", "lineitem_b", on=["orderkey"]
         ).select("orderkey", "o_totalprice", "l_extendedprice")
         plan = _plan(joined)
         assert "SortMergeJoin" in plan
         assert not N_SHUFFLE.search(plan), f"bucketed join shuffled:\n{plan}"
-        # sortBy at write time means the merge join needs NO sort
-        # either: the stored per-bucket order is trusted (one file per
-        # bucket), eliding both Sort operators too
+        # write-time sortBy + one file per bucket + the conf above =>
+        # the merge join needs NO Sort operators either
         assert not re.search(r"\(\d+\) Sort\b", plan), (
             f"bucketed join re-sorted despite sortBy:\n{plan}")
         assert joined.count() == 60000
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for k, v in old.items():
+            spark.conf.set(k, v)
 
 
 def test_groupby_on_bucket_key_no_shuffle(spark, bucketed):
