@@ -268,17 +268,23 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (create_table.sql:70, hardcoded [] at arxiv_etl.py:83). Ranking is
     integer-only (tf desc, df asc, term) so Spark and the oracle agree
     independent of float ulps; the tfidf score itself is reported
-    rounded. Two shuffles: (doc, term) then term; the df side
-    broadcasts back."""
+    rounded. The (doc, term) aggregate is the ONLY pass over the
+    exploded tokens (shared via ReusedExchange): document frequency
+    is a plain count over it — its rows are distinct (doc, term) by
+    construction, no countDistinct needed — and n_docs derives the
+    same way."""
     d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     toks = (
         d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
         .filter(F.length("tok") > 3)
         .select("doc_id", F.lower("tok").alias("term"))
     )
+    # no checkpoint: the three consumers of tf share its shuffle via
+    # ReusedExchange (identical subplans), which A/B-measured FASTER
+    # than materializing — Catalyst already dedups the work
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = toks.select(F.countDistinct("doc_id").alias("n_docs"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
     w = W.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("df").asc(), F.col("term"))
     return (
         tf.join(df_, "term").crossJoin(F.broadcast(n_docs))

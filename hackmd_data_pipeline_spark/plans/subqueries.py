@@ -591,15 +591,14 @@ def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_id builds each user's sorted type-set; pairs come from a
     higher-order-function expansion of that (vocabulary-bounded)
     array, never a self-join — and totals/user-count derive from the
-    same localCheckpoint'd per-user frame, so raw events are scanned
-    exactly once (the distinct-self-join form measured 9 shuffles and
-    4 scans)."""
+    same per-user frame, whose shuffle all consumers share via
+    ReusedExchange (the distinct-self-join form planned 9
+    shuffles)."""
     ev = load_table(spark, sf_dir, "events")
     per_user = (
         ev.groupBy("user_id")
         .agg(F.array_sort(F.collect_set("event_type")).alias("types"))
-        .localCheckpoint(eager=False)
-    )
+    )  # consumers share the user shuffle via ReusedExchange
     totals = (per_user.select(F.explode("types").alias("event_type"))
               .groupBy("event_type").agg(F.count("*").alias("n_users")))
     n_all = per_user.agg(F.count("*").alias("n_all"))
@@ -969,11 +968,9 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     sliding-window query. The oracle states the naive range-join
     definition."""
     ev = load_table(spark, sf_dir, "events")
-    # one distinct shuffle; every downstream frame (days, dau, the
-    # explode) derives from this checkpointed lineage, so raw events
-    # are scanned once
-    activity = (ev.select("user_id", F.to_date("ts").alias("d"))
-                .distinct().localCheckpoint(eager=False))
+    # one distinct shuffle; downstream frames share it via
+    # ReusedExchange (measured faster than checkpointing)
+    activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
     days = activity.select("d").distinct()
     dau = activity.groupBy("d").agg(F.count("*").alias("dau"))
     contrib = (
