@@ -174,8 +174,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM u
     )
     SELECT vec_id,
-           list_transform(unit,
-                x -> CAST(FLOOR(x * (127.0 / max_abs) + 0.5) AS INT)) AS qvec,
+           array_to_string(list_transform(unit,
+                x -> CAST(FLOOR(x * (127.0 / max_abs) + 0.5) AS INT)), ',') AS qvec_csv,
            ROUND(max_abs / 127.0, 8) AS scale,
            ROUND(norm, 6)            AS norm
     FROM s
@@ -188,10 +188,19 @@ def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalize_quantize). The quantizer is an explicit floor-formula so
     the DuckDB oracle value-checks every int8 element; zero shuffle,
     zero Python — a pure projection pass that shrinks a 100 TB float32
-    embedding store 4x before ANN indexing."""
+    embedding store 4x before ANN indexing.
+
+    The int8 vector is emitted as a CSV string (element-exact) because
+    the driver's pandas canonicalizer cannot hash list-typed cells."""
     from ..operators.similarity import normalize_quantize
     emb = load_table(spark, sf_dir, "embeddings")
-    return normalize_quantize(emb).orderBy("vec_id")
+    q = normalize_quantize(emb)
+    return q.select(
+        "vec_id",
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",")
+         .alias("qvec_csv"),
+        "scale", "norm",
+    ).orderBy("vec_id")
 
 
 @query("dedup_cluster_resolve", oracle=None)

@@ -367,8 +367,9 @@ def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_collection_suite",
     oracle="""
     SELECT doc_id,
-           list_sort(regexp_split_to_array(LOWER(TRIM(text)), '\\s+'))[1:5]
-                                                             AS first5_sorted,
+           array_to_string(
+               list_sort(regexp_split_to_array(LOWER(TRIM(text)), '\\s+'))[1:5],
+               ',')                                           AS first5_sorted,
            len(list_distinct(regexp_split_to_array(LOWER(TRIM(text)), '\\s+')))
                                                              AS n_distinct,
            list_contains(regexp_split_to_array(LOWER(TRIM(text)), '\\s+'), 'spark')
@@ -385,14 +386,19 @@ def fn_collection_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, containment, join-to-string — the GIN-array-containment
     capability of the reference's schema (create_table.sql:76-81 GIN
     on authors/categories) expressed as native array functions, all
-    codegen'd, value-checked against DuckDB list functions."""
+    codegen'd, value-checked against DuckDB list functions.
+
+    Every output column is a SCALAR projection of the arrays
+    (array_join/size/element-contains): the driver's pandas
+    canonicalizer sorts+hashes result columns and cannot factorize
+    list-typed cells, so arrays must never escape the query."""
     d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     toks_cased = F.split(F.trim(F.col("text")), r"\s+")
     return (
         d.select(
             "doc_id",
-            F.slice(F.array_sort(toks), 1, 5).alias("first5_sorted"),
+            F.array_join(F.slice(F.array_sort(toks), 1, 5), ",").alias("first5_sorted"),
             F.size(F.array_distinct(toks)).alias("n_distinct"),
             F.array_contains(toks, "spark").alias("has_spark"),
             F.array_join(F.slice(toks_cased, 1, 3), "|").alias("first3_joined"),

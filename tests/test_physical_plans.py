@@ -197,3 +197,21 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("name", sorted(n for n, q in REGISTRY.items() if q.oracle))
+def test_oracle_queries_emit_scalar_columns_only(spark, name):
+    """The external driver canonicalizes results with a pandas
+    sort+hash that cannot factorize list/map/struct cells (r01:
+    fn_collection_suite crashed with 'unhashable type: list').
+    Every oracle-checked query must therefore project complex types
+    to scalars (array_join / size / element extracts) before
+    returning."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = REGISTRY[name].builder(spark, SF_CORRECT)
+    complex_cols = [f.name for f in df.schema.fields
+                    if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+    assert not complex_cols, (
+        f"{name} emits complex-typed columns {complex_cols}; the driver's "
+        "canonicalizer cannot hash them — project to scalars")
