@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -108,8 +109,14 @@ def merge_rollup_batch(batch: DataFrame, dest: str, grain: str = "hour",
                     .filter(F.col("event_date").isin(dates))
                     .select(*delta.columns))
         merged = delta.unionByName(existing)
-    except Exception:  # first batch: no rollup exists yet
-        pass
+    except AnalysisException as e:
+        # first batch: no rollup exists yet. ONLY the missing-path
+        # case may be swallowed — schema drift (also an
+        # AnalysisException: unresolved column) and FS errors must
+        # propagate, or the dynamic-partition overwrite below would
+        # silently replace affected dates with delta-only aggregates.
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
     merged = (
         merged.groupBy("event_date", "bucket", *key_cols)
         .agg(F.sum("n_events").alias("n_events"),

@@ -38,8 +38,23 @@ def scd2_merge(table: DataFrame, updates: DataFrame, key_cols: Sequence[str],
     ``table`` (key + compare + valid_from/valid_to); returns the new
     full SCD2 table. History rows (valid_to != NULL) pass through
     untouched; identical updates are no-ops.
+
+    A batch may carry several rows per key: updates are first
+    collapsed to the LATEST row per key by ``ts_col`` (ties broken by
+    the compare columns for determinism) — otherwise two open
+    versions of one key would both land with valid_to = NULL,
+    breaking the one-current-row-per-key invariant. Intermediate
+    versions inside a single batch are intentionally not materialized
+    (same as a MERGE applied once per batch).
     """
+    from pyspark.sql import Window
+
     keys = list(key_cols)
+    latest = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(), *[F.col(c).desc_nulls_last() for c in compare_cols])
+    updates = (updates
+               .withColumn("_rn", F.row_number().over(latest))
+               .filter(F.col("_rn") == 1).drop("_rn"))
     history = table.filter(F.col(valid_to).isNotNull())
     current = table.filter(F.col(valid_to).isNull())
 

@@ -9,38 +9,50 @@ collapses into one Structured Streaming pipeline:
     pending then stops — the self-invocation loop.
   * the streaming checkpoint tracks processed files exactly-once —
     the claim/lock.
-  * ``withWatermark + dropDuplicatesWithinWatermark`` bounds dedup
-    state — the lookback window.
-  * ``foreachBatch`` appends canonical + history and upserts the
-    per-batch control rows atomically per micro-batch — the
-    conflict-ignore insert (O-5').
+  * per micro-batch: within-batch first-wins dedup (O-23) plus a
+    left-anti join against the canonical store's ids inside a bounded
+    lookback window (O-22/O-37 — the reference's 6-month in-memory id
+    set, arxiv_collector.py:123-134) — so a duplicate entry_id
+    arriving in a later raw file is dropped, matching the reference's
+    ON CONFLICT DO NOTHING primary-key semantics (pg_engine.py:113).
+  * ``foreachBatch`` appends canonical + history and quarantines
+    corrupt rows atomically per micro-batch (O-5'/O-28).
 """
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.ingest import completeness_filter, to_canonical, to_history
+from ..plans.ingest import completeness_filter, idempotent_new_rows, to_canonical, to_history
 from ..schemas import RAW_RECORD_SCHEMA
 from ..sources.writers import write_partitioned_parquet
 
 
 def run_ingest_stream(spark: SparkSession, raw_path: str, out_root: str,
-                      checkpoint: str, watermark: str = "180 days",
+                      checkpoint: str, lookback: str = "180 days",
                       dedup: bool = True) -> dict[str, int]:
     """Drain raw jsonl[.gz] into canonical + history Parquet.
 
     Returns counts per sink. Exactly-once per file via the checkpoint:
     re-running with the same checkpoint ingests nothing new (O-24/O-5'
-    idempotency) — asserted in tests/test_streaming.py.
+    idempotency). Cross-batch dedup: when ``dedup`` is set, incoming
+    entry_ids are anti-joined against canonical rows whose
+    etl_timestamp falls within ``lookback`` — the bounded build side
+    broadcasts at scale, exactly the reference's 6-month id-set trick.
+    Both properties are asserted in tests/test_ingest_pipeline.py.
     """
+    canonical_path = f"{out_root}/papers"
     raw = (
         spark.readStream.schema(RAW_RECORD_SCHEMA)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(raw_path)
-        .withColumn("source_path", F.lit(raw_path))
+        # per-file lineage (reference s3_path per row, arxiv_etl.py:85):
+        # input_file_name() works on file-source streams; a glob-root
+        # literal would collapse every row to the same path
+        .withColumn("source_path", F.input_file_name())
     )
 
     counts = {"canonical": 0, "history": 0, "quarantine": 0}
@@ -50,10 +62,19 @@ def run_ingest_stream(spark: SparkSession, raw_path: str, out_root: str,
         good = batch.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
         good = completeness_filter(good)
         if dedup:
-            # within-micro-batch first-wins (O-23); cross-batch dedup is
-            # the left-anti in plans.ingest.idempotent_new_rows against
-            # the canonical store, applied before the append
-            good = good.dropDuplicates(["entry_id"])
+            # O-23 within-batch first-wins + O-22 cross-batch anti-join
+            # against the canonical store, bounded by the lookback so
+            # the id set broadcasts (first batch: no store yet)
+            try:
+                existing = (
+                    spark.read.parquet(canonical_path)
+                    .filter(F.col("etl_timestamp")
+                            >= F.current_timestamp() - F.expr(f"INTERVAL {lookback}"))
+                    .select("entry_id")
+                )
+                good = idempotent_new_rows(good, F.broadcast(existing))
+            except AnalysisException:  # canonical table not created yet
+                good = good.dropDuplicates(["entry_id"])
         canonical = to_canonical(good).persist()
         history = to_history(canonical)
 
@@ -62,7 +83,7 @@ def run_ingest_stream(spark: SparkSession, raw_path: str, out_root: str,
         nbad = bad.count()
         counts["quarantine"] += nbad
 
-        write_partitioned_parquet(canonical, f"{out_root}/papers",
+        write_partitioned_parquet(canonical, canonical_path,
                                   partition_cols=("primary_category",))
         write_partitioned_parquet(history, f"{out_root}/papers_history",
                                   partition_cols=(), sort_col=None)

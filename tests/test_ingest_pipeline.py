@@ -170,6 +170,38 @@ def test_streaming_ingest_exactly_once(spark, raw_dir, tmp_path):
     assert spark.read.parquet(f"{out}/papers").count() == 10
 
 
+def test_streaming_ingest_cross_batch_dedup(spark, tmp_path):
+    """A duplicate entry_id arriving in a LATER raw file (a new
+    micro-batch) must not be appended again — the reference's ON
+    CONFLICT DO NOTHING primary-key semantics (pg_engine.py:113),
+    implemented as the bounded-lookback anti-join in
+    run_ingest_stream. Also checks per-file lineage: source_path must
+    name the actual file, not the glob root."""
+    raw = tmp_path / "raw2"
+    raw.mkdir()
+    out, ckpt = str(tmp_path / "out2"), str(tmp_path / "ckpt2")
+
+    with gzip.open(raw / "file_a.jsonl.gz", "wt", encoding="utf-8") as f:
+        f.write("\n".join(json.dumps(_record(i)) for i in range(5)) + "\n")
+    first = run_ingest_stream(spark, str(raw), out, ckpt)
+    assert first["canonical"] == 5
+
+    # file B: one duplicate of id 3 (different title — still a dup by
+    # key) + one genuinely new record
+    with gzip.open(raw / "file_b.jsonl.gz", "wt", encoding="utf-8") as f:
+        f.write(json.dumps(_record(3, title="Paper 3 resubmitted")) + "\n")
+        f.write(json.dumps(_record(20)) + "\n")
+    second = run_ingest_stream(spark, str(raw), out, ckpt)
+    assert second["canonical"] == 1               # only the new id
+
+    papers = spark.read.parquet(f"{out}/papers")
+    assert papers.count() == 6
+    assert papers.filter(F.col("entry_id").endswith("00003")).count() == 1
+    # lineage points at the real files
+    paths = {r.s3_path.rsplit("/", 1)[-1] for r in papers.select("s3_path").collect()}
+    assert paths == {"file_a.jsonl.gz", "file_b.jsonl.gz"}
+
+
 def test_csv_source_quarantine_split(spark, tmp_path):
     """Delimited-text twin of the JSONL dead-letter split: bad rows
     (wrong arity / unparseable types) land in quarantine with lineage,

@@ -91,3 +91,24 @@ def test_scd2_snapshot_at(spark):
     assert at_t1 == {"a": "A v1"}
     assert at_mid == {"a": "A v1"}
     assert at_t3 == {"a": "A v2"}
+
+
+def test_scd2_multiple_updates_same_key_keep_latest(spark):
+    """A batch with several rows for one key must yield exactly ONE
+    open version (the latest by effective_ts) — two open rows would
+    corrupt the one-current-row-per-key invariant. Intermediate
+    versions within a batch are not materialized (MERGE-per-batch
+    semantics)."""
+    table_rows = [("a", "A v1", "n1", T1, None)]
+    upd_rows = [
+        ("a", "A v2", "n2", T2),
+        ("a", "A v3", "n3", T3),        # latest wins
+    ]
+    rows = _merge(spark, table_rows, upd_rows)
+    a = sorted(rows, key=lambda r: r.valid_from)
+    open_rows = [r for r in a if r.valid_to is None]
+    assert len(open_rows) == 1
+    assert open_rows[0].title == "A v3" and open_rows[0].valid_from == T3
+    # v1 closed at the surviving update's ts
+    assert a[0].title == "A v1" and a[0].valid_to == T3
+    assert len(a) == 2
