@@ -707,16 +707,26 @@ def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rfm AS (
         SELECT o_custkey,
-               MAX(o_orderdate)            AS last_order,
-               COUNT(*)                    AS frequency,
-               SUM(o_totalprice)           AS monetary
+               (MAX(o_orderdate) - DATE '1970-01-01') AS recency_day,
+               COUNT(*)                               AS frequency,
+               ROUND(SUM(o_totalprice), 2)            AS monetary
         FROM orders GROUP BY o_custkey
-    ), scored AS (
-        SELECT o_custkey,
-               NTILE(4) OVER (ORDER BY last_order, o_custkey) AS r_score,
-               NTILE(4) OVER (ORDER BY frequency, o_custkey)  AS f_score,
-               NTILE(4) OVER (ORDER BY monetary, o_custkey)   AS m_score
+    ), cuts AS (
+        SELECT quantile_disc(recency_day, 0.25) AS r1, quantile_disc(recency_day, 0.5) AS r2,
+               quantile_disc(recency_day, 0.75) AS r3,
+               quantile_disc(frequency, 0.25)   AS f1, quantile_disc(frequency, 0.5)   AS f2,
+               quantile_disc(frequency, 0.75)   AS f3,
+               quantile_disc(monetary, 0.25)    AS m1, quantile_disc(monetary, 0.5)    AS m2,
+               quantile_disc(monetary, 0.75)    AS m3
         FROM rfm
+    ), scored AS (
+        SELECT 1 + CAST(recency_day > r1 AS INT) + CAST(recency_day > r2 AS INT)
+                 + CAST(recency_day > r3 AS INT) AS r_score,
+               1 + CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT)
+                 + CAST(frequency > f3 AS INT) AS f_score,
+               1 + CAST(monetary > m1 AS INT) + CAST(monetary > m2 AS INT)
+                 + CAST(monetary > m3 AS INT) AS m_score
+        FROM rfm CROSS JOIN cuts
     )
     SELECT r_score, f_score, m_score, COUNT(*) AS n_customers
     FROM scored
@@ -726,26 +736,48 @@ def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-customer recency/frequency/monetary
-    quartiles (deterministic NTILE with key tiebreak), bucketed into
-    segments. One agg shuffle + three single-partition windows over
-    the AGGREGATED rows (customer-cardinality, not order-cardinality
-    — the global NTILE is acceptable precisely because it runs on the
-    reduced table; at extreme customer counts swap in
-    approx-percentile cut points)."""
+    quartile buckets via PERCENTILE CUT POINTS, not global NTILE.
+
+    Scale shape: one agg shuffle builds the per-customer table; one
+    agg computes all nine quartile cut points as a single
+    ``percentile_approx`` sketch pass (Greenwald-Khanna, bounded
+    memory — exact below the accuracy bound, which covers the gate
+    SFs); the 1-row cut table broadcasts back and scoring is a pure
+    projection. The former plan funneled every customer through THREE
+    single-partition NTILE windows — one task at a billion customers;
+    this plan has no global window at all.
+
+    Bucket semantics: score = 1 + #(cut points strictly below value),
+    so ties share a bucket (value-quartiles, not equal-size buckets).
+    The oracle mirrors this exactly: Spark's exact-mode
+    percentile_approx and DuckDB's quantile_disc both pick the
+    ceil(p*n)-rank element (probed empirically). ``monetary`` is
+    rounded to cents BEFORE cut-point selection on both sides so the
+    double sum's fold order cannot perturb boundary comparisons."""
     o = load_table(spark, sf_dir, "orders")
+    acc = 100_000  # exact for n <= acc; bounded GK sketch beyond
     rfm = (o.groupBy("o_custkey")
-           .agg(F.max("o_orderdate").alias("last_order"),
+           .agg(F.datediff(F.max("o_orderdate"),
+                           F.lit("1970-01-01").cast("date")).alias("recency_day"),
                 F.count("*").alias("frequency"),
-                F.sum("o_totalprice").alias("monetary")))
+                F.round(F.sum("o_totalprice"), 2).alias("monetary")))
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    cuts = rfm.agg(
+        F.percentile_approx("recency_day", qs, F.lit(acc)).alias("r_cut"),
+        F.percentile_approx("frequency", qs, F.lit(acc)).alias("f_cut"),
+        F.percentile_approx("monetary", qs, F.lit(acc)).alias("m_cut"))
 
-    def score(col: str):
-        return F.ntile(4).over(W.orderBy(col, "o_custkey"))
+    def score(col: str, cut: str):
+        v = F.col(col)
+        return (F.lit(1)
+                + (v > F.col(cut)[0]).cast("int")
+                + (v > F.col(cut)[1]).cast("int")
+                + (v > F.col(cut)[2]).cast("int"))
 
-    scored = rfm.select(
-        "o_custkey",
-        score("last_order").alias("r_score"),
-        score("frequency").alias("f_score"),
-        score("monetary").alias("m_score"))
+    scored = rfm.crossJoin(F.broadcast(cuts)).select(
+        score("recency_day", "r_cut").alias("r_score"),
+        score("frequency", "f_cut").alias("f_score"),
+        score("monetary", "m_cut").alias("m_score"))
     return (
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(F.count("*").alias("n_customers"))
@@ -1011,22 +1043,27 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 def docs_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf rank-frequency table: vocabulary ranked by frequency with
     the rank x freq product (roughly constant under Zipf's law — the
-    corpus-sanity diagnostic run before tokenizer training). The rank
-    window runs over the AGGREGATED vocabulary (vocab-cardinality,
-    not token-cardinality)."""
+    corpus-sanity diagnostic run before tokenizer training).
+
+    Scale shape: the top-30 slice is taken FIRST via orderBy+limit —
+    Spark plans that as ``TakeOrderedAndProject`` (per-partition heap
+    top-k, merged on the driver), so no task ever sees more than 30
+    rows of the vocabulary. The rank window then runs over the 30-row
+    slice only; the former vocabulary-wide single-partition window
+    (every term funneled through one task) is gone."""
     d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     freq = (
         d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"))
         .filter(F.length("term") > 0)
         .groupBy("term").agg(F.count("*").alias("f"))
     )
-    w = W.orderBy(F.desc("f"), "term")
+    top = freq.orderBy(F.desc("f"), "term").limit(30)  # TakeOrderedAndProject
+    w = W.orderBy(F.desc("f"), "term")  # input capped at 30 rows above
     return (
-        freq.select(F.row_number().over(w).alias("rank"), "term", "f")
+        top.select(F.row_number().over(w).alias("rank"), "term", "f")
         .withColumn("rank_x_freq",
                     F.round((F.col("f") * F.col("rank")).cast("double"), 1))
         .orderBy("rank")
-        .limit(30)
     )
 
 
@@ -1088,29 +1125,59 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration: the minimal top-revenue customer set
-    covering 80% of revenue (cum-share window over the aggregated
-    per-customer table — customer-cardinality, not order-cardinality).
-    The predicate keeps exactly the customers whose PRE-inclusion
-    cumulative share is below the threshold, i.e. the canonical
-    'crossing' set."""
+    covering 80% of revenue. The predicate keeps exactly the customers
+    whose PRE-inclusion cumulative share is below the threshold, i.e.
+    the canonical 'crossing' set.
+
+    Scale shape — two-pass distributed prefix sum (same pattern as
+    operators/maintenance.py::assign_global_ids), replacing the former
+    single-partition running-total window (one task at a billion
+    customers):
+
+      1. range-repartition the per-customer table on
+         (revenue DESC, custkey) and pin the assignment with a
+         localCheckpoint (range sampling re-draws on recompute — the
+         stats pass and the main pass MUST see identical partitions);
+      2. one bounded collect of per-partition (sum, count) — at most
+         ``defaultParallelism`` rows regardless of SF — yields each
+         partition's prefix offset, the grand total, and the customer
+         count on the driver;
+      3. the running total is then a PARALLEL per-partition window
+         (partitionBy spark_partition_id) plus the broadcast offset.
+
+    Every task handles one range slice; no global window anywhere."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
-    w = W.orderBy(F.desc("revenue"), "o_custkey").rowsBetween(
-        W.unboundedPreceding, W.currentRow)
-    ranked = per_cust.select(
-        "o_custkey", "revenue",
-        F.sum("revenue").over(w).alias("cum_rev"),
-        F.sum("revenue").over(
-            W.partitionBy().rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-        ).alias("total_rev"))
-    n_customers = per_cust.agg(F.count("*").alias("n")).select("n")
+    nparts = spark.sparkContext.defaultParallelism
+    pc = (per_cust.repartitionByRange(nparts, F.desc("revenue"), F.col("o_custkey"))
+          .withColumn("_pid", F.spark_partition_id())
+          .localCheckpoint(eager=True))
+
+    part_stats = sorted(
+        pc.groupBy("_pid").agg(F.sum("revenue").alias("s"),
+                               F.count("*").alias("c")).collect(),
+        key=lambda r: r._pid)
+    total_rev = float(sum(r.s for r in part_stats))
+    n_customers = int(sum(r.c for r in part_stats))
+    offsets, acc = [], 0.0
+    for r in part_stats:
+        offsets.append((int(r._pid), acc))
+        acc += float(r.s)
+    off_df = spark.createDataFrame(offsets, "_pid int, _off double")
+
+    w = (W.partitionBy("_pid").orderBy(F.desc("revenue"), "o_custkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    ranked = (pc.join(F.broadcast(off_df), "_pid")
+              .select("revenue",
+                      (F.sum("revenue").over(w) + F.col("_off")).alias("cum_rev")))
     top = ranked.filter(
-        F.col("cum_rev") - F.col("revenue") < 0.8 * F.col("total_rev"))
+        F.col("cum_rev") - F.col("revenue") < 0.8 * F.lit(total_rev))
     return (
         top.agg(
             F.count("*").alias("n_top_customers"),
-            F.round(F.min(F.col("cum_rev") / F.col("total_rev")), 4).alias("first_share"),
-            F.round(F.max(F.col("cum_rev") / F.col("total_rev")), 4).alias("reached_share"))
-        .crossJoin(F.broadcast(n_customers.withColumnRenamed("n", "n_customers")))
-        .select("n_top_customers", "n_customers", "first_share", "reached_share")
+            F.round(F.min(F.col("cum_rev") / F.lit(total_rev)), 4).alias("first_share"),
+            F.round(F.max(F.col("cum_rev") / F.lit(total_rev)), 4).alias("reached_share"))
+        .select("n_top_customers",
+                F.lit(n_customers).cast("long").alias("n_customers"),
+                "first_share", "reached_share")
     )
