@@ -67,6 +67,17 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))
+
+    # driver-parsable artifact (VERDICT r01 asked for one: the driver's
+    # own BENCH_r{N}.json scrape truncated the per-query tail): one
+    # clean JSON object, no log prefixes, named for the round after the
+    # latest recorded CORRECTNESS file so per-query times diff across
+    # rounds
+    repo = Path(__file__).resolve().parent
+    rounds = [int(p.stem.split("_r")[-1]) for p in repo.glob("CORRECTNESS_r*.json")
+              if p.stem.split("_r")[-1].isdigit()]
+    rnd = (max(rounds) + 1) if rounds else 0
+    (repo / f"BENCH_LOCAL_r{rnd:02d}.json").write_text(json.dumps(out, indent=1))
     spark.stop()
 
 

@@ -57,28 +57,42 @@ def hashed_shingles(text_col, n: int = 3):
     )
 
 
-def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", num_hashes: int = 16,
-                       shingle_n: int = 3) -> DataFrame:
-    """``id | sig_0..sig_{k-1}`` — k independent minhashes per doc.
+def hashed_shingle_table(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         shingle_n: int = 3) -> DataFrame:
+    """``id | sh array<long>`` — each doc's distinct hashed shingles.
+
+    This is THE shared intermediate of the whole MinHash family:
+    signatures are min-reductions over it, the exact-Jaccard verify
+    intersects it, and the persisted dedup store materializes it.
+    Docs with no shingles (shorter than n tokens) are dropped — they
+    can produce no signature and no pair.
+    """
+    return (
+        df.select(F.col(id_col),
+                  hashed_shingles(F.col(text_col), shingle_n).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+
+
+def minhash_signatures_from(sh_df: DataFrame, id_col: str = "doc_id",
+                            num_hashes: int = 16) -> DataFrame:
+    """``id | sig_0..sig_{k-1}`` from a hashed-shingle table.
 
     One explode + one hash-partitioned aggregation: signature width is
     k columns computed as k min-aggregates in a single codegen'd pass.
-    The shingle string is hashed ONCE (xxhash64); the k "independent"
-    hash functions are cheap remixes xxhash64(h, i) of that 8-byte
-    value — k string hashes per shingle would dominate CPU. Map-side
-    partial aggregation shrinks the shuffle to ~k longs per doc.
+    The shingle string was hashed ONCE (xxhash64) upstream; the k
+    "independent" hash functions are cheap remixes xxhash64(h, i) of
+    that 8-byte value — k string hashes per shingle would dominate
+    CPU. Map-side partial aggregation shrinks the shuffle to ~k longs
+    per doc.
 
     (A shuffle-free per-row formulation via array_min over
     higher-order-function transforms benchmarks 2x SLOWER despite
     zero exchange: HOF lambdas are interpreted per element, while this
     path stays whole-stage-codegen'd. Measured at sf0.1.)
     """
-    ex = (
-        df.select(id_col, F.explode(shingles(F.col(text_col), shingle_n)).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-        .withColumn("h", F.xxhash64("shingle"))
-    )
+    ex = sh_df.select(id_col, F.explode("sh").alias("h"))
     aggs = [
         F.min(F.xxhash64("h", F.lit(i))).alias(f"sig_{i}")
         for i in range(num_hashes)
@@ -86,20 +100,25 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return ex.groupBy(id_col).agg(*aggs)
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", num_hashes: int = 16,
-                      bands: int = 4, shingle_n: int = 3,
-                      jaccard_threshold: float = 0.5) -> DataFrame:
-    """Near-dup pairs ``(id_a, id_b, jaccard)`` with jaccard >= threshold.
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 16,
+                       shingle_n: int = 3) -> DataFrame:
+    """``id | sig_0..sig_{k-1}`` — k independent minhashes per doc
+    (convenience composition over ``hashed_shingle_table``)."""
+    return minhash_signatures_from(
+        hashed_shingle_table(df, id_col, text_col, shingle_n),
+        id_col, num_hashes)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Distinct candidate pairs ``(id_a, id_b)`` from banded signatures.
 
     LSH banding: k hashes split into ``bands`` bands of k/bands rows;
     docs sharing any band hash become candidates (equi-join on
-    (band, band_hash) — shuffle by bucket, never all-pairs), then
-    candidates are verified with exact shingle-set Jaccard.
+    (band, band_hash) — shuffle by bucket, never all-pairs).
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -113,7 +132,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
-    candidates = (
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.band_hash") == F.col("b.band_hash"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -121,20 +140,60 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         .distinct()
     )
 
-    sh = df.select(F.col(id_col).alias("_id"),
-                   hashed_shingles(F.col(text_col), shingle_n).alias("_sh"))
-    with_a = candidates.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
-    with_b = with_a.join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+
+def verify_jaccard(candidates: DataFrame, sh_df: DataFrame,
+                   id_col: str = "doc_id",
+                   jaccard_threshold: float = 0.5,
+                   sort: bool = True) -> DataFrame:
+    """Exact shingle-set Jaccard verify of candidate pairs against a
+    hashed-shingle table: keeps ``(id_a, id_b, jaccard)`` at or above
+    the threshold. Two keyed equi-joins (id_a, id_b) — candidate
+    cardinality is LSH-bounded, never all-pairs.
+
+    ``sort=False`` skips the output ordering (a range exchange +
+    sort): consumers like connected-components treat pairs as a set,
+    so ordering them first is pure waste."""
+    sh = sh_df.select(F.col(id_col).alias("_id"), F.col("sh").alias("_sh"))
+    with_a = candidates.join(
+        sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+    with_b = with_a.join(
+        sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    out = (
         with_b.select(
             "id_a", "id_b",
             F.round(inter.cast("double") / union, 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= jaccard_threshold)
-        .orderBy("id_a", "id_b")
     )
+    return out.orderBy("id_a", "id_b") if sort else out
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 16,
+                      bands: int = 4, shingle_n: int = 3,
+                      jaccard_threshold: float = 0.5,
+                      sort: bool = True) -> DataFrame:
+    """Near-dup pairs ``(id_a, id_b, jaccard)`` with jaccard >= threshold.
+
+    Fused single-scan pipeline: the hashed-shingle table is computed
+    ONCE and cached, then consumed by all three downstream stages
+    (signature min-reduction, and the id_a/id_b sides of the exact
+    verify). The unfused form recomputed the shingle pass — split +
+    n-gram zip_with + distinct per doc, the dominant CPU cost — three
+    times, once per consumer, because the three consumers shuffle on
+    different keys and share no exchange Catalyst could reuse.
+    MEMORY_AND_DISK so a partition that doesn't fit executor memory
+    spills instead of silently recomputing the whole lineage.
+    """
+    from pyspark import StorageLevel
+
+    sh_df = hashed_shingle_table(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures_from(sh_df, id_col, num_hashes)
+    candidates = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    return verify_jaccard(candidates, sh_df, id_col, jaccard_threshold, sort)
 
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
@@ -326,8 +385,16 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a",
         # materialize ONCE: every propagation round joins the edge
         # list, and without this the whole upstream candidate-pair
         # pipeline (e.g. MinHash-LSH) would re-execute per round
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    # the count materializes the checkpoint (one job, doubling as the
+    # sizing probe): near-dup edge lists are usually FAR smaller than
+    # the corpus, and iterating 32-partition shuffles over a few
+    # hundred rows pays ~per-stage scheduling cost for nothing — a
+    # narrow coalesce keeps small graphs on a few tasks while leaving
+    # genuinely large edge lists at full parallelism
+    if edges.count() <= 100_000:
+        edges = edges.coalesce(4)
     labels = (edges.select(F.col("src").alias("id"))
               .distinct()
               .withColumn("label", F.col("id")))

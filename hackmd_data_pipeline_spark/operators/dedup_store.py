@@ -1,0 +1,92 @@
+"""Persisted near-dup artifacts — the cross-run dedup layout.
+
+At 100 TB a pipeline does not recompute shingles, signatures, and
+candidate pairs per query: it materializes them ONCE as tables and
+every downstream consumer (pair inspection, cluster resolution,
+canonical-doc selection, incremental re-dedup of a new batch) reads
+the persisted form. This module is that layout — the persisted
+counterpart of the in-session fused pipeline in ``operators/dedup.py``
+(same building blocks, so the stored artifacts are definitionally
+consistent with the ad-hoc query results):
+
+    dest/shingles/    id | sh array<long>      (hashed shingle sets)
+    dest/signatures/  id | sig_0..sig_{k-1}    (MinHash signatures)
+    dest/pairs/       id_a | id_b | jaccard    (verified near-dup pairs)
+    dest/clusters/    id | cluster_id          (connected components)
+
+Each stage is derived from the PERSISTED previous stage, so a rebuild
+of a later stage never re-runs the earlier ones (the
+``build_ivf_index`` posture from operators/similarity.py, applied to
+the dedup family). The reference has no near-dup machinery at all
+(exact-id dedup only, reference src/extract/arxiv_collector.py:123-134);
+this is north-star extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import (
+    dedup_clusters,
+    hashed_shingle_table,
+    lsh_candidate_pairs,
+    minhash_signatures_from,
+    verify_jaccard,
+)
+
+
+def build_dedup_store(df: DataFrame, dest: str, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 16,
+                      bands: int = 4, shingle_n: int = 3,
+                      jaccard_threshold: float = 0.5) -> None:
+    """Materialize the full dedup artifact chain under ``dest``.
+
+    Stage order matters: every write is followed by a re-read, so each
+    stage's lineage roots at parquet, not at the raw corpus — the
+    corpus text is scanned exactly once (the shingle pass), and a
+    failed/interrupted build resumes from the last completed stage by
+    re-calling with the same dest.
+    """
+    spark = df.sparkSession
+
+    sh = hashed_shingle_table(df, id_col, text_col, shingle_n)
+    sh.write.mode("overwrite").parquet(dest + "/shingles")
+    sh = spark.read.parquet(dest + "/shingles")
+
+    sigs = minhash_signatures_from(sh, id_col, num_hashes)
+    sigs.write.mode("overwrite").parquet(dest + "/signatures")
+    sigs = spark.read.parquet(dest + "/signatures")
+
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    pairs = verify_jaccard(cand, sh, id_col, jaccard_threshold, sort=True)
+    pairs.write.mode("overwrite").parquet(dest + "/pairs")
+    pairs = spark.read.parquet(dest + "/pairs")
+
+    clusters = dedup_clusters(pairs)
+    clusters.write.mode("overwrite").parquet(dest + "/clusters")
+
+
+def load_pairs(spark: SparkSession, dest: str) -> DataFrame:
+    """Verified near-dup pairs from a built store."""
+    return spark.read.parquet(dest + "/pairs")
+
+
+def load_clusters(spark: SparkSession, dest: str) -> DataFrame:
+    """``id | cluster_id`` connected components from a built store."""
+    return spark.read.parquet(dest + "/clusters")
+
+
+def resolve_from_store(spark: SparkSession, dest: str) -> DataFrame:
+    """Canonical-doc resolution from PERSISTED clusters: the per-doc
+    keep/drop verdict (``doc_id | cluster_id | is_canonical``) without
+    touching the corpus text — the artifact read replaces the whole
+    shingle -> signature -> pair -> cluster recomputation.
+    (``dedup_clusters`` emits ``id | cluster_id``; cluster_id is the
+    cluster's minimum id, so the canonical doc is id == cluster_id.)"""
+    return (
+        load_clusters(spark, dest)
+        .select(F.col("id").alias("doc_id"), "cluster_id",
+                (F.col("id") == F.col("cluster_id")).alias("is_canonical"))
+        .orderBy("doc_id")
+    )

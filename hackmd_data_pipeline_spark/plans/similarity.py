@@ -212,10 +212,16 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     don't dedup a corpus; the cluster's min id becomes the keeper.
     Iterative (label propagation) => rows-only; convergence and
     cluster correctness are unit-tested on known clusters in
-    tests/test_operators_unit.py."""
+    tests/test_operators_unit.py.
+
+    Plan shape: the pair pipeline is the FUSED minhash_lsh_pairs (one
+    cached shingle pass feeding signatures + verify), with the output
+    sort elided (sort=False) — connected components consumes pairs as
+    a set, and dedup_clusters materializes them exactly once via its
+    edge-list localCheckpoint before iterating."""
     from ..operators.dedup import dedup_clusters, minhash_lsh_pairs
     d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, jaccard_threshold=0.5)
+    pairs = minhash_lsh_pairs(d, jaccard_threshold=0.5, sort=False)
     return (
         dedup_clusters(pairs)
         .select(F.col("id").alias("doc_id"), "cluster_id",

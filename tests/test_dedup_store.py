@@ -1,0 +1,77 @@
+"""Persisted dedup-artifact store: the stored chain must agree with the
+in-session fused pipeline, stage by stage, and resolution from the
+store must equal the ad-hoc dedup_cluster_resolve result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hackmd_data_pipeline_spark.operators.dedup import (
+    dedup_clusters,
+    minhash_lsh_pairs,
+)
+from hackmd_data_pipeline_spark.operators.dedup_store import (
+    build_dedup_store,
+    load_clusters,
+    load_pairs,
+    resolve_from_store,
+)
+from hackmd_data_pipeline_spark.tables import load_table
+
+from .conftest import SF_CORRECT
+
+
+def test_store_matches_adhoc_pipeline(spark, tmp_path):
+    dest = str(tmp_path / "dedup_store")
+    d = load_table(spark, SF_CORRECT, "documents").limit(300)
+    build_dedup_store(d, dest, jaccard_threshold=0.5)
+
+    stored_pairs = sorted(
+        (r.id_a, r.id_b, r.jaccard) for r in load_pairs(spark, dest).collect())
+    adhoc_pairs = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_lsh_pairs(d, jaccard_threshold=0.5).collect())
+    assert stored_pairs == adhoc_pairs
+
+    stored_clusters = {(r.id, r.cluster_id)
+                       for r in load_clusters(spark, dest).collect()}
+    adhoc_clusters = {(r.id, r.cluster_id)
+                      for r in dedup_clusters(
+                          minhash_lsh_pairs(d, jaccard_threshold=0.5, sort=False)
+                      ).collect()}
+    assert stored_clusters == adhoc_clusters
+
+
+def test_resolve_from_store_shape(spark, tmp_path):
+    dest = str(tmp_path / "dedup_store")
+    d = load_table(spark, SF_CORRECT, "documents").limit(200)
+    # clone 3 docs -> 3 guaranteed duplicate clusters
+    clones = d.limit(3).select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    build_dedup_store(d.select("doc_id", "text").union(clones), dest,
+                      jaccard_threshold=0.9)
+
+    res = resolve_from_store(spark, dest)
+    rows = res.collect()
+    assert rows, "clones must produce clusters"
+    assert set(res.columns) == {"doc_id", "cluster_id", "is_canonical"}
+    # exactly one canonical per cluster, and it is the cluster min id
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        canon = [m for m in members if m.is_canonical]
+        assert len(canon) == 1 and canon[0].doc_id == cid
+        assert cid == min(m.doc_id for m in members)
+
+
+def test_store_rebuild_is_stable(spark, tmp_path):
+    """Rebuilding into the same dest must reproduce identical rows —
+    the artifact contract a downstream incremental consumer relies on."""
+    dest = str(tmp_path / "dedup_store")
+    d = load_table(spark, SF_CORRECT, "documents").limit(150)
+    build_dedup_store(d, dest, jaccard_threshold=0.5)
+    first = sorted(tuple(r) for r in load_pairs(spark, dest).collect())
+    build_dedup_store(d, dest, jaccard_threshold=0.5)
+    second = sorted(tuple(r) for r in load_pairs(spark, dest).collect())
+    assert first == second

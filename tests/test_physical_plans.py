@@ -155,7 +155,7 @@ _BNLJ_OK = {
     "sim_cosine_topk",
     "sim_ann_ivf",
     "events_type_cooccurrence",  # 1-row user-count scalar cross join
-    "orders_pareto_customers",   # 1-row customer-count scalar cross join
+    "customer_rfm_segments",     # 1-row percentile-cut-points cross join
 }
 
 
