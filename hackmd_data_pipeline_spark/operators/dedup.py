@@ -110,14 +110,12 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
         id_col, num_hashes)
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
-                        num_hashes: int = 16, bands: int = 4) -> DataFrame:
-    """Distinct candidate pairs ``(id_a, id_b)`` from banded signatures.
-
-    LSH banding: k hashes split into ``bands`` bands of k/bands rows;
-    docs sharing any band hash become candidates (equi-join on
-    (band, band_hash) — shuffle by bucket, never all-pairs).
-    """
+def band_buckets(sigs: DataFrame, id_col: str = "doc_id",
+                 num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """``id | band | band_hash`` — each doc's LSH band buckets: k
+    hashes split into ``bands`` bands of k/bands rows, each band
+    hashed to one bucket key. Shared by the self-join (batch dedup)
+    and the new-vs-store join (incremental dedup)."""
     rows = num_hashes // bands
     band_structs = F.array(*[
         F.struct(
@@ -126,10 +124,21 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
         )
         for b in range(bands)
     ])
-    buckets = (
+    return (
         sigs.select(id_col, F.explode(band_structs).alias("bb"))
         .select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
     )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """Distinct candidate pairs ``(id_a, id_b)`` from banded signatures.
+
+    LSH banding: docs sharing any band hash become candidates
+    (equi-join on (band, band_hash) — shuffle by bucket, never
+    all-pairs).
+    """
+    buckets = band_buckets(sigs, id_col, num_hashes, bands)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

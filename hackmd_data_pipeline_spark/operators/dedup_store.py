@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .dedup import (
+    band_buckets,
     dedup_clusters,
     hashed_shingle_table,
     lsh_candidate_pairs,
@@ -75,6 +76,48 @@ def load_pairs(spark: SparkSession, dest: str) -> DataFrame:
 def load_clusters(spark: SparkSession, dest: str) -> DataFrame:
     """``id | cluster_id`` connected components from a built store."""
     return spark.read.parquet(dest + "/clusters")
+
+
+def incremental_pairs(new_docs: DataFrame, dest: str,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      num_hashes: int = 16, bands: int = 4,
+                      shingle_n: int = 3,
+                      jaccard_threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs for a NEW batch against the store AND itself —
+    the incremental form a continuously-ingesting 100 TB pipeline
+    actually runs: per batch the corpus text is never rescanned, only
+    its persisted signatures/shingles are joined.
+
+    Candidate generation joins the new batch's band buckets against
+    (stored ∪ new) buckets, so the work per batch is
+    O(batch x bucket-collision), independent of corpus size; the
+    exact-Jaccard verify reads only the shingle rows the candidates
+    touch (keyed equi-joins prune the rest). Returns
+    ``(id_a, id_b, jaccard)`` where at least one side is a new doc;
+    stored-vs-stored pairs are already in ``dest/pairs``.
+    """
+    spark = new_docs.sparkSession
+    sh_new = hashed_shingle_table(new_docs, id_col, text_col, shingle_n)
+    sig_new = minhash_signatures_from(sh_new, id_col, num_hashes)
+
+    sh_all = spark.read.parquet(dest + "/shingles").unionByName(sh_new)
+    buckets_new = band_buckets(sig_new, id_col, num_hashes, bands)
+    buckets_all = band_buckets(
+        spark.read.parquet(dest + "/signatures"), id_col, num_hashes, bands
+    ).unionByName(buckets_new)
+
+    a = buckets_new.alias("a")
+    b = buckets_all.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+        # normalize so a new-new pair isn't emitted twice (once per side)
+        .select(F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+                F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"))
+        .distinct()
+    )
+    return verify_jaccard(candidates, sh_all, id_col, jaccard_threshold)
 
 
 def resolve_from_store(spark: SparkSession, dest: str) -> DataFrame:

@@ -901,3 +901,141 @@ def join_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(share, 4).alias("mkt_share"))
         .orderBy("o_year")
     )
+
+
+@query(
+    "join_q9_product_profit",
+    oracle="""
+    SELECT nation, o_year, ROUND(SUM(amount), 2) AS profit
+    FROM (
+        SELECT n.n_name AS nation,
+               EXTRACT(YEAR FROM o.o_orderdate)::BIGINT AS o_year,
+               l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity AS amount
+        FROM lineitem l
+        JOIN part p     ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%widget%'
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def join_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped product-line profit per (nation, year). The
+    synthetic schema has no partsupp, so unit cost is modeled as
+    0.6 * p_retailprice — the JOIN SHAPE (fact stream against three
+    broadcast dims + the orders join) is the point of parity, not the
+    cost constant. The selective p_name LIKE filter is evaluated on
+    the part side BEFORE broadcast, so the fact stream shrinks at the
+    first join; only the orders join shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    sup_nation = (s.join(F.broadcast(
+        n.select(F.col("n_nationkey").alias("_nk"), F.col("n_name").alias("nation"))),
+        s.s_nationkey == F.col("_nk")).select("s_suppkey", "nation"))
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - 0.6 * F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(sup_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select("nation", F.year("o_orderdate").cast("long").alias("o_year"),
+                amount.alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("amount"), 2).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "join_q12_shipping_delay_classes",
+    oracle="""
+    SELECT delay_class,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_priority_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_priority_count
+    FROM (
+        SELECT o.o_orderpriority,
+               CASE WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate) >= 60 THEN 'SLOW'
+                    WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate) >= 30 THEN 'MEDIUM'
+                    ELSE 'FAST' END AS delay_class
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    GROUP BY delay_class
+    ORDER BY delay_class
+    """,
+)
+def join_q12_shipping_delay_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped priority-by-delay matrix (no shipmode column
+    in the synthetic schema, so the class is derived from the
+    order-to-ship delay): one fact-fact equi-join, then conditional
+    counts per class — the map-side CASE evaluation means the only
+    full shuffle after the join carries 3 groups. Both ts columns are
+    NTZ; the day diff is pure date arithmetic, timezone-free."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    cls = (F.when(delay >= 60, F.lit("SLOW"))
+           .when(delay >= 30, F.lit("MEDIUM"))
+           .otherwise(F.lit("FAST")))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(cls.alias("delay_class"), "o_orderpriority")
+        .groupBy("delay_class")
+        .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_count"))
+        .orderBy("delay_class")
+    )
+
+
+@query(
+    "join_q19_disjunctive_pred",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def join_q19_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped disjunctive-predicate revenue: an OR of three
+    brand/size/quantity conjunctions spanning BOTH join sides. The
+    part-only disjunction (brand+size) is factored out and pushed to
+    the part scan before broadcast — Catalyst derives it via
+    constraint propagation, but stating it explicitly pins the
+    pruned-build-side plan; the mixed predicate then filters join
+    output. Single broadcast join, no shuffle until the 1-row agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    part_side = ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)) | \
+                ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)) | \
+                ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15))
+    q = F.col("l_quantity")
+    full = ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+            & q.between(1, 11)) | \
+           ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+            & q.between(10, 20)) | \
+           ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+            & q.between(20, 30))
+    return (
+        li.join(F.broadcast(p.filter(part_side)
+                            .select("p_partkey", "p_brand", "p_size")),
+                li.l_partkey == F.col("p_partkey"))
+        .filter(full)
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count("*").alias("n_lines"))
+    )

@@ -1135,49 +1135,154 @@ def orders_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers):
 
       1. range-repartition the per-customer table on
-         (revenue DESC, custkey) and pin the assignment with a
-         localCheckpoint (range sampling re-draws on recompute — the
-         stats pass and the main pass MUST see identical partitions);
-      2. one bounded collect of per-partition (sum, count) — at most
-         ``defaultParallelism`` rows regardless of SF — yields each
-         partition's prefix offset, the grand total, and the customer
-         count on the driver;
+         (revenue DESC, custkey) — the boundary-sampling pass
+         materializes the lazily-checkpointed aggregate, so the
+         orders aggregation runs once, not twice;
+      2. per-partition (sum, count) stats feed a window over at most
+         ``defaultParallelism`` ROWS (bounded by cluster config, not
+         by data) that turns them into prefix offsets, grand total,
+         and customer count — all broadcast back, no driver collect;
       3. the running total is then a PARALLEL per-partition window
          (partitionBy spark_partition_id) plus the broadcast offset.
 
-    Every task handles one range slice; no global window anywhere."""
+    The stats branch and the main branch consume the SAME range
+    exchange (ReusedExchange — asserted in tests), so everything
+    happens in one action; every task handles one range slice; no
+    data-cardinality window anywhere."""
     o = load_table(spark, sf_dir, "orders")
-    per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    per_cust = (o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+                .localCheckpoint(eager=False))
     nparts = spark.sparkContext.defaultParallelism
     pc = (per_cust.repartitionByRange(nparts, F.desc("revenue"), F.col("o_custkey"))
-          .withColumn("_pid", F.spark_partition_id())
-          .localCheckpoint(eager=True))
+          .withColumn("_pid", F.spark_partition_id()))
 
-    part_stats = sorted(
-        pc.groupBy("_pid").agg(F.sum("revenue").alias("s"),
-                               F.count("*").alias("c")).collect(),
-        key=lambda r: r._pid)
-    total_rev = float(sum(r.s for r in part_stats))
-    n_customers = int(sum(r.c for r in part_stats))
-    offsets, acc = [], 0.0
-    for r in part_stats:
-        offsets.append((int(r._pid), acc))
-        acc += float(r.s)
-    off_df = spark.createDataFrame(offsets, "_pid int, _off double")
+    stats = pc.groupBy("_pid").agg(F.sum("revenue").alias("_s"),
+                                   F.count("*").alias("_c"))
+    # window over <= nparts rows: bounded by cluster parallelism
+    woff = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = stats.select(
+        "_pid", F.coalesce(F.sum("_s").over(woff), F.lit(0.0)).alias("_off"))
+    totals = stats.agg(F.sum("_s").alias("_total"),
+                       F.sum("_c").cast("long").alias("_n"))
 
     w = (W.partitionBy("_pid").orderBy(F.desc("revenue"), "o_custkey")
          .rowsBetween(W.unboundedPreceding, W.currentRow))
-    ranked = (pc.join(F.broadcast(off_df), "_pid")
+    ranked = (pc.join(F.broadcast(offsets), "_pid")
               .select("revenue",
                       (F.sum("revenue").over(w) + F.col("_off")).alias("cum_rev")))
-    top = ranked.filter(
-        F.col("cum_rev") - F.col("revenue") < 0.8 * F.lit(total_rev))
+    top = (ranked.crossJoin(F.broadcast(totals))
+           .filter(F.col("cum_rev") - F.col("revenue") < 0.8 * F.col("_total")))
     return (
         top.agg(
             F.count("*").alias("n_top_customers"),
-            F.round(F.min(F.col("cum_rev") / F.lit(total_rev)), 4).alias("first_share"),
-            F.round(F.max(F.col("cum_rev") / F.lit(total_rev)), 4).alias("reached_share"))
-        .select("n_top_customers",
-                F.lit(n_customers).cast("long").alias("n_customers"),
-                "first_share", "reached_share")
+            F.first("_n").alias("n_customers"),
+            F.round(F.min(F.col("cum_rev") / F.col("_total")), 4).alias("first_share"),
+            F.round(F.max(F.col("cum_rev") / F.col("_total")), 4).alias("reached_share"))
+        .select("n_top_customers", "n_customers", "first_share", "reached_share")
+    )
+
+
+@query(
+    "subq_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def subq_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped top supplier: quarterly revenue per supplier,
+    keep the supplier(s) hitting the global maximum. The correlated
+    'revenue = (SELECT MAX(...))' is decorrelated to a 1-row max
+    aggregate broadcast back onto the (already tiny) revenue table;
+    the supplier dim joins broadcast. Revenue is rounded to cents on
+    BOTH sides before the max-equality so double fold order cannot
+    split the tie set. Shuffles: the l_suppkey agg only — the
+    selective shipdate range reaches the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+                  & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp_ntz")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == F.col("_mx"))
+        .join(F.broadcast(s), rev.supplier_no == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "subq_q21_waiting_sole_late_supplier",
+    oracle="""
+    WITH fl AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS is_late
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM fl WHERE is_late) l1
+    JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM fl l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM fl l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.is_late)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 10
+    """,
+)
+def subq_q21_waiting_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped 'suppliers who kept orders waiting': on
+    finished orders, count per supplier the orders where it shipped
+    late (> 60 days after order date; the synthetic schema has no
+    commit/receipt dates) AND at least one other supplier is on the
+    order (EXISTS -> left-semi) AND no other supplier was late
+    (NOT EXISTS -> left-anti). Both correlated subqueries decorrelate
+    to keyed semi/anti joins on l_orderkey — never nested loops; the
+    shared finished-order line set is computed once and reused by all
+    three roles (Catalyst reuses the shuffle exchange)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    fl = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey",
+                (F.col("l_shipdate") > F.col("o_orderdate")
+                 + F.expr("INTERVAL 60 DAYS")).alias("is_late"))
+    )
+    l1 = fl.filter("is_late").select("l_orderkey", "l_suppkey").distinct()
+    others = (fl.select(F.col("l_orderkey").alias("_ok"),
+                        F.col("l_suppkey").alias("_sk"),
+                        "is_late"))
+    with_other = l1.join(
+        others, (l1.l_orderkey == others._ok) & (l1.l_suppkey != others._sk),
+        "left_semi")
+    sole_late = with_other.join(
+        others.filter("is_late"),
+        (with_other.l_orderkey == others._ok) & (with_other.l_suppkey != others._sk),
+        "left_anti")
+    return (
+        sole_late.join(F.broadcast(s), sole_late.l_suppkey == s.s_suppkey)
+        .groupBy("s_name").agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
     )

@@ -75,3 +75,31 @@ def test_store_rebuild_is_stable(spark, tmp_path):
     build_dedup_store(d, dest, jaccard_threshold=0.5)
     second = sorted(tuple(r) for r in load_pairs(spark, dest).collect())
     assert first == second
+
+
+def test_incremental_pairs_match_full_rebuild(spark, tmp_path):
+    """Incremental new-vs-store dedup must equal the full-rebuild pair
+    set restricted to pairs touching the new batch."""
+    from hackmd_data_pipeline_spark.operators.dedup_store import incremental_pairs
+
+    dest = str(tmp_path / "dedup_store")
+    d = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") < 200)
+    # new batch: fresh docs + a clone of an OLD doc + a clone pair WITHIN the batch
+    fresh = d.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 260))
+    clone_of_old = old.limit(1).select((F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
+    in_batch_a = fresh.limit(1).select((F.col("doc_id") + 3_000_000).alias("doc_id"), "text")
+    new = fresh.union(clone_of_old).union(in_batch_a)
+
+    build_dedup_store(old, dest, jaccard_threshold=0.5)
+    inc = {(r.id_a, r.id_b, r.jaccard)
+           for r in incremental_pairs(new, dest, jaccard_threshold=0.5).collect()}
+
+    full = minhash_lsh_pairs(old.union(new), jaccard_threshold=0.5).collect()
+    new_ids = {r.doc_id for r in new.collect()}
+    expected = {(r.id_a, r.id_b, r.jaccard) for r in full
+                if r.id_a in new_ids or r.id_b in new_ids}
+    assert inc == expected
+    # the engineered duplicates are actually found
+    assert any(b >= 2_000_000 for _, b, _ in inc), "old-clone pair missing"
+    assert any(b >= 3_000_000 for _, b, _ in inc), "in-batch clone pair missing"

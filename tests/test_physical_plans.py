@@ -156,7 +156,49 @@ _BNLJ_OK = {
     "sim_ann_ivf",
     "events_type_cooccurrence",  # 1-row user-count scalar cross join
     "customer_rfm_segments",     # 1-row percentile-cut-points cross join
+    "orders_pareto_customers",   # 1-row totals scalar cross join
 }
+
+
+def test_pareto_reuses_range_exchange(spark):
+    """The Pareto two-pass prefix sum must consume ONE range exchange
+    from both its stats branch and its ranked branch — a second range
+    shuffle would mean the distributed prefix sum pays the
+    partitioning twice. AQE performs exchange reuse at runtime, so
+    the assertion reads the FINAL adaptive plan after execution."""
+    df = REGISTRY["orders_pareto_customers"].builder(spark, SF_CORRECT)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, (
+        "stats/ranked branches don't share the range exchange")
+
+
+# Unpartitioned Window nodes funnel their whole input through ONE
+# task — allowed only where the input is provably bounded first.
+_GLOBAL_WINDOW_OK = {
+    "docs_zipf_rank_frequency",   # input capped at 30 rows by TakeOrderedAndProject
+    "orders_pareto_customers",    # offsets window over <= defaultParallelism stats rows
+}
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_unbounded_global_window(spark, name):
+    """No registered query may rank/accumulate unbounded rows in a
+    single-partition window (the r01 verdict's RFM/Zipf/Pareto
+    finding, now pinned registry-wide): a physical Window node whose
+    spec has no PARTITION BY shows exactly two bracket groups
+    (functions, ordering) instead of three."""
+    import re
+    if name in _GLOBAL_WINDOW_OK:
+        return
+    df = REGISTRY[name].builder(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if re.search(r"\bWindow\b", line):
+            groups = re.findall(r"\[[^\]]*\]", line)
+            assert len(groups) != 2, (
+                f"{name} plans a single-partition global window: {line.strip()[:160]}")
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
