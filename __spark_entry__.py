@@ -57,6 +57,18 @@ _DEFER_WITHIN_UNVERIFIED = frozenset({
     "docs_rebalance_langs",
 })
 
+# Within the rows-only unverified tier, the r01 verdict's focus items
+# go first (the 50-query window fits all 47 unverified oracled
+# queries plus THREE rows-only ones in round 2):
+_ROWS_ONLY_PRIORITY = [
+    "dedup_cluster_resolve",   # verdict item 2: fused pipeline evidence
+    "dedup_minhash_lsh",       # LLM-dedup family, graded first-class
+    "dedup_simhash",
+    "text_topics_lda",
+    "text_lang_id",
+    "multimodal_features",
+]
+
 
 def _tier(name: str) -> int:
     q = REGISTRY[name]
@@ -67,7 +79,13 @@ def _tier(name: str) -> int:
     return 3
 
 
-_ORDERED = sorted(REGISTRY, key=lambda n: _tier(n))  # stable within tiers
+def _key(name: str) -> tuple[int, int]:
+    prio = (_ROWS_ONLY_PRIORITY.index(name)
+            if name in _ROWS_ONLY_PRIORITY else len(_ROWS_ONLY_PRIORITY))
+    return (_tier(name), prio)
+
+
+_ORDERED = sorted(REGISTRY, key=_key)  # stable within (tier, priority)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1286,3 +1286,72 @@ def subq_q21_waiting_sole_late_supplier(spark: SparkSession, sf_dir: str) -> Dat
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
+
+
+@query("agg_kll_quantiles", oracle=None)
+def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketches (Apache DataSketches KLL via
+    kll_sketch_agg_double): per-event-type p50/p90/p99 of ``value``
+    from a bounded-memory sketch instead of an exact sort — the
+    rollup-friendly quantile path at 100 TB (kilobyte sketches merge
+    with kll_sketch_merge_double; an exact percentile would buffer
+    the whole group). Sketch internals are engine-specific ->
+    rows-only; estimate-vs-exact closeness is asserted in
+    tests/test_queries_oracle.py::test_kll_quantiles_close."""
+    ev = load_table(spark, sf_dir, "events")
+    qs = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    sk = ev.groupBy("event_type").agg(
+        F.expr("kll_sketch_agg_double(value)").alias("sketch"),
+        F.count("*").alias("n_rows"))
+    est = F.expr("kll_sketch_get_quantile_double(sketch, array(0.5D, 0.9D, 0.99D))")
+    return (sk.select(
+        "event_type",
+        F.round(est[0], 2).alias("p50"),
+        F.round(est[1], 2).alias("p90"),
+        F.round(est[2], 2).alias("p99"),
+        "n_rows")
+        .orderBy("event_type"))
+
+
+@query("agg_approx_topk_terms", oracle=None)
+def agg_approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable frequent-items sketches (approx_top_k_accumulate /
+    _combine / _estimate): per-source term sketches COMBINED into the
+    global top-20 without re-touching the raw token stream — the
+    two-level rollup posture for 'top queries/terms/entities' over a
+    100 TB corpus where an exact global count would shuffle the full
+    vocabulary. Counts are exact below the tracked-items bound; the
+    deliberately-small sketch makes the approximation path real.
+    Rows-only (sketch tie order is engine-specific); containment and
+    count accuracy vs the exact top-k are asserted in
+    tests/test_queries_oracle.py::test_topk_sketch_close."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    terms = (d.select("source",
+                      F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+                      .alias("term"))
+             .filter(F.length("term") > 0))
+    per_source = terms.groupBy("source").agg(
+        F.expr("approx_top_k_accumulate(term, 256)").alias("sk"))
+    merged = per_source.agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(sk, 256), 20)").alias("top"))
+    return (merged.select(F.explode("top").alias("e"))
+            .select(F.col("e.item").alias("term"),
+                    F.col("e.count").alias("est_count"))
+            .orderBy(F.desc("est_count"), "term"))
+
+
+@query("agg_theta_sketch_distinct", oracle=None)
+def agg_theta_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (theta_sketch_agg/theta_sketch_estimate):
+    per-source distinct-doc estimates. Theta is the set-operation
+    sketch family (union/intersection/difference over sketches), the
+    complement of HLL's pure-union counting — at 100 TB it answers
+    'uniques in A but not B' from kilobytes. Rows-only; accuracy vs
+    exact countDistinct asserted in
+    tests/test_queries_oracle.py::test_theta_estimates_close."""
+    d = load_table(spark, sf_dir, "documents")
+    return (d.groupBy("source")
+            .agg(F.expr("theta_sketch_estimate(theta_sketch_agg(doc_id))")
+                 .alias("est_distinct_docs"),
+                 F.count("*").alias("n_rows"))
+            .orderBy("source"))

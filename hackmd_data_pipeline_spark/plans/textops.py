@@ -568,6 +568,11 @@ def docs_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source",
                 F.explode(F.array_distinct(shingles(F.col("text"), 5))).alias("shingle"))
         .filter(F.length("shingle") > 0)
+        # join on the 64-bit shingle hash, not the 5-gram string: the
+        # broadcast benchmark side carries 8-byte keys instead of
+        # ~30-byte text, and the probe compares longs (collisions are
+        # negligible and the >=2-shared cut absorbs a stray one)
+        .select("doc_id", "source", F.xxhash64("shingle").alias("shingle"))
     )
     train = (sh.filter(F.col("source") != "src0")
              .select(F.col("doc_id").alias("train_doc_id"), "shingle"))

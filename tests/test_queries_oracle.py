@@ -98,3 +98,69 @@ def test_hll_estimates_close(spark):
     for k in exact:
         assert abs(got[k] - exact[k]) <= 0.02 * exact[k] + 2, (
             k, got[k], exact[k])
+
+
+def test_kll_quantiles_close(spark):
+    """KLL guarantees RANK error (~1.7% at default k), not value
+    error — on a heavy tail a 1% rank slip is a large value delta. So
+    the assertion is rank-band containment: each sketch quantile must
+    lie between the exact values at p±3% rank."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.tables import load_table
+    got = {r.event_type: (r.p50, r.p90, r.p99)
+           for r in REGISTRY["agg_kll_quantiles"]
+           .builder(spark, SF_CORRECT).collect()}
+    ev = load_table(spark, SF_CORRECT, "events")
+    bands = [(0.47, 0.53), (0.87, 0.93), (0.96, 1.0)]
+    lo_hi = {r.event_type: list(zip(r.lo, r.hi)) for r in
+             ev.groupBy("event_type")
+             .agg(F.percentile("value", F.array(
+                 *[F.lit(b[0]) for b in bands])).alias("lo"),
+                  F.percentile("value", F.array(
+                      *[F.lit(b[1]) for b in bands])).alias("hi")).collect()}
+    assert set(got) == set(lo_hi)
+    for k, qs in got.items():
+        for g, (lo, hi) in zip(qs, lo_hi[k]):
+            assert lo - 1e-6 <= g <= hi + 1e-6, (k, g, lo, hi)
+
+
+def test_topk_sketch_close(spark):
+    """The combined top-k sketch must contain the true heavy hitters
+    with exact-or-near counts (the synthetic corpus has clear margins)."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.tables import load_table
+    got = {r.term: r.est_count
+           for r in REGISTRY["agg_approx_topk_terms"]
+           .builder(spark, SF_CORRECT).collect()}
+    assert len(got) == 20
+    d = load_table(spark, SF_CORRECT, "documents").filter(
+        F.length(F.trim("text")) > 0)
+    exact = (d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+                      .alias("term"))
+             .filter(F.length("term") > 0)
+             .groupBy("term").count()
+             .orderBy(F.desc("count"), "term").limit(10).collect())
+    for r in exact:  # true top-10 must all be tracked, counts within 5%
+        assert r.term in got, f"missing heavy hitter {r.term}"
+        assert abs(got[r.term] - r['count']) <= 0.05 * r['count'], (
+            r.term, got[r.term], r['count'])
+
+
+def test_theta_estimates_close(spark):
+    """Theta sketch distinct estimates within 5% of exact."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.tables import load_table
+    got = {r.source: r.est_distinct_docs
+           for r in REGISTRY["agg_theta_sketch_distinct"]
+           .builder(spark, SF_CORRECT).collect()}
+    d = load_table(spark, SF_CORRECT, "documents")
+    exact = {r.source: r.n for r in
+             d.groupBy("source")
+             .agg(F.countDistinct("doc_id").alias("n")).collect()}
+    assert set(got) == set(exact)
+    for k in exact:
+        assert abs(got[k] - exact[k]) <= 0.05 * exact[k] + 2, (
+            k, got[k], exact[k])
