@@ -722,3 +722,50 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("exact_dedup", deduped, 3))
         .orderBy("stage_order")
     )
+
+
+@query(
+    "docs_chunk_sliding",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS toks
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ), chunks AS (
+        SELECT doc_id,
+               CAST((s - 1) / 24 AS BIGINT)               AS chunk_id,
+               list_slice(toks, s, LEAST(s + 31, len(toks))) AS chunk
+        FROM t, UNNEST(range(1, len(toks) + 1, 24)) AS u(s)
+    )
+    SELECT doc_id, chunk_id,
+           len(chunk)                        AS n_chunk_tokens,
+           array_to_string(chunk, ' ')      AS chunk_text
+    FROM chunks
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def docs_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (window 32 tokens, stride 24,
+    8-token overlap) — the context-window splitter every LLM training
+    pipeline runs before tokenization/packing. Pure codegen'd array
+    ops: one ``sequence`` of chunk starts per doc, explode, ``slice``
+    — no Python, no shuffle until the output sort; chunk count is
+    ceil(n_tok/stride), so output size is linear in corpus tokens.
+    Tail chunks are shorter by construction (slice clamps); empty
+    docs yield no chunks."""
+    window, stride = 32, 24
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = d.select("doc_id", toks.alias("toks"))
+    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(stride))
+    return (
+        t.select("doc_id", "toks", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / stride).cast("long").alias("chunk_id"),
+            F.slice(F.col("toks"), F.col("s"), F.lit(window)).alias("chunk"))
+        .select(
+            "doc_id", "chunk_id",
+            F.size("chunk").alias("n_chunk_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    )
