@@ -43,3 +43,28 @@ class Engine:
 
     def query_names(self) -> list[str]:
         return sorted(REGISTRY)
+
+    # ----- corpus-maintenance surfaces (operators with state on disk)
+
+    def build_dedup_store(self, dest: str, **kwargs) -> None:
+        """Materialize the MinHash dedup artifact chain for the
+        documents table (operators/dedup_store.py)."""
+        from .operators.dedup_store import build_dedup_store
+        build_dedup_store(self.tables["documents"], dest, **kwargs)
+
+    def dedup_new_batch(self, new_docs: DataFrame, store_dest: str,
+                        **kwargs) -> DataFrame:
+        """Near-dup pairs of a new batch vs a built store + itself."""
+        from .operators.dedup_store import incremental_pairs
+        return incremental_pairs(new_docs, store_dest, **kwargs)
+
+    def build_ann_index(self, dest: str, **kwargs) -> None:
+        """Persist the cell-partitioned IVF index for embeddings."""
+        from .operators.similarity import build_ivf_index
+        build_ivf_index(self.tables["embeddings"], dest, **kwargs)
+
+    def write_zordered(self, df: DataFrame, dest: str,
+                       cols: list[str], **kwargs) -> None:
+        """Write a DataFrame clustered on a Morton curve of ``cols``."""
+        from .operators.zorder import write_zordered
+        write_zordered(df, dest, cols, **kwargs)

@@ -35,3 +35,27 @@ def test_named_query_dispatch(spark):
     eng = Engine(spark, SF_CORRECT)
     assert "q1_pricing_summary" in eng.query_names()
     assert eng.query("q1_pricing_summary").count() > 0
+
+
+def test_maintenance_surfaces(spark, tmp_path):
+    """The facade's corpus-maintenance methods drive the disk-state
+    operators end-to-end."""
+    from hackmd_data_pipeline_spark.api import Engine
+    from hackmd_data_pipeline_spark.operators.dedup_store import load_pairs
+
+    from .conftest import SF_CORRECT
+    eng = Engine(spark, SF_CORRECT)
+
+    store = str(tmp_path / "store")
+    eng.build_dedup_store(store, jaccard_threshold=0.5)
+    assert load_pairs(spark, store).columns == ["id_a", "id_b", "jaccard"]
+
+    new = eng.tables["documents"].limit(3).selectExpr(
+        "doc_id + 9000000 as doc_id", "text")
+    pairs = eng.dedup_new_batch(new, store, jaccard_threshold=0.9)
+    assert {r.id_b for r in pairs.collect()} == {9000000, 9000001, 9000002}
+
+    zdir = str(tmp_path / "z")
+    eng.write_zordered(eng.tables["orders"], zdir,
+                       ["o_custkey", "o_totalprice"], num_files=4)
+    assert spark.read.parquet(zdir).count() == eng.tables["orders"].count()
