@@ -376,3 +376,90 @@ def ivf_search_index(spark: SparkSession, index_path: str, queries: DataFrame,
         .select(query_id_col, id_col, F.round(F.col("_cos"), 6).alias("cosine"), "rank")
         .orderBy(query_id_col, "rank")
     )
+
+
+def lsh_hyperplane_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                        n_planes: int = 12, n_tables: int = 4,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        query_id_col: str = "query_id",
+                        seed: int = 42) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH (Charikar
+    SimHash for angles) — the bucketed ANN alternative to IVF when no
+    quantizer training pass is wanted: ``n_tables`` independent hash
+    tables of ``n_planes`` signed projections each; a corpus vector
+    is a candidate for a query iff they share a bucket in ANY table.
+
+    Plan shape: the corpus is signed in ONE vectorized mapInPandas
+    pass (batch x (tables*planes) matmul) and exploded to
+    (table, bucket) rows; candidates come from an equi-join on the
+    bucket key against the (tiny, broadcast) query buckets — shuffle
+    by bucket, never all-pairs — then exact cosine rescoring and a
+    per-query top-k window. Collision probability per table is
+    (1 - theta/pi)^n_planes, so recall is tuned by n_planes (bucket
+    selectivity) x n_tables (second chances); the planes are seeded,
+    so the index is reproducible.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # one (dim x n_tables*n_planes) projection matrix, lazily sized on
+    # the first Arrow batch (dim isn't known until data arrives)
+    state: dict = {}
+
+    def planes_for(dim: int):
+        if "P" not in state:
+            state["P"] = rng.standard_normal((dim, n_tables * n_planes))
+        return state["P"]
+
+    pow2 = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def sign_buckets(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = (m @ planes_for(m.shape[1])) > 0  # (n, tables*planes)
+            bits = bits.reshape(len(m), n_tables, n_planes)
+            buckets = (bits * pow2).sum(axis=2)  # (n, tables)
+            norms = np.linalg.norm(m, axis=1)
+            rows = {
+                id_col: np.repeat(pdf[id_col].to_numpy(), n_tables),
+                vec_col: [v for v in pdf[vec_col] for _ in range(n_tables)],
+                "_table": np.tile(np.arange(n_tables, dtype=np.int32), len(m)),
+                "_bucket": buckets.astype(np.int64).ravel(),
+                "_norm": np.repeat(norms, n_tables),
+            }
+            yield pd.DataFrame(rows)
+
+    bucket_schema = (corpus.select(id_col, vec_col).schema
+                     .add("_table", "integer").add("_bucket", "long")
+                     .add("_norm", "double"))
+    corpus_b = corpus.select(id_col, vec_col).mapInPandas(
+        sign_buckets, schema=bucket_schema)
+
+    q_in = queries.select(F.col(query_id_col).alias(id_col),
+                          F.col(vec_col))
+    query_b = (q_in.mapInPandas(sign_buckets, schema=bucket_schema)
+               .select(F.col(id_col).alias(query_id_col),
+                       _as_double(F.col(vec_col)).alias("_qvec"),
+                       "_table", "_bucket",
+                       F.col("_norm").alias("_qnorm")))
+
+    cand = (
+        corpus_b.join(F.broadcast(query_b), ["_table", "_bucket"])
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(query_id_col, id_col, "_qvec", "_qnorm",
+                _as_double(F.col(vec_col)).alias("_cvec"), "_norm")
+        .dropDuplicates([query_id_col, id_col])  # same pair from 2 tables
+        .select(query_id_col, id_col,
+                (dot_product_raw(F.col("_cvec"), F.col("_qvec"))
+                 / (F.col("_norm") * F.col("_qnorm"))).alias("_cos"))
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, F.round(F.col("_cos"), 6).alias("cosine"), "rank")
+        .orderBy(query_id_col, "rank")
+    )

@@ -228,3 +228,22 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("id") == F.col("cluster_id")).alias("is_canonical"))
         .orderBy("doc_id")
     )
+
+
+@query("sim_ann_lsh", oracle=None)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (north star: the 'LSH-bucketed
+    variant' of similarity search) — bucketed candidate generation,
+    exact cosine rescoring, no training pass. Plane count is the
+    selectivity dial: collision probability per table is
+    (1 - theta/pi)^n_planes, so FEW planes = coarse buckets for
+    low-similarity corpora (this synthetic table's nearest neighbors
+    sit near cosine 0.3), MANY planes = sharp buckets for near-dup
+    regimes (the planted-duplicate contract tested in
+    tests/test_similarity.py::test_lsh_ann_finds_planted_neighbors).
+    Approximate by design: rows-only."""
+    from ..operators.similarity import lsh_hyperplane_topk
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return lsh_hyperplane_topk(emb, queries, k=10, n_planes=4, n_tables=8)

@@ -99,3 +99,43 @@ def test_ivf_persisted_index_prunes_partitions(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*cell[^\]]*)\]", plan)
     assert m, f"no partition filter on cell in scan:\n{plan}"
+
+
+def test_lsh_ann_finds_planted_neighbors(spark):
+    """LSH's contract is the HIGH-similarity regime (no natural pair
+    in the synthetic embeddings exceeds cosine ~0.51, so natural
+    top-10 recall cannot separate LSH from chance): plant near-exact
+    duplicates and require the sharp-bucket configuration to surface
+    them as the top hit, with exact rescored cosines."""
+    import numpy as np
+
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        cosine,
+        lsh_hyperplane_topk,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    base = emb.limit(3).collect()
+    # queries = tiny perturbations of 3 corpus vectors (cosine > 0.99)
+    rng = np.random.default_rng(7)
+    qrows = [(int(r.vec_id) + 5_000_000,
+              [float(x) + float(e) for x, e in
+               zip(r.embedding, rng.normal(0, 1e-3, len(r.embedding)))])
+             for r in base]
+    queries = spark.createDataFrame(qrows, "query_id long, embedding array<float>")
+
+    res = lsh_hyperplane_topk(emb, queries, k=5, n_planes=10, n_tables=6)
+    top1 = {r.query_id: (r.vec_id, r.cosine) for r in res.collect() if r.rank == 1}
+    for r in base:
+        planted = int(r.vec_id) + 5_000_000
+        assert planted in top1, f"planted query {planted} found nothing"
+        assert top1[planted][0] == r.vec_id, (
+            f"planted near-dup of {r.vec_id} not the top hit: {top1[planted]}")
+        assert top1[planted][1] > 0.99
+
+    # rescored cosines must equal the exact definition
+    qdf = queries.withColumnRenamed("query_id", "qid")
+    joined = (res.join(emb.select("vec_id", F.col("embedding").alias("cvec")), "vec_id")
+              .join(qdf, res.query_id == qdf.qid)
+              .select("cosine", cosine(F.col("cvec"), F.col("embedding")).alias("c2")))
+    assert joined.filter(F.abs(F.col("cosine") - F.round(F.col("c2"), 6)) > 1e-9).count() == 0
