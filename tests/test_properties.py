@@ -178,3 +178,46 @@ def test_interval_join_matches_nonequi(spark, lefts, rights):
             for ri, (rk, rsec) in enumerate(rights)
             if lk == rk and lsec - 60 <= rsec <= lsec}
     assert got == want
+
+
+@given(st.lists(st.integers(min_value=1, max_value=120), min_size=1, max_size=8))
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_chunking_covers_every_token(spark, n_tokens_per_doc):
+    """docs_chunk_sliding invariants on synthetic docs: every token
+    position lands in at least one chunk, full chunks are exactly
+    `window` long, consecutive full chunks overlap window-stride, and
+    chunk count is ceil(n/stride)."""
+    import math
+
+    window, stride = 32, 24
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(n)))
+            for i, n in enumerate(n_tokens_per_doc)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("_chunk_docs")
+
+    from pyspark.sql import functions as F
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(stride))
+    out = (df.select("doc_id", toks.alias("toks"))
+           .select("doc_id", "toks", F.explode(starts).alias("s"))
+           .select("doc_id",
+                   ((F.col("s") - 1) / stride).cast("long").alias("chunk_id"),
+                   F.slice(F.col("toks"), F.col("s"), F.lit(window)).alias("chunk"))
+           ).collect()
+
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, n in enumerate(n_tokens_per_doc):
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        assert len(chunks) == math.ceil(n / stride)
+        covered = set()
+        for r in chunks:
+            covered.update(r.chunk)
+            if r.chunk_id < len(chunks) - 1 and n - r.chunk_id * stride >= window:
+                assert len(r.chunk) == window
+        assert len(covered) == n  # tokens are unique by construction
+        # consecutive full chunks share exactly window-stride tokens
+        for a, b in zip(chunks, chunks[1:]):
+            if len(a.chunk) == window:
+                assert len(set(a.chunk) & set(b.chunk)) == window - stride
