@@ -16,17 +16,38 @@ order is preserved.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
 from hackmd_data_pipeline_spark.plans import REGISTRY
 
-# Queries with a usable row in CORRECTNESS_r01.json (green oracle
-# match or recorded rows-only). fn_collection_suite is deliberately
-# NOT here: its r01 row was a harness error (array columns broke the
-# driver's pandas canonicalizer — fixed in plans/textops.py), so it
-# must be re-sampled.
+
+def _covered_from_artifacts() -> frozenset:
+    """Union of query names with a USABLE row in any recorded
+    CORRECTNESS_r*.json (green oracle match or rows-only) — rows whose
+    err is a harness failure don't count and get re-sampled. Falls
+    back to the static r01 set below if no artifact parses (e.g. a
+    checkout without round artifacts)."""
+    covered: set = set()
+    for p in sorted(Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")):
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("err") in (None, "no_oracle"):
+                covered.add(name)
+    return frozenset(covered)
+
+
+# Static fallback: queries with a usable row in CORRECTNESS_r01.json
+# (green oracle match or recorded rows-only). fn_collection_suite is
+# deliberately NOT here: its r01 row was a harness error (array
+# columns broke the driver's pandas canonicalizer — fixed in
+# plans/textops.py), so it must be re-sampled.
 _R01_COVERED = frozenset({
     "q1_pricing_summary", "o29_count_filtered", "o30_group_run_stats",
     "agg_distinct_counts", "agg_approx_distinct", "agg_rollup_region_nation",
@@ -70,9 +91,12 @@ _ROWS_ONLY_PRIORITY = [
 ]
 
 
+_GATE_COVERED = _covered_from_artifacts() or _R01_COVERED
+
+
 def _tier(name: str) -> int:
     q = REGISTRY[name]
-    if name not in _R01_COVERED:
+    if name not in _GATE_COVERED:
         if name in _DEFER_WITHIN_UNVERIFIED:
             return 2
         return 0 if q.oracle is not None else 1
