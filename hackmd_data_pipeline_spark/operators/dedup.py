@@ -456,3 +456,49 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a",
             break
         prev_sum = cur_sum
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def partial_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", window: int = 32,
+                          stride: int = 24, num_hashes: int = 16,
+                          bands: int = 4, shingle_n: int = 3,
+                          jaccard_threshold: float = 0.8) -> DataFrame:
+    """Doc pairs sharing a near-duplicate SECTION: ``(doc_a, doc_b,
+    n_matching_chunks, max_jaccard)``.
+
+    Whole-doc Jaccard dilutes a copied paragraph inside an otherwise
+    new document below any usable threshold; chunk-level MinHash does
+    not. Composition: slide ``window``-token chunks (stride
+    ``stride``) over each doc, run the FUSED MinHash-LSH pipeline over
+    the chunk corpus (chunk count is linear in corpus tokens; all the
+    sub-quadratic candidate bounds carry over), then fold chunk pairs
+    back to doc pairs, dropping within-doc self-overlap (adjacent
+    sliding chunks always share window-stride tokens).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    starts = F.sequence(F.lit(1), F.size("toks"), F.lit(stride))
+    chunks = (
+        df.filter(F.length(F.trim(text_col)) > 0)
+        .select(F.col(id_col), toks.alias("toks"))
+        .select(id_col, F.explode(starts).alias("s"), "toks")
+        .select(
+            F.concat_ws(":", F.col(id_col),
+                        ((F.col("s") - 1) / stride).cast("long")).alias("_ck"),
+            F.array_join(F.slice(F.col("toks"), F.col("s"), F.lit(window)), " ")
+            .alias("_ctext"))
+    )
+    cpairs = minhash_lsh_pairs(chunks, "_ck", "_ctext", num_hashes,
+                               bands, shingle_n, jaccard_threshold,
+                               sort=False)
+    doc_a = F.split(F.col("id_a"), ":")[0].cast("long")
+    doc_b = F.split(F.col("id_b"), ":")[0].cast("long")
+    return (
+        cpairs.select(F.least(doc_a, doc_b).alias("doc_a"),
+                      F.greatest(doc_a, doc_b).alias("doc_b"),
+                      "jaccard")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_matching_chunks"),
+             F.max("jaccard").alias("max_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )

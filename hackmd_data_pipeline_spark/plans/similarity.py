@@ -247,3 +247,17 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding")
     return lsh_hyperplane_topk(emb, queries, k=10, n_planes=4, n_tables=8)
+
+
+@query("dedup_partial_overlap", oracle=None)
+def dedup_partial_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level near-dup pairs (north star: section-level
+    plagiarism/copy detection): sliding 32-token chunks -> fused
+    MinHash-LSH over the chunk corpus -> fold back to doc pairs.
+    Finds docs sharing a copied section whose WHOLE-doc Jaccard is
+    diluted below threshold; the planted-section contrast contract is
+    tested in tests/test_similarity.py::test_partial_overlap. LSH
+    bucketing is engine-specific -> rows-only."""
+    from ..operators.dedup import partial_overlap_pairs
+    d = load_table(spark, sf_dir, "documents")
+    return partial_overlap_pairs(d, jaccard_threshold=0.8)

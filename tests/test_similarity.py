@@ -139,3 +139,29 @@ def test_lsh_ann_finds_planted_neighbors(spark):
               .join(qdf, res.query_id == qdf.qid)
               .select("cosine", cosine(F.col("cvec"), F.col("embedding")).alias("c2")))
     assert joined.filter(F.abs(F.col("cosine") - F.round(F.col("c2"), 6)) > 1e-9).count() == 0
+
+
+def test_partial_overlap_finds_shared_section(spark):
+    """A doc that copies ~40 tokens of another doc into otherwise-new
+    text must pair at CHUNK level even though whole-doc Jaccard stays
+    below threshold."""
+    from hackmd_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        partial_overlap_pairs,
+    )
+
+    d = load_table(spark, SF_CORRECT, "documents").limit(100)
+    donor = d.filter(F.col("doc_id") == 0).collect()[0]
+    section = " ".join(str(donor.text).split()[:40])
+    filler = " ".join(f"zz{i} novel filler token" for i in range(40))
+    frankendoc = [(4_000_000, section + " " + filler)]
+    corpus = d.select("doc_id", "text").union(
+        spark.createDataFrame(frankendoc, "doc_id long, text string"))
+
+    whole = {(r.id_a, r.id_b)
+             for r in minhash_lsh_pairs(corpus, jaccard_threshold=0.8).collect()}
+    assert (0, 4_000_000) not in whole, "whole-doc Jaccard should be diluted"
+
+    partial = {(r.doc_a, r.doc_b): r.n_matching_chunks
+               for r in partial_overlap_pairs(corpus, jaccard_threshold=0.8).collect()}
+    assert (0, 4_000_000) in partial, f"shared section not found: {partial}"
