@@ -27,10 +27,13 @@ from hackmd_data_pipeline_spark.plans import REGISTRY
 
 def _covered_from_artifacts() -> frozenset:
     """Union of query names with a USABLE row in any recorded
-    CORRECTNESS_r*.json (green oracle match or rows-only) — rows whose
-    err is a harness failure don't count and get re-sampled. Falls
-    back to the static r01 set below if no artifact parses (e.g. a
-    checkout without round artifacts)."""
+    CORRECTNESS_r*.json: a green oracle match (hash_match true) or a
+    recorded rows-only check (err == "no_oracle"). Rows with a harness
+    failure OR a hash mismatch do NOT count — they must re-enter the
+    driver's sample window until green (round-2 verdict: a hash-fail
+    row has err null, so the old err-only check wrongly parked the 4
+    HUGEINT-oracle failures in the covered tier forever). Falls back
+    to the static r01 set below if no artifact parses."""
     covered: set = set()
     for p in sorted(Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")):
         try:
@@ -38,7 +41,9 @@ def _covered_from_artifacts() -> frozenset:
         except (OSError, ValueError):
             continue
         for name, row in data.items():
-            if isinstance(row, dict) and row.get("err") in (None, "no_oracle"):
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True or row.get("err") == "no_oracle":
                 covered.add(name)
     return frozenset(covered)
 
@@ -71,12 +76,11 @@ _R01_COVERED = frozenset({
 
 # Rows-only queries whose repo-side property tests are strongest
 # (disjointness/fraction, packing budget/no-loss, rebalance fractions
-# in tests/test_operators_unit.py) — if the driver's 50-query window
-# cannot fit all unverified queries, these are the safest to defer.
-_DEFER_WITHIN_UNVERIFIED = frozenset({
-    "docs_train_val_test_split", "docs_pack_sequences",
-    "docs_rebalance_langs",
-})
+# in tests/test_operators_unit.py) — only deferred if the driver's
+# 50-query window cannot fit all unverified queries. Round 3: the
+# uncovered set (14 never-gated + 4 hash-fail re-runs) fits with room
+# to spare, so nothing is deferred.
+_DEFER_WITHIN_UNVERIFIED: frozenset = frozenset()
 
 # Within the rows-only unverified tier, the r01 verdict's focus items
 # go first (the 50-query window fits all 47 unverified oracled

@@ -957,10 +957,10 @@ def join_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_q12_shipping_delay_classes",
     oracle="""
     SELECT delay_class,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_priority_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_priority_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_count
     FROM (
         SELECT o.o_orderpriority,
                CASE WHEN DATE_DIFF('day', o.o_orderdate, l.l_shipdate) >= 60 THEN 'SLOW'

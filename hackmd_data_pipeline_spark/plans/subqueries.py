@@ -342,11 +342,11 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot_priority_by_segment",
     oracle="""
     SELECT c_mktsegment,
-           COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS urgent,
-           COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 END), 0) AS high,
-           COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0) AS medium,
-           COALESCE(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END), 0) AS notspec,
-           COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 END), 0) AS low
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS BIGINT) AS urgent,
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH'   THEN 1 END), 0) AS BIGINT) AS high,
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0) AS BIGINT) AS medium,
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END), 0) AS BIGINT) AS notspec,
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 END), 0) AS BIGINT) AS low
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
@@ -384,8 +384,8 @@ def agg_pivot_priority_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     WITH wide AS (
         SELECT c_mktsegment,
-               COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS urgent,
-               COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 END), 0) AS low
+               CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS BIGINT) AS urgent,
+               CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW'    THEN 1 END), 0) AS BIGINT) AS low
         FROM customer JOIN orders ON c_custkey = o_custkey
         GROUP BY c_mktsegment
     )
@@ -530,10 +530,10 @@ def agg_mode_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     )
     SELECT COUNT(*)                                                    AS n_users,
-           COALESCE(SUM(CASE WHEN t_view IS NOT NULL THEN 1 END), 0)   AS viewed,
-           COALESCE(SUM(CASE WHEN t_click > t_view THEN 1 END), 0)     AS clicked_after_view,
-           COALESCE(SUM(CASE WHEN t_purchase > t_click
-                              AND t_click > t_view THEN 1 END), 0)     AS full_funnel
+           CAST(COALESCE(SUM(CASE WHEN t_view IS NOT NULL THEN 1 END), 0) AS BIGINT)   AS viewed,
+           CAST(COALESCE(SUM(CASE WHEN t_click > t_view THEN 1 END), 0) AS BIGINT)     AS clicked_after_view,
+           CAST(COALESCE(SUM(CASE WHEN t_purchase > t_click
+                              AND t_click > t_view THEN 1 END), 0) AS BIGINT)     AS full_funnel
     FROM f
     """,
 )

@@ -1,0 +1,64 @@
+"""Oracle result-schema guard: every DuckDB oracle must emit only
+driver-canonicalizer-safe column types.
+
+Round-2 verdict root cause: DuckDB returns HUGEINT (int128) for
+``SUM(CASE WHEN ... THEN 1 END)`` over integers; the driver
+materializes the oracle result through pandas, where HUGEINT becomes
+float/object and the value hash diverges from Spark's int64 — four
+queries failed hash-match while being value-identical. Round 1 hit the
+same class with LIST cells crashing the canonicalizer.
+
+This test runs each oracle at sf0.001 and asserts the result schema
+contains no HUGEINT / UHUGEINT and no nested (LIST/STRUCT/MAP) types,
+so the whole bug class is caught at commit time instead of in a driver
+round. Ref: reference repo has no analytics oracles — this guards OUR
+gate contract (SURVEY.md §6).
+"""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+# Types pandas cannot hold losslessly in an int64/float64/object-stable
+# column, or that the driver's value-hash canonicalizer chokes on.
+_FORBIDDEN_SUBSTRINGS = ("HUGEINT", "UHUGEINT", "STRUCT", "MAP(", "UNION(")
+
+
+def _oracles() -> dict[str, str]:
+    import __spark_entry__ as entry_mod
+    return entry_mod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck_smoke():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(_oracles()))
+def test_oracle_schema_is_canonicalizer_safe(duck_smoke, name):
+    sql = _oracles()[name]
+    rel = duck_smoke.sql(sql)
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ).upper()
+        for bad in _FORBIDDEN_SUBSTRINGS:
+            assert bad not in t, (
+                f"oracle {name!r} column {col!r} has type {t} — the driver's "
+                f"pandas canonicalizer mangles it; CAST it in the oracle SQL")
+        # LIST types print as e.g. BIGINT[] — forbid any array suffix.
+        assert "[]" not in t, (
+            f"oracle {name!r} column {col!r} is a list type {t} — project "
+            f"to scalars in the oracle SQL")
