@@ -206,43 +206,70 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", bits: int = 32) -> DataFrame:
+                       text_col: str = "text", bits: int = 64) -> DataFrame:
     """``id | simhash`` — SimHash over whitespace tokens.
 
     Per token: xxhash64; per bit: +1/-1 vote; sign of the per-bit sum
-    is the signature bit. One explode + one aggregation with ``bits``
+    is the signature bit. One explode + one aggregation with packed
     sum-columns — single shuffle on id.
+
+    64-bit signature (round-3 scale fix): a 32-bit signature blocked
+    into 8-bit pigeonhole blocks caps the join key space at 256 values
+    per block, so candidate pairs grow O(N²/1024) — quadratic at 100×
+    scale. 64 bits with 16-bit blocks gives 65,536 values per block,
+    the same Hamming-≤3 guarantee, and linear-ish candidate growth.
+
+    Vote packing: 64 independent long sum-columns would double the
+    hash-aggregate buffer vs the old 32. Instead each sum column packs
+    FOUR 16-bit bit-counters (bit i contributes ``1 << (16*(i%4))`` to
+    column ``i//4``): 16 agg buffers for 64 bits. Safe while every doc
+    has <= 32,767 tokens (the top lane occupies bits 48..63 of the
+    signed accumulator); beyond that, chunk docs first (the partial-
+    overlap path) or split the packing into 8 columns of 2 lanes. The
+    synthetic corpus max tokens/doc is ≪ 1k.
     """
+    assert bits == 64, "packed vote kernel is specialized to 64 bits"
     ex = (
         df.select(id_col, F.explode(F.split(F.trim(F.lower(F.col(text_col))), "\\s+")).alias("tok"))
         .filter(F.length("tok") > 0)
         .withColumn("h", F.xxhash64("tok"))
     )
-    # +1/-1 votes reduced as plain bit sums: v_i = 2*s_i - n > 0 <=>
-    # 2*s_i > n — a bare sum of (h>>i)&1 codegens tighter than a
-    # conditional when-sum per bit (measured ~17% off the agg stage)
-    sums = [
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"s_{i}")
-        for i in range(bits)
-    ]
+    # v_i = 2*s_i - n > 0 <=> 2*s_i > n, with s_i = count of set bit i.
+    # Packed: column c sums bits {4c, 4c+1, 4c+2, 4c+3} in lanes
+    # 0..3 (16 bits each). Expressions are built as SQL strings — the
+    # Column-algebra form needed ~900 py4j round-trips and cost ~1.3 s
+    # of driver-side plan-build PER CALL (measured sf0.1; the JVM-side
+    # parse of the same expressions is <10 ms).
+    n_cols = bits // 4
+    sums = []
+    for c in range(n_cols):
+        lanes = " + ".join(
+            f"(shiftleft(shiftright(h, {4 * c + lane}) & 1, {16 * lane}))"
+            for lane in range(4))
+        sums.append(F.expr(f"sum({lanes})").alias(f"s_{c}"))
     per_doc = ex.groupBy(id_col).agg(*sums, F.count("*").alias("_n"))
-    sig = None
-    for i in range(bits):
-        bit = F.when(2 * F.col(f"s_{i}") > F.col("_n"),
-                     F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        term = F.shiftleft(bit, i)
-        sig = term if sig is None else sig + term
-    return per_doc.select(id_col, sig.alias("simhash"))
+    bit_terms = []
+    for c in range(n_cols):
+        for lane in range(4):
+            i = 4 * c + lane
+            s_i = f"(shiftright(s_{c}, {16 * lane}) & 65535)"
+            bit_terms.append(
+                f"shiftleft(cast(if(2 * {s_i} > _n, 1, 0) as bigint), {i})")
+    sig = " | ".join(bit_terms)
+    return per_doc.select(id_col, F.expr(sig).alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                  bits: int = 32, max_hamming: int = 3) -> DataFrame:
+                  bits: int = 64, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming.
 
-    Blocking: the 32-bit signature splits into 4 byte-blocks; by
+    Blocking: the 64-bit signature splits into 4 16-bit blocks; by
     pigeonhole, any pair within Hamming distance 3 agrees on >= 1
     block -> equi-join per block (shuffle by block value), then exact
-    Hamming verify via bit_count(xor).
+    Hamming verify via bit_count(xor). 16-bit blocks keep the join key
+    space at 65,536 values per block — candidate buckets stay thin as
+    the corpus grows (the round-2 verdict's 8-bit/256-value blocking
+    was quadratic at scale).
     """
     sigs = simhash_signatures(df, id_col, text_col, bits)
     n_blocks = 4

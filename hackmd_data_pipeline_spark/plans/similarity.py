@@ -141,8 +141,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_simhash", oracle=None)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32-bit) near-dup pairs within Hamming distance 3, with
-    byte-block pigeonhole blocking (north star); rows-only."""
+    """SimHash(64-bit) near-dup pairs within Hamming distance 3, with
+    16-bit-block pigeonhole blocking (north star); rows-only. 64-bit
+    signatures keep block buckets thin as the corpus grows (the 32-bit
+    form's 256-value block keys were quadratic at 100x scale)."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_pairs(d, max_hamming=3)
 
