@@ -10,8 +10,8 @@ generation:
     banded LSH buckets -> candidate pairs -> exact-Jaccard verify.
     Never materializes the O(n^2) pair space: the only joins are
     equi-joins on (band, band_hash), so Spark shuffles by bucket.
-  * simhash_signatures / simhash_pairs — 32-bit SimHash with
-    byte-block blocking (Charikar 2002-style); Hamming verify.
+  * simhash_signatures / simhash_pairs — 64-bit SimHash with
+    16-bit-block blocking (Charikar 2002-style); Hamming verify.
 
 Everything is built-in column expressions (xxhash64, bit ops) — no
 Python in the hot path.
@@ -195,14 +195,31 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     different keys and share no exchange Catalyst could reuse.
     MEMORY_AND_DISK so a partition that doesn't fit executor memory
     spills instead of silently recomputing the whole lineage.
+
+    Cache lifetime: the shingle cache is released when the RETURNED
+    DataFrame is garbage-collected (weakref finalizer) — callers that
+    materialize and drop the result (the gate/bench sweeps run 113
+    queries in one session) no longer accumulate a leaked cache per
+    invocation. Holding the result keeps the cache warm for re-use.
     """
+    import weakref
+
     from pyspark import StorageLevel
 
     sh_df = hashed_shingle_table(df, id_col, text_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK)
     sigs = minhash_signatures_from(sh_df, id_col, num_hashes)
     candidates = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    return verify_jaccard(candidates, sh_df, id_col, jaccard_threshold, sort)
+    out = verify_jaccard(candidates, sh_df, id_col, jaccard_threshold, sort)
+
+    def _release(handle=sh_df) -> None:
+        try:
+            handle.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+    weakref.finalize(out, _release)
+    return out
 
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",

@@ -37,35 +37,52 @@ from .dedup import (
 )
 
 
+def _stage_complete(spark: SparkSession, path: str) -> bool:
+    """A stage directory counts as complete iff Spark's commit marker
+    is present — a crashed write leaves files but no _SUCCESS."""
+    from ..sources.fs import fs_exists
+
+    return fs_exists(spark, path + "/_SUCCESS")
+
+
 def build_dedup_store(df: DataFrame, dest: str, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 16,
                       bands: int = 4, shingle_n: int = 3,
-                      jaccard_threshold: float = 0.5) -> None:
+                      jaccard_threshold: float = 0.5,
+                      force: bool = False) -> None:
     """Materialize the full dedup artifact chain under ``dest``.
 
     Stage order matters: every write is followed by a re-read, so each
     stage's lineage roots at parquet, not at the raw corpus — the
-    corpus text is scanned exactly once (the shingle pass), and a
-    failed/interrupted build resumes from the last completed stage by
-    re-calling with the same dest.
+    corpus text is scanned exactly once (the shingle pass). A stage
+    whose output already has a ``_SUCCESS`` commit marker is SKIPPED
+    (read back instead of recomputed), so a failed/interrupted build
+    resumes from the last completed stage when re-called with the same
+    dest — pass ``force=True`` to rebuild everything (required when
+    the INPUT corpus or parameters changed; stage-skip cannot detect
+    that).
     """
     spark = df.sparkSession
 
-    sh = hashed_shingle_table(df, id_col, text_col, shingle_n)
-    sh.write.mode("overwrite").parquet(dest + "/shingles")
+    if force or not _stage_complete(spark, dest + "/shingles"):
+        sh = hashed_shingle_table(df, id_col, text_col, shingle_n)
+        sh.write.mode("overwrite").parquet(dest + "/shingles")
     sh = spark.read.parquet(dest + "/shingles")
 
-    sigs = minhash_signatures_from(sh, id_col, num_hashes)
-    sigs.write.mode("overwrite").parquet(dest + "/signatures")
+    if force or not _stage_complete(spark, dest + "/signatures"):
+        sigs = minhash_signatures_from(sh, id_col, num_hashes)
+        sigs.write.mode("overwrite").parquet(dest + "/signatures")
     sigs = spark.read.parquet(dest + "/signatures")
 
-    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    pairs = verify_jaccard(cand, sh, id_col, jaccard_threshold, sort=True)
-    pairs.write.mode("overwrite").parquet(dest + "/pairs")
+    if force or not _stage_complete(spark, dest + "/pairs"):
+        cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+        pairs = verify_jaccard(cand, sh, id_col, jaccard_threshold, sort=True)
+        pairs.write.mode("overwrite").parquet(dest + "/pairs")
     pairs = spark.read.parquet(dest + "/pairs")
 
-    clusters = dedup_clusters(pairs)
-    clusters.write.mode("overwrite").parquet(dest + "/clusters")
+    if force or not _stage_complete(spark, dest + "/clusters"):
+        clusters = dedup_clusters(pairs)
+        clusters.write.mode("overwrite").parquet(dest + "/clusters")
 
 
 def load_pairs(spark: SparkSession, dest: str) -> DataFrame:
@@ -100,10 +117,15 @@ def incremental_pairs(new_docs: DataFrame, dest: str,
     sh_new = hashed_shingle_table(new_docs, id_col, text_col, shingle_n)
     sig_new = minhash_signatures_from(sh_new, id_col, num_hashes)
 
-    sh_all = spark.read.parquet(dest + "/shingles").unionByName(sh_new)
+    # project to the logical schema: a store written by the streaming
+    # ingest is epoch-partitioned (.../epoch=N) and carries an extra
+    # partition column the flat layout doesn't have
+    sh_all = (spark.read.parquet(dest + "/shingles")
+              .select(*sh_new.columns).unionByName(sh_new))
     buckets_new = band_buckets(sig_new, id_col, num_hashes, bands)
     buckets_all = band_buckets(
-        spark.read.parquet(dest + "/signatures"), id_col, num_hashes, bands
+        spark.read.parquet(dest + "/signatures").select(*sig_new.columns),
+        id_col, num_hashes, bands
     ).unionByName(buckets_new)
 
     a = buckets_new.alias("a")

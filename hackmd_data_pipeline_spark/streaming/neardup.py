@@ -10,37 +10,64 @@ scale. This pipeline composes the two streaming/dedup pieces the repo
 already has:
 
   * file source + ``trigger(availableNow=True)`` + checkpoint
-    (exactly-once per file, the O-24/O-35 posture), and
+    (each input file is READ once, the O-24/O-35 posture), and
   * ``operators/dedup_store.incremental_pairs`` (new batch's band
     buckets joined against PERSISTED signatures — per-batch work is
     O(batch), independent of corpus size).
 
-Per micro-batch: docs that near-match a STORED doc are dropped; for
-near-dup pairs WITHIN the batch the smallest doc_id is kept (greedy
-min-id keeper — the standard near-dup policy; a doc pairing only
-with an already-dropped doc is still dropped, deterministic and
-order-free). Survivors are appended to the output corpus AND their
-shingles + signatures are appended to the store, so the next batch
-dedups against them too.
+Dedup semantics per micro-batch:
+
+  * exact-id first: ids already in the store are dropped up front
+    (broadcast anti-join vs stored signature ids) — the reference's
+    ON CONFLICT DO NOTHING applies across the WHOLE table, not per
+    batch, so a same-id doc arriving in a later file must be dropped
+    even though the near-dup join's ``id_a != id_b`` can never flag
+    it;
+  * then near-dup: docs that near-match a STORED doc are dropped; for
+    near-dup pairs WITHIN the batch the smallest doc_id is kept
+    (greedy min-id keeper — deterministic and order-free).
+
+Survivors are appended to the output corpus AND their shingles +
+signatures are appended to the store, so the next batch dedups
+against them too.
+
+Effectively-once side effects: ``foreachBatch`` is at-least-once (a
+failed micro-batch is retried with the SAME epoch_id), so every write
+goes to an epoch-keyed partition directory (``.../epoch=<n>``) in
+``overwrite`` mode, and a retry first wipes any partial output of its
+own epoch before recomputing — replays converge to exactly the same
+files instead of appending duplicates. Store/corpus existence checks
+go through the Hadoop FileSystem API, so non-local URIs (hdfs://,
+s3a://) behave the same as local paths.
 """
 
 from __future__ import annotations
-
-from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import hashed_shingle_table, minhash_signatures_from
 from ..operators.dedup_store import incremental_pairs
+from ..sources.fs import fs_delete, fs_exists
 
 
-def _append_store(batch: DataFrame, dest: str, id_col: str, text_col: str,
-                  num_hashes: int, shingle_n: int) -> None:
+def _epoch_dir(root: str, epoch_id: int) -> str:
+    return f"{root}/epoch={epoch_id}"
+
+
+def _read_clean(spark: SparkSession, root: str, cols: list[str]) -> DataFrame:
+    """Read an epoch-partitioned store table, projecting away the
+    partition column so consumers see the flat schema."""
+    return spark.read.parquet(root).select(*cols)
+
+
+def _append_store(batch: DataFrame, dest: str, epoch_id: int, id_col: str,
+                  text_col: str, num_hashes: int, shingle_n: int) -> None:
     sh = hashed_shingle_table(batch, id_col, text_col, shingle_n).persist()
-    sh.write.mode("append").parquet(dest + "/shingles")
+    sh.write.mode("overwrite").parquet(_epoch_dir(dest + "/shingles", epoch_id))
     (minhash_signatures_from(sh, id_col, num_hashes)
-     .write.mode("append").parquet(dest + "/signatures"))
+     .write.mode("overwrite")
+     .parquet(_epoch_dir(dest + "/signatures", epoch_id)))
     sh.unpersist()
 
 
@@ -50,11 +77,13 @@ def run_neardup_ingest(spark: SparkSession, docs_path: str, out_root: str,
                        num_hashes: int = 16, bands: int = 4,
                        shingle_n: int = 3,
                        jaccard_threshold: float = 0.8) -> dict[str, int]:
-    """Drain document parquet/json drops into a near-dup-free corpus.
+    """Drain document parquet drops into a near-dup-free corpus.
 
-    Returns {'kept': n, 'dropped': n}. Exactly-once per input file via
-    the checkpoint; the store under ``store_dest`` is bootstrapped on
-    the first batch and appended to afterwards.
+    Returns {'kept': n, 'dropped': n}. Each input file is processed
+    once via the checkpoint; epoch-keyed overwrite writes make the
+    side effects idempotent under micro-batch retry. The store under
+    ``store_dest`` is bootstrapped on the first batch and appended to
+    afterwards.
     """
     from ..schemas import TPCH_SCHEMAS
 
@@ -62,6 +91,13 @@ def run_neardup_ingest(spark: SparkSession, docs_path: str, out_root: str,
     counts = {"kept": 0, "dropped": 0}
 
     def handle_batch(batch: DataFrame, epoch_id: int) -> None:
+        # Retry safety: wipe any partial output THIS epoch left behind
+        # before reading the store — otherwise the batch's own partial
+        # store rows would make its docs "already stored".
+        for root in (out_root + "/corpus", store_dest + "/shingles",
+                     store_dest + "/signatures"):
+            fs_delete(spark, _epoch_dir(root, epoch_id))
+
         batch = (batch.filter(F.length(F.trim(text_col)) > 0)
                  .dropDuplicates([id_col]).persist())  # full rows kept
         n_in = batch.count()
@@ -69,12 +105,30 @@ def run_neardup_ingest(spark: SparkSession, docs_path: str, out_root: str,
             batch.unpersist()
             return
 
-        store_exists = Path(store_dest + "/signatures").exists()
+        store_exists = fs_exists(spark, store_dest + "/signatures")
+        if store_exists:
+            # exact-id dedup vs the WHOLE store (reference
+            # pg_engine.py ON CONFLICT semantics are table-wide)
+            stored_ids = _read_clean(
+                spark, store_dest + "/signatures", [id_col]
+            ).select(F.col(id_col).alias("_sid"))
+            batch_new = batch.join(
+                F.broadcast(stored_ids), batch[id_col] == F.col("_sid"),
+                "left_anti").persist()
+            n_new = batch_new.count()
+        else:
+            batch_new, n_new = batch, n_in
+
+        if n_new == 0:
+            counts["dropped"] += n_in
+            batch.unpersist()
+            return
+
         if store_exists:
             pairs = incremental_pairs(
-                batch, store_dest, id_col, text_col,
+                batch_new, store_dest, id_col, text_col,
                 num_hashes, bands, shingle_n, jaccard_threshold)
-            new_ids = batch.select(F.col(id_col).alias("_nid"))
+            new_ids = batch_new.select(F.col(id_col).alias("_nid"))
             # a pair side is "stored" iff it is not in this batch
             a_new = pairs.join(F.broadcast(new_ids),
                                pairs.id_a == F.col("_nid"), "left_semi")
@@ -90,28 +144,33 @@ def run_neardup_ingest(spark: SparkSession, docs_path: str, out_root: str,
                 .union(vs_stored_a.select(F.col("id_a").alias("_drop")))
                 .distinct()
             )
-            survivors = batch.join(
-                F.broadcast(drops), batch[id_col] == F.col("_drop"),
+            survivors = batch_new.join(
+                F.broadcast(drops), batch_new[id_col] == F.col("_drop"),
                 "left_anti").persist()
         else:
             # bootstrap: in-batch dedup only (min-id keeper per pair)
             from ..operators.dedup import minhash_lsh_pairs
-            pairs = minhash_lsh_pairs(batch, id_col, text_col, num_hashes,
+            pairs = minhash_lsh_pairs(batch_new, id_col, text_col, num_hashes,
                                       bands, shingle_n, jaccard_threshold,
                                       sort=False)
             drops = pairs.select(F.col("id_b").alias("_drop")).distinct()
-            survivors = batch.join(
-                F.broadcast(drops), batch[id_col] == F.col("_drop"),
+            survivors = batch_new.join(
+                F.broadcast(drops), batch_new[id_col] == F.col("_drop"),
                 "left_anti").persist()
 
         n_kept = survivors.count()
+        survivors.write.mode("overwrite").parquet(
+            _epoch_dir(out_root + "/corpus", epoch_id))
+        if n_kept:
+            _append_store(survivors, store_dest, epoch_id, id_col, text_col,
+                          num_hashes, shingle_n)
+        # counts update LAST: a crash before this point replays the
+        # epoch and converges to the same files
         counts["kept"] += n_kept
         counts["dropped"] += n_in - n_kept
-        survivors.write.mode("append").parquet(out_root + "/corpus")
-        if n_kept:
-            _append_store(survivors, store_dest, id_col, text_col,
-                          num_hashes, shingle_n)
         survivors.unpersist()
+        if store_exists:
+            batch_new.unpersist()
         batch.unpersist()
 
     stream = (spark.readStream.schema(doc_schema)

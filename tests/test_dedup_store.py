@@ -77,6 +77,29 @@ def test_store_rebuild_is_stable(spark, tmp_path):
     assert first == second
 
 
+def test_store_build_resumes_from_completed_stage(spark, tmp_path):
+    """A re-call with the same dest must SKIP committed stages (the
+    resume contract): the shingle stage's files are untouched by the
+    second build, while a force build rewrites them."""
+    import os
+
+    dest = str(tmp_path / "dedup_store")
+    d = load_table(spark, SF_CORRECT, "documents").limit(100)
+    build_dedup_store(d, dest, jaccard_threshold=0.5)
+
+    def stage_sig(stage):
+        root = f"{dest}/{stage}"
+        return sorted((f, os.path.getmtime(os.path.join(root, f)))
+                      for f in os.listdir(root) if f.endswith(".parquet"))
+
+    before = stage_sig("shingles")
+    build_dedup_store(d, dest, jaccard_threshold=0.5)  # resume: all skip
+    assert stage_sig("shingles") == before, "resume must not rewrite"
+
+    build_dedup_store(d, dest, jaccard_threshold=0.5, force=True)
+    assert stage_sig("shingles") != before, "force must rebuild"
+
+
 def test_incremental_pairs_match_full_rebuild(spark, tmp_path):
     """Incremental new-vs-store dedup must equal the full-rebuild pair
     set restricted to pairs touching the new batch."""

@@ -63,3 +63,73 @@ def test_neardup_stream_dedups_across_batches(spark, tmp_path):
     c3 = run_neardup_ingest(spark, docs_in, out_root, ckpt, store)
     assert c3 == {"kept": 0, "dropped": 0}
     assert spark.read.parquet(out_root + "/corpus").count() == len(corpus_ids)
+
+
+def test_neardup_stream_drops_stored_id_repeat(spark, tmp_path):
+    """A doc whose id is ALREADY IN THE STORE arriving in a later file
+    must be dropped (reference ON CONFLICT DO NOTHING is table-wide,
+    not per-batch) — even though the near-dup join can never pair a
+    doc with itself."""
+    docs_in = str(tmp_path / "in")
+    out_root = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+
+    base = (load_table(spark, SF_CORRECT, "documents")
+            .filter(F.col("doc_id") < 10))
+    _write_drop(base, docs_in)
+    c1 = run_neardup_ingest(spark, docs_in, out_root, ckpt, store)
+    assert c1 == {"kept": 10, "dropped": 0}
+
+    # same ids again (identical rows) + one genuinely new doc
+    fresh = (load_table(spark, SF_CORRECT, "documents")
+             .filter(F.col("doc_id") == 50))
+    _write_drop(base.unionByName(fresh), docs_in)
+    c2 = run_neardup_ingest(spark, docs_in, out_root, ckpt, store)
+    assert c2 == {"kept": 1, "dropped": 10}, c2
+
+    corpus = spark.read.parquet(out_root + "/corpus")
+    assert corpus.count() == 11  # no duplicated ids
+    assert corpus.select("doc_id").distinct().count() == 11
+
+
+def test_neardup_stream_retry_cleanup_is_idempotent(spark, tmp_path):
+    """Epoch-keyed overwrite + pre-clean: stale partial output left by
+    a failed attempt of the SAME epoch is wiped before reprocessing,
+    so a replay converges instead of appending duplicates."""
+    docs_in = str(tmp_path / "in")
+    out_root = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+
+    base = (load_table(spark, SF_CORRECT, "documents")
+            .filter(F.col("doc_id") < 5))
+    _write_drop(base, docs_in)
+    run_neardup_ingest(spark, docs_in, out_root, ckpt, store)
+
+    # simulate a crashed attempt of the NEXT epoch (epoch 1): partial
+    # junk rows in corpus and store under that epoch's directory
+    junk = (load_table(spark, SF_CORRECT, "documents")
+            .filter(F.col("doc_id") == 999)
+            .withColumn("doc_id", F.lit(9_999_999).cast("long")))
+    junk.write.mode("overwrite").parquet(out_root + "/corpus/epoch=1")
+    from hackmd_data_pipeline_spark.operators.dedup import (
+        hashed_shingle_table, minhash_signatures_from)
+    jsh = hashed_shingle_table(junk)
+    jsh.write.mode("overwrite").parquet(store + "/shingles/epoch=1")
+    minhash_signatures_from(jsh).write.mode("overwrite").parquet(
+        store + "/signatures/epoch=1")
+
+    fresh = (load_table(spark, SF_CORRECT, "documents")
+             .filter(F.col("doc_id") == 60))
+    _write_drop(fresh, docs_in)
+    c2 = run_neardup_ingest(spark, docs_in, out_root, ckpt, store)
+    assert c2 == {"kept": 1, "dropped": 0}
+
+    corpus_ids = {r.doc_id for r in
+                  spark.read.parquet(out_root + "/corpus").collect()}
+    assert 9_999_999 not in corpus_ids, "stale partial epoch must be wiped"
+    assert corpus_ids == {0, 1, 2, 3, 4, 60}
+    sig_ids = {r.doc_id for r in
+               spark.read.parquet(store + "/signatures").collect()}
+    assert sig_ids == corpus_ids
