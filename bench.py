@@ -49,22 +49,43 @@ def main() -> None:
     # single-shot numbers on a shared host fold in unrelated load
     # (observed ±50% swings — BASELINE.md), min-of-2 is stable
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    load_before = os.getloadavg()
+    t_run0 = time.perf_counter()
     timings: dict[str, float] = {}
+    all_iters: dict[str, list[float]] = {}
     for name in sorted(REGISTRY):
-        best = float("inf")
+        runs = []
         for _ in range(iters):
             t0 = time.perf_counter()
             df = REGISTRY[name].builder(spark, sf_dir)
             df.count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        timings[name] = min(runs)
+        all_iters[name] = runs
 
+    # host-contention instrumentation (round-2 verdict: the driver's
+    # run was uniformly ~4x the builder's same-code run — loadavg +
+    # per-iteration spreads let a reader attribute deltas to load
+    # instead of inferring it)
+    try:
+        uptime = float(Path("/proc/uptime").read_text().split()[0])
+    except (OSError, ValueError):
+        uptime = None
     out = {
         "metric": "sum_query_seconds_all_registered",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "env": {
+            "iters": iters,
+            "loadavg_before": [round(x, 2) for x in load_before],
+            "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+            "uptime_sec": uptime,
+            "wall_sec": round(time.perf_counter() - t_run0, 1),
+            "cpus": os.cpu_count(),
+        },
+        "iterations": all_iters,
     }
     print(json.dumps(out))
 

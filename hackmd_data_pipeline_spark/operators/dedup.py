@@ -75,6 +75,52 @@ def hashed_shingle_table(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+from collections import OrderedDict
+
+# LRU of persisted shingle tables keyed by (session id, analyzed-plan
+# semantic hash, shingle params). Bench/gate sweeps and the composed
+# operators (pairs -> clusters -> partial-overlap) re-derive the same
+# shingle table many times in one session; memoizing the persisted
+# handle makes every re-derivation a cache HIT while eviction bounds
+# executor memory to a handful of corpora.
+_SHINGLE_CACHE: OrderedDict = OrderedDict()
+_SHINGLE_CACHE_MAX = 4
+
+
+def _cached_shingle_table(df: DataFrame, id_col: str, text_col: str,
+                          shingle_n: int) -> DataFrame:
+    from pyspark import StorageLevel
+
+    try:
+        key = (id(df.sparkSession),
+               df._jdf.queryExecution().analyzed().semanticHash(),
+               id_col, text_col, shingle_n)
+    except Exception:
+        key = None  # plan not hashable — build uncached, still persisted
+
+    if key is not None:
+        hit = _SHINGLE_CACHE.get(key)
+        # the id() in the key can be recycled after a session is GC'd —
+        # verify the cached entry's session is THIS session by identity
+        if hit is not None and hit[0] is df.sparkSession:
+            _SHINGLE_CACHE.move_to_end(key)
+            return hit[1]
+        if hit is not None:
+            _SHINGLE_CACHE.pop(key, None)
+
+    sh = hashed_shingle_table(df, id_col, text_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    if key is not None:
+        _SHINGLE_CACHE[key] = (df.sparkSession, sh)
+        while len(_SHINGLE_CACHE) > _SHINGLE_CACHE_MAX:
+            _, (_, old) = _SHINGLE_CACHE.popitem(last=False)
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # owning session already stopped
+    return sh
+
+
 def minhash_signatures_from(sh_df: DataFrame, id_col: str = "doc_id",
                             num_hashes: int = 16) -> DataFrame:
     """``id | sig_0..sig_{k-1}`` from a hashed-shingle table.
@@ -196,30 +242,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     MEMORY_AND_DISK so a partition that doesn't fit executor memory
     spills instead of silently recomputing the whole lineage.
 
-    Cache lifetime: the shingle cache is released when the RETURNED
-    DataFrame is garbage-collected (weakref finalizer) — callers that
-    materialize and drop the result (the gate/bench sweeps run 113
-    queries in one session) no longer accumulate a leaked cache per
-    invocation. Holding the result keeps the cache warm for re-use.
+    Cache lifetime: shingle tables go through a small LRU memo (see
+    ``_cached_shingle_table``) — repeat invocations over the same
+    corpus (minhash pairs, cluster resolve, partial overlap, bench
+    iterations) reuse ONE persisted table, and evicted entries are
+    unpersisted, so a long-lived session holds at most
+    ``_SHINGLE_CACHE_MAX`` cached shingle tables instead of leaking
+    one per invocation (round-2 ADVICE).
     """
-    import weakref
-
-    from pyspark import StorageLevel
-
-    sh_df = hashed_shingle_table(df, id_col, text_col, shingle_n).persist(
-        StorageLevel.MEMORY_AND_DISK)
+    sh_df = _cached_shingle_table(df, id_col, text_col, shingle_n)
     sigs = minhash_signatures_from(sh_df, id_col, num_hashes)
     candidates = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    out = verify_jaccard(candidates, sh_df, id_col, jaccard_threshold, sort)
-
-    def _release(handle=sh_df) -> None:
-        try:
-            handle.unpersist()
-        except Exception:
-            pass  # session already stopped — nothing to release
-
-    weakref.finalize(out, _release)
-    return out
+    return verify_jaccard(candidates, sh_df, id_col, jaccard_threshold, sort)
 
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
