@@ -1,0 +1,84 @@
+"""Iterative graph analytics over pair/edge tables (north-star
+extension surface — the reference pipeline has no graph machinery;
+connected components in operators/dedup.py::dedup_clusters is the
+other member of this family).
+
+PageRank here ranks DOCUMENTS by near-dup connectivity: a doc that
+near-matches many well-connected docs is a template/boilerplate hub —
+exactly the doc a curation pipeline wants to inspect or down-weight.
+The edge list is whatever pair table the caller supplies (MinHash-LSH
+pairs, embedding-cosine pairs, ...), so the operator composes with
+every candidate-generation family in the repo.
+
+Spark-iterative posture (same as dedup_clusters): the edge list is
+localCheckpoint'd ONCE so the upstream pair pipeline never re-executes
+per round; each round is one equi-join + one groupBy shuffle; rank
+state is lazily checkpointed per round to keep the plan linear; tiny
+graphs coalesce to a few tasks to dodge per-stage scheduler cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(pairs: DataFrame, id_col_a: str = "id_a",
+             id_col_b: str = "id_b", damping: float = 0.85,
+             iters: int = 10) -> DataFrame:
+    """PageRank over an UNDIRECTED pair graph — ``id | rank``.
+
+    Pairs are symmetrized into directed edges both ways; per round each
+    node distributes rank/degree along its out-edges and collects
+    ``(1 - d)/N + d * sum(incoming)``. Nodes only ever appear via the
+    pair table (isolated docs are not ranked — their rank is the
+    uniform floor by definition). Fixed ``iters`` rounds: PageRank on
+    shallow near-dup graphs is within float tolerance of the fixpoint
+    in <10 rounds, and a fixed count keeps the job graph deterministic.
+
+    Scale: rank state is 2 longs + a double per node; every round
+    shuffles |E| join rows + |V| agg rows — the same per-round cost
+    GraphX/Pregel pays. No driver-side collect of nodes or edges; the
+    only collect is nothing — even N (node count) stays distributed
+    via a broadcast-joined 1-row count frame.
+    """
+    edges = (
+        pairs.select(F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst"))
+        .union(pairs.select(F.col(id_col_b).alias("src"),
+                            F.col(id_col_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    if edges.count() <= 100_000:  # materializes the checkpoint
+        edges = edges.coalesce(4)
+
+    degrees = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = degrees.select(F.col("src").alias("id"), "deg") \
+                   .localCheckpoint(eager=False)
+    # N as a broadcast 1-row frame: keeps the whole computation
+    # declarative (no .collect() round-trip, plan works at any scale)
+    n_frame = F.broadcast(nodes.agg(F.count("*").alias("_n")))
+
+    ranks = (nodes.crossJoin(n_frame)
+             .select("id", "deg", (F.lit(1.0) / F.col("_n")).alias("rank"),
+                     "_n")
+             .localCheckpoint(eager=False))
+
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("id", "_src"),
+                       edges.src == F.col("_src"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("_in"))
+        )
+        ranks = (
+            ranks.join(contrib, ranks.id == contrib.dst, "left")
+            .select(
+                "id", "deg", "_n",
+                ((1.0 - damping) / F.col("_n")
+                 + damping * F.coalesce(F.col("_in"), F.lit(0.0))).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    return ranks.select("id", F.round("rank", 8).alias("rank"))

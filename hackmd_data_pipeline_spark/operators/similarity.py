@@ -463,3 +463,71 @@ def lsh_hyperplane_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         .select(query_id_col, id_col, F.round(F.col("_cos"), 6).alias("cosine"), "rank")
         .orderBy(query_id_col, "rank")
     )
+
+
+def semdedup(corpus: DataFrame, n_clusters: int = 16,
+             threshold: float = 0.95, id_col: str = "vec_id",
+             vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): ``id | cell | centroid_cosine | cluster_id |
+    is_kept``.
+
+    The paper's recipe, Spark-first: (1) k-means the embeddings — the
+    coarse quantizer is reused verbatim from the IVF path (bounded
+    driver-side sample, spherical Lloyd's); (2) within each cluster,
+    find pairs above the cosine threshold as ONE vectorized per-cell
+    kernel (``block_cosine_pairs`` — a numpy matmul per cell, never a
+    cross-join); (3) group semantic duplicates via connected
+    components and keep, per group, the member with the LOWEST cosine
+    to its cluster centroid (the paper's keep-farthest rule: the most
+    atypical exemplar carries the most information), ties broken by
+    min id. Docs in no pair keep is_kept = true.
+
+    Scale: pairwise work is confined to cells (quadratic only within a
+    cell, the blocking contract block_cosine_pairs already imposes);
+    everything else is keyed equi-joins and one window over pair
+    members. No full-corpus collect — the quantizer sample is capped.
+    """
+    import numpy as np
+
+    from .dedup import dedup_clusters
+
+    cents = _train_quantizer(corpus, n_clusters, vec_col, seed=seed)
+
+    def assign_cells(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            norms = np.maximum(np.linalg.norm(m, axis=1), 1e-300)
+            unit = m / norms[:, None]
+            sims = unit @ cents.T
+            cell = sims.argmax(axis=1)
+            yield pdf.assign(
+                cell=cell.astype("int32"),
+                centroid_cosine=sims[np.arange(len(m)), cell],
+            )
+
+    in_schema = corpus.select(id_col, vec_col).schema
+    out_schema = (in_schema.add("cell", "integer")
+                  .add("centroid_cosine", "double"))
+    cells = (corpus.select(id_col, vec_col)
+             .mapInPandas(assign_cells, schema=out_schema)
+             .localCheckpoint(eager=False))
+
+    pairs = block_cosine_pairs(cells, threshold, block_col="cell",
+                               id_col=id_col, vec_col=vec_col)
+    groups = dedup_clusters(pairs)  # id | cluster_id (min id in group)
+
+    member = (cells.join(groups, cells[id_col] == groups.id, "left")
+              .select(id_col, "cell",
+                      F.round("centroid_cosine", 6).alias("centroid_cosine"),
+                      F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")))
+    w = W.partitionBy("cluster_id").orderBy(F.col("centroid_cosine").asc(),
+                                            F.col(id_col).asc())
+    return (
+        member.withColumn("_r", F.row_number().over(w))
+        .select(id_col, "cell", "centroid_cosine", "cluster_id",
+                (F.col("_r") == 1).alias("is_kept"))
+        .orderBy(id_col)
+    )

@@ -7,5 +7,6 @@ from . import similarity  # noqa: E402,F401
 from . import control  # noqa: E402,F401
 from . import extensions  # noqa: E402,F401
 from . import subqueries  # noqa: E402,F401
+from . import curation  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

@@ -165,3 +165,39 @@ def test_partial_overlap_finds_shared_section(spark):
     partial = {(r.doc_a, r.doc_b): r.n_matching_chunks
                for r in partial_overlap_pairs(corpus, jaccard_threshold=0.8).collect()}
     assert (0, 4_000_000) in partial, f"shared section not found: {partial}"
+
+
+def test_semdedup_groups_planted_duplicates(spark):
+    """SemDeDup contract: planted near-identical embeddings group into
+    one cluster with exactly one keeper — the member with the LOWEST
+    cosine to its cell centroid (keep-farthest; ties by min id) — and
+    unpaired vectors are all kept."""
+    import numpy as np
+
+    from hackmd_data_pipeline_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(3)
+    rows = []
+    # 30 well-separated random vectors
+    for i in range(30):
+        v = rng.normal(size=16)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    # planted dup group: ids 100..102 are tiny perturbations of row 0
+    base = np.asarray(rows[0][1])
+    for j, vid in enumerate([100, 101, 102]):
+        v = base + rng.normal(scale=1e-3, size=16)
+        rows.append((vid, [float(x) for x in v / np.linalg.norm(v)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = semdedup(emb, n_clusters=4, threshold=0.95).collect()
+    by_id = {r.vec_id: r for r in out}
+    group = [by_id[i] for i in (0, 100, 101, 102)]
+    assert len({r.cluster_id for r in group}) == 1, "dups must share a cluster"
+    keepers = [r for r in group if r.is_kept]
+    assert len(keepers) == 1, "exactly one keeper per dup group"
+    # keep-farthest: the keeper has the minimum centroid cosine
+    m = min(r.centroid_cosine for r in group)
+    assert keepers[0].centroid_cosine == m
+    # everything outside the planted group is kept
+    for i in range(1, 30):
+        assert by_id[i].is_kept
