@@ -18,8 +18,23 @@ from .schemas import TABLE_NAMES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Memo of loaded table DataFrames keyed by (session id, sf_dir, name).
+# A spark.read.parquet call costs ~85 ms of driver-side work (file
+# listing + footer schema read + py4j) — across a 118-query bench
+# sweep that was ~40 s of pure plan-build overhead for IDENTICAL
+# immutable inputs. The test tables are read-only by contract
+# (TESTDATA.md), so the snapshot FileIndex a cached DataFrame holds
+# can never go stale; mutable paths must not go through load_table.
+_TABLE_CACHE: dict = {}
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    hit = _TABLE_CACHE.get(key)
+    # id() can be recycled after a session is GC'd — verify identity
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+
     # The driver's events.parquet carries TIMESTAMP(NANOS) (pandas
     # datetime64[ns]), which the vectorized parquet reader rejects.
     # Read nanos as long (runtime-settable legacy conf) and normalize
@@ -38,6 +53,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
             ),
         )
+    _TABLE_CACHE[key] = (spark, df)
     return df
 
 

@@ -32,6 +32,8 @@ def _numpy_pagerank(edge_list, damping=0.85, iters=10):
     return {node: rank[idx[node]] for node in nodes}
 
 
+@pytest.mark.parametrize("threshold", [100_000, 0],
+                         ids=["local-path", "distributed-path"])
 @pytest.mark.parametrize("edge_list", [
     # triangle + pendant + separate 2-chain
     [(1, 2), (2, 3), (1, 3), (3, 4), (10, 11)],
@@ -40,9 +42,12 @@ def _numpy_pagerank(edge_list, damping=0.85, iters=10):
     # two chains of different lengths
     [(1, 2), (2, 3), (3, 4), (20, 21), (21, 22)],
 ])
-def test_pagerank_matches_numpy_reference(spark, edge_list):
+def test_pagerank_matches_numpy_reference(spark, edge_list, threshold):
+    """Both execution paths (bounded driver-side numpy fast path and
+    the distributed per-round loop) must match the dense reference."""
     pairs = spark.createDataFrame(edge_list, "id_a long, id_b long")
-    got = {r.id: r.rank for r in pagerank(pairs).collect()}
+    got = {r.id: r.rank
+           for r in pagerank(pairs, small_graph_threshold=threshold).collect()}
     want = _numpy_pagerank(edge_list)
     assert set(got) == set(want)
     for node, w in want.items():
