@@ -453,7 +453,8 @@ def winnowing_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a",
-                   id_col_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+                   id_col_b: str = "id_b", max_iter: int = 20,
+                   small_graph_threshold: int = 100_000) -> DataFrame:
     """Connected components over near-dup candidate pairs: assigns every
     id in ``pairs`` its cluster's MINIMUM id (the canonical
     representative) — ``id | cluster_id``.
@@ -470,23 +471,35 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a",
     stop the iterative lineage from growing a quadratic plan — the
     standard Spark-iterative-algorithm posture (same reason GraphX
     checkpoints Pregel state).
+
+    Edge lists at or under ``small_graph_threshold`` (probed with a
+    limit-collect; ~1.6 MB at the default) short-cut
+    to a DRIVER-SIDE union-find instead — 2-4 distributed rounds on a
+    few-hundred-edge graph pay ~per-stage scheduler latency for
+    microseconds of pointer-chasing. Bounded collect, same class as
+    the capped k-means sample (operators/similarity.py) and the
+    PageRank fast path (operators/graph.py); both paths satisfy the
+    same union-find equivalence property test.
     """
     edges = (
         pairs.select(F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst"))
         .union(pairs.select(F.col(id_col_b).alias("src"), F.col(id_col_a).alias("dst")))
         .distinct()
-        # materialize ONCE: every propagation round joins the edge
-        # list, and without this the whole upstream candidate-pair
-        # pipeline (e.g. MinHash-LSH) would re-execute per round
-        .localCheckpoint(eager=False)
     )
-    # the count materializes the checkpoint (one job, doubling as the
-    # sizing probe): near-dup edge lists are usually FAR smaller than
-    # the corpus, and iterating 32-partition shuffles over a few
-    # hundred rows pays ~per-stage scheduling cost for nothing — a
-    # narrow coalesce keeps small graphs on a few tasks while leaving
-    # genuinely large edge lists at full parallelism
-    if edges.count() <= 100_000:
+    # size probe AND small-graph data in ONE plan execution: limit
+    # early-exits, so a huge graph pays a partial scan, a small graph
+    # is fully in hand. (The former count-then-collect needed a
+    # localCheckpoint to avoid re-execution, and the .rdd conversion
+    # inside localCheckpoint costs ~1.2 s of driver-side plan analysis
+    # on a deep LSH lineage — the slowest part of the whole operator
+    # at sf0.1.)
+    probe = edges.limit(small_graph_threshold + 1).collect()
+    if len(probe) <= small_graph_threshold:
+        return _cc_local(edges.sparkSession, probe)
+    # large graph: materialize ONCE so every propagation round joins
+    # the checkpointed edge list, not the re-executed pair pipeline
+    edges = edges.localCheckpoint(eager=False)
+    if edges.count() <= 1_000_000:
         edges = edges.coalesce(4)
     # initialization IS the first propagation round, as a join-free
     # aggregate: with identity labels, round 1's neighbor-min is just
@@ -534,6 +547,40 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a",
             break
         prev_sum = cur_sum
     return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+def _cc_local(spark, rows) -> DataFrame:
+    """Driver-side union-find for BOUNDED collected edge rows (caller
+    enforces the threshold): path-halving find, union-by-min so every
+    root is its component's minimum id — identical semantics to the
+    distributed min-label propagation."""
+    if not rows:
+        return spark.createDataFrame([], "id long, cluster_id long")
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in rows:
+        a, b = int(r.src), int(r.dst)
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN id: the smaller root wins, so roots are
+            # component minima without a second normalization pass
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    out = [(x, find(x)) for x in parent]
+    # NOTE: no coalesce(1) — a parallelized local collection keeps one
+    # Python-deserialization pipeline PER SLICE, and a single coalesced
+    # task runs all of them sequentially (measured 0.4 s -> 4 s on 477
+    # rows). The default slicing counts/joins fine.
+    return spark.createDataFrame(out, "id long, cluster_id long")
 
 
 def partial_overlap_pairs(df: DataFrame, id_col: str = "doc_id",

@@ -40,8 +40,8 @@ def pagerank(pairs: DataFrame, id_col_a: str = "id_a",
     Two execution paths behind one semantics (both tested against the
     same numpy reference in tests/test_graph.py):
 
-      * edge lists <= ``small_graph_threshold`` (known from the
-        checkpoint-materializing count, <= ~1.6 MB at the default)
+      * edge lists <= ``small_graph_threshold`` (probed with a
+        limit-collect, <= ~1.6 MB at the default)
         iterate DRIVER-SIDE as one vectorized numpy pass — a 10-round
         distributed loop on a few-hundred-edge graph pays ~20 shuffle
         stages of pure scheduler latency (measured 3.3 s at sf0.1) for
@@ -58,12 +58,15 @@ def pagerank(pairs: DataFrame, id_col_a: str = "id_a",
         .union(pairs.select(F.col(id_col_b).alias("src"),
                             F.col(id_col_a).alias("dst")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    n_edges = edges.count()  # materializes the checkpoint
-    if n_edges <= small_graph_threshold:
-        return _pagerank_local(edges, damping, iters)
-    edges = edges.coalesce(4) if n_edges <= 1_000_000 else edges
+    # size probe AND small-graph data in one plan execution (limit
+    # early-exits on big graphs); avoids the ~1.2 s driver-side .rdd
+    # plan analysis a localCheckpoint would pay on a deep LSH lineage
+    probe = edges.limit(small_graph_threshold + 1).collect()
+    if len(probe) <= small_graph_threshold:
+        return _pagerank_local(edges.sparkSession, probe, damping, iters)
+    edges = edges.localCheckpoint(eager=False)
+    edges = edges.coalesce(4) if edges.count() <= 1_000_000 else edges
 
     degrees = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = degrees.select(F.col("src").alias("id"), "deg") \
@@ -97,13 +100,11 @@ def pagerank(pairs: DataFrame, id_col_a: str = "id_a",
     return ranks.select("id", F.round("rank", 8).alias("rank"))
 
 
-def _pagerank_local(edges: DataFrame, damping: float, iters: int) -> DataFrame:
-    """Driver-side vectorized iteration for BOUNDED edge lists (caller
-    enforces the threshold): scatter-add with np.add.at per round."""
+def _pagerank_local(spark, rows, damping: float, iters: int) -> DataFrame:
+    """Driver-side vectorized iteration for BOUNDED collected edge rows
+    (caller enforces the threshold): scatter-add per round."""
     import numpy as np
 
-    rows = edges.collect()
-    spark = edges.sparkSession
     if not rows:
         return spark.createDataFrame([], "id long, rank double")
     src = np.asarray([r.src for r in rows], dtype=np.int64)

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -110,17 +111,23 @@ def test_quantize_roundtrip_bound(spark, vecs):
 # ------------------------------------------------- connected components
 
 
+@pytest.mark.parametrize("threshold", [100_000, 0],
+                         ids=["local-path", "distributed-path"])
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(edges=st.lists(
     st.tuples(st.integers(0, 12), st.integers(0, 12)),
     min_size=1, max_size=20))
-def test_dedup_clusters_match_union_find(spark, edges):
+def test_dedup_clusters_match_union_find(spark, threshold, edges):
+    """Both execution paths (bounded driver-side union-find and the
+    distributed min-label propagation) must equal the reference."""
     edges = [(a, b) for a, b in edges if a != b]
     if not edges:
         return
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    got = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    got = {r.id: r.cluster_id
+           for r in dedup_clusters(
+               pairs, small_graph_threshold=threshold).collect()}
 
     parent: dict[int, int] = {}
 
