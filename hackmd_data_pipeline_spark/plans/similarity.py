@@ -149,10 +149,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(d, max_hamming=3)
 
 
-@query("text_lang_id", oracle=None)
+_LANG_MARKER_ORACLE = {
+    "en": r"\b(the|and|of|to|is|in|that|with|for)\b",
+    "de": r"\b(der|die|das|und|ist|nicht|mit|ein|eine)\b",
+    "es": r"\b(el|la|los|las|que|es|en|un|una|por)\b",
+    "fr": r"\b(le|la|les|et|est|un|une|dans|pour|que)\b",
+    "zh": r"[一-鿿]",
+}
+_LANG_STRUCTS = ",\n             ".join(
+    "struct_pack(score := CAST(len(regexp_extract_all(lower(text), '{pat}')) AS DOUBLE)"
+    " / GREATEST(len(regexp_split_to_array(TRIM(text), '\\s+')), 1), lang := '{lang}')"
+    .format(pat=pat, lang=lang)
+    for lang, pat in sorted(_LANG_MARKER_ORACLE.items()))
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang AS true_lang,
+               list_max([
+             {_LANG_STRUCTS}
+               ]) AS best
+        FROM documents
+    )
+    SELECT true_lang,
+           CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS predicted_lang,
+           COUNT(*) AS n
+    FROM scored
+    GROUP BY true_lang, predicted_lang
+    ORDER BY true_lang, predicted_lang
+    """,
+)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID confusion matrix against the labeled
-    ``lang`` column (north star); heuristic -> rows-only."""
+    ``lang`` column (north star). The heuristic is pure regex/ratio
+    arithmetic (operators/textstats.py), so DuckDB reproduces it
+    exactly: same marker regexes, same token denominator, and the same
+    argmax tie-break (struct comparison is lexicographic (score, lang)
+    under both Spark's array_max and DuckDB's list_max) — promoted
+    from rows-only to a full value-checked oracle in round 3."""
     d = load_table(spark, sf_dir, "documents")
     return lang_id_confusion(d)
 
