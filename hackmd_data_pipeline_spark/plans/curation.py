@@ -169,3 +169,64 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup(emb, n_clusters=16, threshold=0.45)
+
+
+@query(
+    "dedup_cc_clusters",
+    oracle="""
+    WITH RECURSIVE d AS (
+        SELECT doc_id, SUBSTR(LOWER(TRIM(text)), 1, 40) AS head
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM d a JOIN d b
+          ON SUBSTR(a.head, 1, 8) = SUBSTR(b.head, 1, 8)
+         AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.head, b.head) <= 10
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    )
+    SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
+           (MIN(r) = id) AS is_canonical
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+)
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components with a FULL VALUE ORACLE: the iterative
+    dedup_clusters operator (min-label propagation / bounded-graph
+    union-find, operators/dedup.py) is gated hard against a DuckDB
+    recursive-CTE transitive closure over the SAME oracle-expressible
+    pair source (the prefix-blocked edit-distance pairs of
+    dedup_editdistance). The LSH-pair CC queries stay rows-only
+    because xxhash64 banding is engine-specific; this query pins the
+    component-resolution semantics themselves — every id labeled with
+    its component's minimum, canonical = label owner — across both
+    execution paths."""
+    from ..operators.dedup import dedup_clusters
+
+    pairs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id",
+                F.substring(F.lower(F.trim(F.col("text"))), 1, 40).alias("head"))
+        .withColumn("_blk", F.substring("head", 1, 8))
+    )
+    a, b = pairs.alias("a"), pairs.alias("b")
+    edge_pairs = (
+        a.join(b, (F.col("a._blk") == F.col("b._blk"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(F.levenshtein(F.col("a.head"), F.col("b.head")) <= 10)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return (
+        dedup_clusters(edge_pairs)
+        .select(F.col("id").alias("doc_id"), "cluster_id",
+                (F.col("id") == F.col("cluster_id")).alias("is_canonical"))
+        .orderBy("doc_id")
+    )
