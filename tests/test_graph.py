@@ -61,3 +61,9 @@ def test_pagerank_hub_outranks_leaves(spark):
     assert got[0] > max(got[i] for i in range(1, 8))
     # ranks over the edge-connected node set sum to ~1
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_empty_pairs(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert pagerank(pairs).collect() == []
+    assert pagerank(pairs, small_graph_threshold=0).collect() == []

@@ -236,3 +236,28 @@ def test_operator_argument_validation(spark):
         deterministic_split(df, "doc_id", {"a": 0.9, "b": 0.3})
     with _pt.raises(ValueError, match="max_class_fraction"):
         stratified_downsample(df, "doc_id", "doc_id", 0.0)
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    from hackmd_data_pipeline_spark.operators.dedup import dedup_clusters
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_clusters(pairs).collect() == []
+    assert dedup_clusters(pairs, small_graph_threshold=0).collect() == []
+
+
+def test_semdedup_no_pairs_keeps_everything(spark):
+    """Below-threshold corpus: no semantic pairs -> every vector is its
+    own cluster and kept."""
+    import numpy as np
+    from hackmd_data_pipeline_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(12):
+        v = rng.normal(size=8)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(emb, n_clusters=3, threshold=0.9999).collect()
+    assert len(out) == 12
+    assert all(r.is_kept for r in out)
+    assert all(r.cluster_id == r.vec_id for r in out)
