@@ -164,3 +164,44 @@ def test_theta_estimates_close(spark):
     for k in exact:
         assert abs(got[k] - exact[k]) <= 0.05 * exact[k] + 2, (
             k, got[k], exact[k])
+
+
+# --------------------------------------------- small-n estimator sweep
+
+# Queries whose results carry n-dependent statistical estimators:
+# sample-vs-population gaps shrink as O(1/n), so a divergence can hide
+# under the rounding at sf0.01 group sizes and only peek out at
+# sf0.001 (this caught agg_stats_suite's skewness mismatch in round
+# 3). Sweep exactly these at the smallest scale too.
+SMALL_N_SENSITIVE = [
+    "agg_stats_suite", "agg_exact_percentiles", "customer_rfm_segments",
+    "events_anomaly_zscore", "o30_group_run_stats", "dq_profile_orders",
+]
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck_smoke_oracle():
+    import duckdb
+
+    from .conftest import TABLES
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMOKE}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SMALL_N_SENSITIVE)
+def test_oracle_match_small_n(spark, duck_smoke_oracle, name):
+    q = REGISTRY[name]
+    sdf = q.builder(spark, SF_SMOKE)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    rel = duck_smoke_oracle.sql(q.oracle)
+    duck_rows = rel.fetchall()
+    assert len(spark_rows) == len(duck_rows), name
+    ns = _normalize(spark_rows, list(sdf.columns))
+    nd = _normalize(duck_rows, list(rel.columns))
+    mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
+    assert not mismatches, f"{name}: {mismatches[:3]}"
