@@ -230,3 +230,73 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("id") == F.col("cluster_id")).alias("is_canonical"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "docs_oov_rate",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, LOWER(t.tok) AS tok
+        FROM documents,
+             UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS t(tok)
+        WHERE LENGTH(TRIM(text)) > 0 AND LENGTH(t.tok) > 0
+    ), vocab AS (
+        SELECT tok FROM (
+            SELECT tok, COUNT(DISTINCT doc_id) AS df
+            FROM toks GROUP BY tok
+            ORDER BY df DESC, tok
+            LIMIT 64
+        )
+    ), per_doc AS (
+        SELECT t.doc_id, t.lang,
+               COUNT(*) AS n_tok,
+               CAST(COALESCE(SUM(CASE WHEN v.tok IS NULL THEN 1 END), 0) AS BIGINT) AS n_oov
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           COUNT(*)                                          AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT)                        AS total_tokens,
+           CAST(SUM(n_oov) AS BIGINT)                        AS total_oov,
+           ROUND(CAST(SUM(n_oov) AS DOUBLE) / SUM(n_tok), 4) AS oov_rate
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: per-language out-of-vocabulary rate
+    against a document-frequency top-64 vocabulary — the analysis a
+    tokenizer-training pipeline runs to size its vocab and find
+    under-covered languages. Vocab selection is deterministic
+    (df DESC, token ASC tie-break) so both engines pick the identical
+    set.
+
+    Scale: one explode + two hash aggregations; the vocab (top-k,
+    bounded) joins as a BROADCAST left join, so corpus tokens never
+    shuffle for membership — the same bounded-dimension posture as
+    docs_decontamination's benchmark side."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = (d.select("doc_id", "lang",
+                     F.explode(F.split(F.trim(F.lower("text")), "\\s+")).alias("tok"))
+            .filter(F.length("tok") > 0))
+    vocab = (toks.groupBy("tok")
+             .agg(F.countDistinct("doc_id").alias("df"))
+             .orderBy(F.desc("df"), "tok").limit(64)
+             .select("tok", F.lit(True).alias("_in_vocab")))
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_tok"),
+             F.coalesce(F.sum(F.when(F.col("_in_vocab").isNull(), 1)), F.lit(0))
+              .alias("n_oov"))
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_tok").alias("total_tokens"),
+             F.sum("n_oov").alias("total_oov"),
+             F.round(F.sum("n_oov").cast("double") / F.sum("n_tok"), 4)
+              .alias("oov_rate"))
+        .orderBy("lang")
+    )
