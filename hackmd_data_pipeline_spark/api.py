@@ -68,3 +68,15 @@ class Engine:
         """Write a DataFrame clustered on a Morton curve of ``cols``."""
         from .operators.zorder import write_zordered
         write_zordered(df, dest, cols, **kwargs)
+
+    def semdedup(self, **kwargs) -> DataFrame:
+        """SemDeDup keep/drop verdicts for the embeddings table
+        (operators/similarity.py::semdedup)."""
+        from .operators.similarity import semdedup
+        return semdedup(self.tables["embeddings"], **kwargs)
+
+    def pagerank(self, pairs: DataFrame, **kwargs) -> DataFrame:
+        """PageRank over any (id_a, id_b) pair table
+        (operators/graph.py)."""
+        from .operators.graph import pagerank
+        return pagerank(pairs, **kwargs)

@@ -59,3 +59,15 @@ def test_maintenance_surfaces(spark, tmp_path):
     eng.write_zordered(eng.tables["orders"], zdir,
                        ["o_custkey", "o_totalprice"], num_files=4)
     assert spark.read.parquet(zdir).count() == eng.tables["orders"].count()
+
+
+def test_analytics_surfaces(spark):
+    """Round-3 facade additions dispatch to the real operators."""
+    eng = Engine(spark, SF_CORRECT)
+    sd = eng.semdedup(n_clusters=4, threshold=0.45)
+    assert {"vec_id", "cell", "centroid_cosine", "cluster_id",
+            "is_kept"} <= set(sd.columns)
+    assert sd.count() > 0
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    pr = {r.id: r.rank for r in eng.pagerank(pairs).collect()}
+    assert set(pr) == {1, 2, 3} and abs(sum(pr.values()) - 1.0) < 1e-6

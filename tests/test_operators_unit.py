@@ -261,3 +261,16 @@ def test_semdedup_no_pairs_keeps_everything(spark):
     assert len(out) == 12
     assert all(r.is_kept for r in out)
     assert all(r.cluster_id == r.vec_id for r in out)
+
+
+def test_fs_helpers_roundtrip(spark, tmp_path):
+    from hackmd_data_pipeline_spark.sources.fs import fs_delete, fs_exists
+
+    p = str(tmp_path / "probe_dir")
+    assert not fs_exists(spark, p)
+    spark.range(3).write.parquet(p)
+    assert fs_exists(spark, p)
+    assert fs_exists(spark, p + "/_SUCCESS")
+    assert fs_delete(spark, p)
+    assert not fs_exists(spark, p)
+    assert not fs_delete(spark, p)  # second delete: nothing to do
