@@ -33,6 +33,16 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 # column, or that the driver's value-hash canonicalizer chokes on.
 _FORBIDDEN_SUBSTRINGS = ("HUGEINT", "UHUGEINT", "STRUCT", "MAP(", "UNION(")
 
+# Positive contract: the full set of DuckDB result types the driver's
+# canonicalizer is KNOWN to handle (every type below has appeared in a
+# green driver row). Anything new — DECIMAL, INTERVAL, UUID, BLOB,
+# TIME, enum, nested — must be explicitly cast in the oracle before it
+# ships, so the allowlist fails closed on whole classes the denylist
+# above has never seen.
+_ALLOWED_TYPES = {"BIGINT", "BOOLEAN", "DATE", "DOUBLE", "FLOAT",
+                  "INTEGER", "SMALLINT", "TINYINT", "TIMESTAMP",
+                  "VARCHAR"}
+
 
 def _oracles() -> dict[str, str]:
     import __spark_entry__ as entry_mod
@@ -62,3 +72,7 @@ def test_oracle_schema_is_canonicalizer_safe(duck_smoke, name):
         assert "[]" not in t, (
             f"oracle {name!r} column {col!r} is a list type {t} — project "
             f"to scalars in the oracle SQL")
+        assert t in _ALLOWED_TYPES, (
+            f"oracle {name!r} column {col!r} has type {t}, outside the "
+            f"driver-canonicalizer-proven allowlist {_ALLOWED_TYPES} — "
+            f"CAST it in the oracle SQL")
