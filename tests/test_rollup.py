@@ -115,3 +115,48 @@ def test_streaming_merge_rollup_equals_batch_rollup(spark, tmp_path):
          round(r.min_value, 6), round(r.max_value, 6))
         for r in spark.read.parquet(dest).collect())
     assert got == want
+
+
+def test_sketch_rollup_incremental_equals_single_pass(spark, tmp_path):
+    """HLL union is exact over register state: merging per-batch
+    sketches must yield the SAME estimates as sketching all events in
+    one pass — and the estimates must equal exact distincts at these
+    cardinalities."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.operators.rollup import (
+        merge_rollup_sketch_batch,
+        sketch_rollup_estimates,
+        time_rollup_sketch,
+    )
+    from hackmd_data_pipeline_spark.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    ev = load_table(spark, SF_CORRECT, "events").filter(
+        F.col("event_id") < 20_000)
+    dest = str(tmp_path / "sketch_rollup")
+
+    # two micro-batches split by event id (users overlap across both)
+    b1 = ev.filter(F.col("event_id") % 2 == 0)
+    b2 = ev.filter(F.col("event_id") % 2 == 1)
+    merge_rollup_sketch_batch(b1, dest)
+    merge_rollup_sketch_batch(b2, dest)
+
+    got = {(str(r.event_date), r.event_type): r.est_distinct_users
+           for r in sketch_rollup_estimates(spark, dest).collect()}
+
+    single = (time_rollup_sketch(ev)
+              .select("event_date", "event_type",
+                      F.hll_sketch_estimate("users_hll").alias("est")))
+    want = {(str(r.event_date), r.event_type): r.est
+            for r in single.collect()}
+    assert got == want, "incremental merge must equal single-pass sketch"
+
+    exact = (ev.groupBy(
+                F.to_date(F.col("ts")).alias("d"), "event_type")
+             .agg(F.countDistinct("user_id").alias("n")))
+    # HLL default lgK: relative error ~1.6%; these groups are small
+    for r in exact.collect():
+        est = got[(str(r.d), r.event_type)]
+        assert abs(est - r.n) <= max(2, 0.05 * r.n), (r.d, r.event_type)
