@@ -257,3 +257,39 @@ def test_oracle_queries_emit_scalar_columns_only(spark, name):
     assert not complex_cols, (
         f"{name} emits complex-typed columns {complex_cols}; the driver's "
         "canonicalizer cannot hash them — project to scalars")
+
+
+def test_keep_best_is_single_agg_no_window(spark):
+    """dedup_keep_best claims one max_by aggregate — no window, no
+    self-join: exactly one hash-exchange (the fingerprint groupBy;
+    orderBy adds a range exchange), no Window or Join operators."""
+    plan = plan_of(spark, "dedup_keep_best")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    # formatted mode puts the partitioning in the Arguments lines
+    assert len(re.findall(r"hashpartitioning", plan)) == 1
+
+
+def test_split_assign_zero_join_one_agg_shuffle(spark):
+    """docs_split_assign: assignment is a projection; the only hash
+    shuffle is the per-split aggregation."""
+    plan = plan_of(spark, "docs_split_assign")
+    assert "Join" not in plan
+    # distinct-lang count rewrites via expand: <=2 hash exchanges
+    assert len(re.findall(r"hashpartitioning", plan)) <= 2
+
+
+def test_oov_vocab_joins_broadcast(spark):
+    """docs_oov_rate: the bounded vocab must reach the corpus tokens
+    as a BROADCAST join — a shuffled membership join would move every
+    token in the corpus."""
+    plan = plan_of(spark, "docs_oov_rate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_predicate_stays_scan_side(spark):
+    """docs_sample_stratified is projection + one aggregation — no
+    join, no window."""
+    plan = plan_of(spark, "docs_sample_stratified")
+    assert "Join" not in plan and "Window" not in plan
