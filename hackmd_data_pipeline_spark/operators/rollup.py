@@ -93,9 +93,14 @@ def merge_rollup_batch(batch: DataFrame, dest: str, grain: str = "hour",
     and dynamic-partition-overwrite those dates. Cost per micro-batch
     is proportional to the batch + touched partitions, independent of
     total history size — the property that makes a 100 TB rollup
-    maintainable from a stream. Designed for foreachBatch (see
-    streaming tests); idempotent per batch only if the batch is
-    replayed whole, which is exactly Spark's foreachBatch replay unit.
+    maintainable from a stream.
+
+    CAVEAT — at-least-once: foreachBatch retries a failed epoch, and
+    this merge reads state it may already have updated, so a replay
+    DOUBLE-COUNTS the batch. Use it only where the caller dedups
+    upstream or a rare overcount is tolerable; the replay-proof form
+    is the delta-epoch API below (``append_rollup_delta`` +
+    ``compact_rollup``), which keys every write by the epoch id.
     """
     spark = batch.sparkSession
     delta = time_rollup(batch, grain, ts_col, key_cols, value_col)
@@ -172,7 +177,10 @@ def merge_rollup_sketch_batch(batch: DataFrame, dest: str,
     union is exact over the register state (the merged sketch is
     IDENTICAL to a single-pass sketch of the union — asserted in
     tests/test_rollup.py), so incremental maintenance loses nothing
-    vs a full rebuild."""
+    vs a full rebuild. Distinct counts survive replay (HLL union is
+    idempotent register-wise) but ``n_events`` carries the same
+    at-least-once double-count caveat as ``merge_rollup_batch`` — the
+    replay-proof form is ``append_rollup_delta(kind='sketch')``."""
     spark = batch.sparkSession
     delta = time_rollup_sketch(batch, grain, ts_col, key_cols, user_col)
     dates = [str(r.event_date)
@@ -215,3 +223,174 @@ def sketch_rollup_estimates(spark, dest: str,
                 "n_events")
         .orderBy("event_date", *key_cols)
     )
+
+
+# --------------------------------------------------------------------
+# Exactly-once rollup maintenance: delta-epoch layout
+#
+# ``merge_rollup_batch`` / ``merge_rollup_sketch_batch`` merge into
+# shared date partitions IN PLACE, so a foreachBatch retry (Structured
+# Streaming is at-least-once per epoch) re-merges an already-applied
+# batch and double-counts — the same replay hazard round-2 ADVICE
+# found in streaming/neardup. The delta-epoch layout below is the
+# replay-proof form:
+#
+#   dest/deltas/epoch=<id>/   per-epoch rolled-up batch, written with
+#                             OVERWRITE keyed by the foreachBatch
+#                             epoch id -> a replay rewrites the same
+#                             directory, never appends
+#   dest/gen-<k>/data/        compacted base (all absorbed deltas)
+#   dest/gen-<k>/epochs/      parquet ledger of absorbed epoch ids
+#   dest/_current             pointer file naming the active gen
+#
+# Readers merge (active gen) + (deltas whose epoch is NOT in the
+# gen's ledger) at read time; compaction folds pending deltas into a
+# NEW generation and flips the pointer, so every crash window either
+# re-does idempotent work or is cleaned by the next compaction:
+#   - crash before flip: orphan gen-<k+1> is overwritten next time
+#   - crash after flip, before cleanup: stale gen / absorbed deltas
+#     are ignored by readers (ledger) and deleted next compaction.
+# Pointer flip is a rename: atomic on POSIX/HDFS (S3A caveat in
+# sources/fs.py::fs_rename).
+# --------------------------------------------------------------------
+
+_ROLLUP_KINDS = ("plain", "sketch")
+
+
+def _rollup_delta_frame(batch: DataFrame, kind: str, grain: str,
+                        ts_col: str, key_cols: Sequence[str],
+                        value_col: str, user_col: str) -> DataFrame:
+    if kind == "plain":
+        return time_rollup(batch, grain, ts_col, key_cols, value_col)
+    return time_rollup_sketch(batch, grain, ts_col, key_cols, user_col)
+
+
+def _rollup_merge(df: DataFrame, kind: str,
+                  key_cols: Sequence[str]) -> DataFrame:
+    g = df.groupBy("event_date", "bucket", *key_cols)
+    if kind == "plain":
+        return g.agg(F.sum("n_events").alias("n_events"),
+                     F.sum("sum_value").alias("sum_value"),
+                     F.min("min_value").alias("min_value"),
+                     F.max("max_value").alias("max_value"))
+    return g.agg(F.hll_union_agg("users_hll").alias("users_hll"),
+                 F.sum("n_events").alias("n_events"))
+
+
+def _active_gen(spark: SparkSession, dest: str) -> int:
+    from ..sources.fs import fs_exists, fs_read_text
+
+    ptr = dest + "/_current"
+    if not fs_exists(spark, ptr):
+        return 0
+    name = fs_read_text(spark, ptr).strip()
+    return int(name.split("-", 1)[1]) if name.startswith("gen-") else 0
+
+
+def _absorbed_epochs(spark: SparkSession, dest: str, gen: int) -> set[int]:
+    from ..sources.fs import fs_exists
+
+    path = f"{dest}/gen-{gen}/epochs"
+    if gen == 0 or not fs_exists(spark, path + "/_SUCCESS"):
+        return set()
+    return {r.epoch for r in spark.read.parquet(path).collect()}
+
+
+def _pending_deltas(spark: SparkSession, dest: str,
+                    absorbed: set[int]) -> list[int]:
+    from ..sources.fs import fs_list_dirs
+
+    out = []
+    for name in fs_list_dirs(spark, dest + "/deltas"):
+        if name.startswith("epoch="):
+            e = int(name.split("=", 1)[1])
+            if e not in absorbed:
+                out.append(e)
+    return sorted(out)
+
+
+def append_rollup_delta(batch: DataFrame, dest: str, epoch_id: int,
+                        kind: str = "plain", grain: str = "hour",
+                        ts_col: str = "ts",
+                        key_cols: Sequence[str] = ("event_type",),
+                        value_col: str = "value",
+                        user_col: str = "user_id") -> None:
+    """Write one micro-batch's rollup as an epoch-keyed delta.
+
+    Pass the ``foreachBatch`` epoch id: a retried epoch OVERWRITES its
+    own directory, so at-least-once replay converges to exactly-once
+    stored state. O(batch) work, no read of any existing state."""
+    assert kind in _ROLLUP_KINDS
+    delta = _rollup_delta_frame(batch, kind, grain, ts_col, key_cols,
+                                value_col, user_col)
+    delta.write.mode("overwrite").parquet(f"{dest}/deltas/epoch={epoch_id}")
+
+
+def read_rollup(spark: SparkSession, dest: str, kind: str = "plain",
+                key_cols: Sequence[str] = ("event_type",)) -> DataFrame:
+    """Merged view over (active generation) + (pending deltas).
+
+    Read cost grows with the number of un-compacted deltas — run
+    ``compact_rollup`` periodically (its absence never affects
+    correctness, only read amplification)."""
+    assert kind in _ROLLUP_KINDS
+    from ..sources.fs import fs_exists
+
+    gen = _active_gen(spark, dest)
+    absorbed = _absorbed_epochs(spark, dest, gen)
+    pending = _pending_deltas(spark, dest, absorbed)
+
+    parts = []
+    if gen and fs_exists(spark, f"{dest}/gen-{gen}/data/_SUCCESS"):
+        parts.append(spark.read.parquet(f"{dest}/gen-{gen}/data"))
+    parts.extend(spark.read.parquet(f"{dest}/deltas/epoch={e}")
+                 for e in pending)
+    if not parts:
+        raise ValueError(f"empty rollup store at {dest}")
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return _rollup_merge(df, kind, key_cols)
+
+
+def compact_rollup(spark: SparkSession, dest: str, kind: str = "plain",
+                   key_cols: Sequence[str] = ("event_type",)) -> dict:
+    """Fold pending deltas into a new generation and flip the pointer.
+
+    Safe to crash anywhere (see layout comment) and safe to re-run;
+    returns {'gen': new_gen, 'absorbed': n_epochs_total}."""
+    assert kind in _ROLLUP_KINDS
+    from ..sources.fs import fs_write_text
+
+    gen = _active_gen(spark, dest)
+    absorbed = _absorbed_epochs(spark, dest, gen)
+    pending = _pending_deltas(spark, dest, absorbed)
+    if not pending:  # nothing new: just clean stale dirs and return
+        _cleanup_rollup(spark, dest, gen, absorbed)
+        return {"gen": gen, "absorbed": len(absorbed)}
+
+    merged = read_rollup(spark, dest, kind, key_cols).localCheckpoint(
+        eager=True)  # materialize BEFORE touching directories
+    new_gen = gen + 1
+    merged.write.mode("overwrite").parquet(f"{dest}/gen-{new_gen}/data")
+    all_epochs = sorted(absorbed | set(pending))
+    (spark.createDataFrame([(e,) for e in all_epochs], "epoch long")
+     .coalesce(1).write.mode("overwrite")
+     .parquet(f"{dest}/gen-{new_gen}/epochs"))
+    fs_write_text(spark, dest + "/_current", f"gen-{new_gen}")
+    _cleanup_rollup(spark, dest, new_gen, set(all_epochs))
+    return {"gen": new_gen, "absorbed": len(all_epochs)}
+
+
+def _cleanup_rollup(spark: SparkSession, dest: str, active_gen: int,
+                    absorbed: set[int]) -> None:
+    """Delete stale generations and absorbed delta dirs (never the
+    active gen or un-absorbed deltas)."""
+    from ..sources.fs import fs_delete, fs_list_dirs
+
+    for name in fs_list_dirs(spark, dest):
+        if name.startswith("gen-") and int(name.split("-", 1)[1]) != active_gen:
+            fs_delete(spark, f"{dest}/{name}")
+    for name in fs_list_dirs(spark, dest + "/deltas"):
+        if name.startswith("epoch=") and int(name.split("=", 1)[1]) in absorbed:
+            fs_delete(spark, f"{dest}/deltas/{name}")

@@ -33,3 +33,44 @@ def fs_delete(spark: SparkSession, path: str) -> bool:
     if not fs.exists(hpath):
         return False
     return bool(fs.delete(hpath, True))
+
+
+def fs_rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Rename ``src`` to ``dst`` on src's filesystem. Atomic on POSIX
+    and HDFS; NOT atomic on S3A (copy+delete) — callers that need an
+    atomic pointer flip on object stores should front it with a
+    consistent metadata service."""
+    fs, hsrc = _fs_and_path(spark, src)
+    hdst = spark._jvm.org.apache.hadoop.fs.Path(dst)
+    return bool(fs.rename(hsrc, hdst))
+
+
+def fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file (overwrite). For pointer/metadata files
+    only — data goes through DataFrame writers."""
+    fs, hpath = _fs_and_path(spark, path)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def fs_read_text(spark: SparkSession, path: str) -> str:
+    """Read a small text file written by ``fs_write_text``."""
+    fs, hpath = _fs_and_path(spark, path)
+    stream = fs.open(hpath)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def fs_list_dirs(spark: SparkSession, path: str) -> list[str]:
+    """Names of immediate subdirectories of ``path`` ([] if absent)."""
+    fs, hpath = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)
+            if st.isDirectory()]

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pathlib
 
+import pytest
 from pyspark.sql import functions as F
 
 from hackmd_data_pipeline_spark.operators.rollup import (
@@ -160,3 +161,121 @@ def test_sketch_rollup_incremental_equals_single_pass(spark, tmp_path):
     for r in exact.collect():
         est = got[(str(r.d), r.event_type)]
         assert abs(est - r.n) <= max(2, 0.05 * r.n), (r.d, r.event_type)
+
+
+def _delta_rollup_env(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    ev = load_table(spark, SF_CORRECT, "events").filter(
+        F.col("event_id") < 20_000)
+    b = [ev.filter(F.col("event_id") % 3 == k) for k in range(3)]
+    return ev, b, str(tmp_path / "delta_rollup")
+
+
+def test_delta_rollup_replay_is_exactly_once(spark, tmp_path):
+    """Replaying an epoch (the foreachBatch at-least-once case) must
+    leave the stored state identical — the in-place merge family
+    double-counts here by design (documented caveat)."""
+    from hackmd_data_pipeline_spark.operators.rollup import (
+        append_rollup_delta, read_rollup, time_rollup)
+
+    ev, b, dest = _delta_rollup_env(spark, tmp_path)
+    append_rollup_delta(b[0], dest, epoch_id=0)
+    append_rollup_delta(b[1], dest, epoch_id=1)
+    append_rollup_delta(b[1], dest, epoch_id=1)  # replay epoch 1
+    append_rollup_delta(b[2], dest, epoch_id=2)
+
+    def by_key(df):
+        return {(str(r.event_date), str(r.bucket), r.event_type):
+                (r.n_events, r.sum_value, r.min_value, r.max_value)
+                for r in df.collect()}
+
+    got = by_key(read_rollup(spark, dest))
+    want = by_key(time_rollup(ev))
+    assert set(got) == set(want)
+    for k, (n, s, lo, hi) in want.items():
+        gn, gs, glo, ghi = got[k]
+        assert (gn, glo, ghi) == (n, lo, hi), k
+        # double sums re-associate across partials: tolerance, not ==
+        assert gs == pytest.approx(s, rel=1e-12), k
+
+
+def test_delta_rollup_compact_preserves_view_and_cleans(spark, tmp_path):
+    from hackmd_data_pipeline_spark.operators.rollup import (
+        append_rollup_delta, compact_rollup, read_rollup)
+    from hackmd_data_pipeline_spark.sources.fs import fs_exists, fs_list_dirs
+
+    ev, b, dest = _delta_rollup_env(spark, tmp_path)
+    for i in range(3):
+        append_rollup_delta(b[i], dest, epoch_id=i)
+    before = sorted(tuple(r) for r in read_rollup(spark, dest).collect())
+
+    res = compact_rollup(spark, dest)
+    assert res == {"gen": 1, "absorbed": 3}
+    after = sorted(tuple(r) for r in read_rollup(spark, dest).collect())
+    assert after == before
+    # absorbed deltas cleaned, active gen present
+    assert fs_list_dirs(spark, dest + "/deltas") == []
+    assert fs_exists(spark, dest + "/gen-1/data/_SUCCESS")
+
+    # new deltas after compaction merge on top of the generation
+    append_rollup_delta(b[0], dest, epoch_id=3)  # same rows again, new epoch
+    res2 = compact_rollup(spark, dest)
+    assert res2["gen"] == 2 and res2["absorbed"] == 4
+    assert not fs_exists(spark, dest + "/gen-1")  # stale gen removed
+
+
+def test_delta_rollup_crash_window_absorbed_delta_ignored(spark, tmp_path):
+    """Crash after pointer flip but before cleanup: an absorbed
+    delta's directory still exists — readers must ignore it (ledger)
+    and the next compaction must delete it without re-merging."""
+    from hackmd_data_pipeline_spark.operators.rollup import (
+        append_rollup_delta, compact_rollup, read_rollup)
+    from hackmd_data_pipeline_spark.sources.fs import fs_exists
+
+    ev, b, dest = _delta_rollup_env(spark, tmp_path)
+    for i in range(3):
+        append_rollup_delta(b[i], dest, epoch_id=i)
+    compact_rollup(spark, dest)
+    view = sorted(tuple(r) for r in read_rollup(spark, dest).collect())
+
+    # simulate the crash window: re-create an absorbed delta dir
+    append_rollup_delta(b[1], dest, epoch_id=1)
+    assert sorted(tuple(r) for r in read_rollup(spark, dest).collect()) == view
+    res = compact_rollup(spark, dest)  # no pending: cleanup only
+    assert res["gen"] == 1
+    assert not fs_exists(spark, dest + "/deltas/epoch=1")
+    assert sorted(tuple(r) for r in read_rollup(spark, dest).collect()) == view
+
+
+def test_delta_rollup_sketch_kind(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.operators.rollup import (
+        append_rollup_delta, compact_rollup, read_rollup,
+        time_rollup_sketch)
+
+    ev, b, dest = _delta_rollup_env(spark, tmp_path)
+    for i in range(3):
+        append_rollup_delta(b[i], dest, epoch_id=i, kind="sketch",
+                            grain="day")
+    compact_rollup(spark, dest, kind="sketch")
+
+    got = {(str(r.event_date), r.event_type): r.n_events
+           for r in read_rollup(spark, dest, kind="sketch").collect()}
+    est = {(str(r.event_date), r.event_type): r.est for r in
+           read_rollup(spark, dest, kind="sketch")
+           .select("event_date", "event_type",
+                   F.hll_sketch_estimate("users_hll").alias("est")).collect()}
+    single = (time_rollup_sketch(ev, grain="day")
+              .select("event_date", "event_type",
+                      F.hll_sketch_estimate("users_hll").alias("est"),
+                      "n_events"))
+    for r in single.collect():
+        key = (str(r.event_date), r.event_type)
+        assert est[key] == r.est, "incremental sketch != single pass"
+        assert got[key] == r.n_events
