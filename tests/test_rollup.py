@@ -279,3 +279,48 @@ def test_delta_rollup_sketch_kind(spark, tmp_path):
         key = (str(r.event_date), r.event_type)
         assert est[key] == r.est, "incremental sketch != single pass"
         assert got[key] == r.n_events
+
+
+def test_streaming_delta_rollup_end_to_end(spark, tmp_path):
+    """The replay-proof path wired through real Structured Streaming:
+    foreachBatch passes its epoch id to append_rollup_delta; two
+    availableNow drains + a no-op re-run; the compacted view equals
+    the one-shot batch rollup."""
+    from hackmd_data_pipeline_spark.operators.rollup import (
+        append_rollup_delta, compact_rollup, read_rollup, time_rollup)
+    from hackmd_data_pipeline_spark.tables import load_table
+
+    from .conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    src = tmp_path / "dstream_src"
+    src.mkdir()
+    dest = str(tmp_path / "drollup")
+    ckpt = str(tmp_path / "dckpt")
+    schema = ev.schema
+
+    def run_available():
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = (stream.writeStream
+             .foreachBatch(lambda b, e: append_rollup_delta(b, dest, e))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        str(src / "drop1"))
+    run_available()
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+        str(src / "drop2"))
+    run_available()
+    run_available()  # nothing new: no extra epoch, no state change
+
+    compact_rollup(spark, dest)
+
+    def by_key(df):
+        return {(str(r.event_date), str(r.bucket), r.event_type):
+                (r.n_events, r.min_value, r.max_value)
+                for r in df.collect()}
+
+    assert by_key(read_rollup(spark, dest)) == by_key(time_rollup(ev))
