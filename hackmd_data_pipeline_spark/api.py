@@ -80,3 +80,20 @@ class Engine:
         (operators/graph.py)."""
         from .operators.graph import pagerank
         return pagerank(pairs, **kwargs)
+
+    def append_rollup_delta(self, batch: DataFrame, dest: str,
+                            epoch_id: int, **kwargs) -> None:
+        """Replay-proof rollup maintenance: epoch-keyed delta write
+        (operators/rollup.py delta-epoch layout)."""
+        from .operators.rollup import append_rollup_delta
+        append_rollup_delta(batch, dest, epoch_id, **kwargs)
+
+    def read_rollup(self, dest: str, **kwargs) -> DataFrame:
+        """Merged view over a delta-epoch rollup store."""
+        from .operators.rollup import read_rollup
+        return read_rollup(self.spark, dest, **kwargs)
+
+    def compact_rollup(self, dest: str, **kwargs) -> dict:
+        """Fold pending rollup deltas into a new generation."""
+        from .operators.rollup import compact_rollup
+        return compact_rollup(self.spark, dest, **kwargs)

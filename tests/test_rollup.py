@@ -324,3 +324,31 @@ def test_streaming_delta_rollup_end_to_end(spark, tmp_path):
                 for r in df.collect()}
 
     assert by_key(read_rollup(spark, dest)) == by_key(time_rollup(ev))
+
+
+def test_hour_rollup_reaggregates_to_day_rollup(spark):
+    """Grain algebra: the mergeable summary set re-aggregates exactly
+    — day rollup computed FROM the hour rollup equals the direct day
+    rollup (counts/min/max exact, double sums to 1e-12 rel). This is
+    the property that lets a 100 TB store keep only the finest grain
+    and derive coarser ones."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    direct = time_rollup(ev, "day")
+    from_hour = (
+        time_rollup(ev, "hour")
+        .groupBy("event_date", "event_type")
+        .agg(F.sum("n_events").alias("n_events"),
+             F.sum("sum_value").alias("sum_value"),
+             F.min("min_value").alias("min_value"),
+             F.max("max_value").alias("max_value")))
+    want = {(str(r.event_date), r.event_type):
+            (r.n_events, r.sum_value, r.min_value, r.max_value)
+            for r in direct.collect()}
+    got = {(str(r.event_date), r.event_type):
+           (r.n_events, r.sum_value, r.min_value, r.max_value)
+           for r in from_hour.collect()}
+    assert set(got) == set(want)
+    for k, (n, s, lo, hi) in want.items():
+        gn, gs, glo, ghi = got[k]
+        assert (gn, glo, ghi) == (n, lo, hi), k
+        assert gs == pytest.approx(s, rel=1e-12), k
