@@ -44,6 +44,17 @@ class Engine:
     def query_names(self) -> list[str]:
         return sorted(REGISTRY)
 
+    def explain(self, name: str, mode: str = "formatted") -> str:
+        """Formatted physical plan of a named query — the
+        plan-inspection surface scripts/plan_audit.py builds on."""
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            self.query(name).explain(mode)
+        return buf.getvalue()
+
     # ----- corpus-maintenance surfaces (operators with state on disk)
 
     def build_dedup_store(self, dest: str, **kwargs) -> None:

@@ -71,3 +71,9 @@ def test_analytics_surfaces(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
     pr = {r.id: r.rank for r in eng.pagerank(pairs).collect()}
     assert set(pr) == {1, 2, 3} and abs(sum(pr.values()) - 1.0) < 1e-6
+
+
+def test_explain_surface(spark):
+    eng = Engine(spark, SF_CORRECT)
+    plan = eng.explain("q1_pricing_summary")
+    assert "HashAggregate" in plan and "Scan parquet" in plan
