@@ -364,6 +364,26 @@ def o23c_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.subtract(s).orderBy("nationkey")
 
 
+@query(
+    "o23d_set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def o23d_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection — the remaining ANSI set operator alongside
+    O-23c's EXCEPT (the reference computes 'categories both configured
+    AND present' with Python set &, arxiv_collector.py:217-222).
+    Spark plans INTERSECT as a left-semi join after aggregation —
+    keyed shuffle, no all-pairs."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
 # ------------------------------------------------------------ sort / top-k
 
 
