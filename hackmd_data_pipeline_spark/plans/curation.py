@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import fingerprint
+from ..operators.dedup import shingles
+from ..operators.prefix import attach_running_total
 from ..tables import load_table
 from .registry import query
 
@@ -298,5 +300,191 @@ def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_oov").alias("total_oov"),
              F.round(F.sum("n_oov").cast("double") / F.sum("n_tok"), 4)
               .alias("oov_rate"))
+        .orderBy("lang")
+    )
+
+
+@query(
+    "docs_shingle_dup_fraction",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct([LOWER(t[i]) || ' ' || LOWER(t[i+1]) || ' ' ||
+                              LOWER(t[i+2]) || ' ' || LOWER(t[i+3]) || ' ' ||
+                              LOWER(t[i+4])
+                              FOR i IN range(1, GREATEST(len(t) - 3, 1))]) AS shingles
+        FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t
+              FROM documents WHERE LENGTH(TRIM(text)) > 0)
+        WHERE len(t) >= 5
+    ), dsh AS (
+        SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+    ), freq AS (
+        SELECT shingle, COUNT(*) AS n_docs FROM dsh GROUP BY shingle
+    )
+    SELECT d.doc_id,
+           COUNT(*)                                                      AS n_shingles,
+           CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           ROUND(CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4)                                          AS dup_frac
+    FROM dsh d JOIN freq f USING (shingle)
+    GROUP BY d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def docs_shingle_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication signal (RefinedWeb/CCNet posture): per
+    doc, the fraction of its distinct 5-gram shingles that also occur
+    in at least one OTHER document. Whole-doc fingerprints miss
+    boilerplate reuse; this is the corpus-wide granular signal that
+    feeds 'strip the duplicated spans' curation.
+
+    Scale shape: explode distinct shingle HASHES (8-byte keys, not
+    ~30-byte strings), ONE shuffle on the hash for the corpus-wide
+    document-frequency count; the join back to per-doc shingles reuses
+    the same hash partitioning (no second exchange of the big side),
+    then one shuffle on doc_id for the per-doc rollup. Never all-pairs.
+    The oracle states the same computation over the literal 5-gram
+    strings, so hash-collision-freedom is value-checked too."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    dsh = (
+        d.filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 5)
+        .select("doc_id",
+                F.explode(shingles(F.col("text"), 5)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    )
+    freq = dsh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    return (
+        dsh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"),
+             shared.alias("n_shared"),
+             F.round(shared.cast("double") / F.count("*"), 4).alias("dup_frac"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_gopher_rules",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang, text,
+               regexp_split_to_array(TRIM(text), '\\s+') AS t
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ), m AS (
+        SELECT doc_id, lang,
+               len(t) AS n_words,
+               CAST(list_sum([LENGTH(x) FOR x IN t]) AS DOUBLE) / len(t) AS mwl,
+               CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+                   / len(t) AS frac_alpha,
+               CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS DOUBLE)
+                   / len(t) AS symr,
+               len(regexp_extract_all(LOWER(text),
+                   '\\b(the|be|to|of|and|that|have|with)\\b')) AS n_stop
+        FROM base
+    )
+    SELECT doc_id, lang,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(mwl, 4)           AS mean_word_len,
+           ROUND(frac_alpha, 4)    AS frac_alpha_words,
+           ROUND(symr, 4)          AS symbol_ratio,
+           CAST(n_stop AS BIGINT)  AS n_stopwords,
+           CASE WHEN n_words >= 50 AND n_words <= 100000
+                 AND mwl >= 3 AND mwl <= 10
+                 AND symr < 0.1 AND frac_alpha > 0.8 AND n_stop >= 2
+                THEN 'keep' ELSE 'flag' END AS gopher_bucket
+    FROM m ORDER BY doc_id
+    """,
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher quality-rule battery (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1) as ONE single-pass projection: word-count
+    bounds, mean-word-length band [3,10], symbol-to-word ratio
+    ('#'/'...'), alphabetic-word fraction > 0.8, and the >=2-stopword
+    rule — the canonical pre-training document filter
+    (text_quality_score covers the C4-ish ratios; this is the Gopher
+    set proper). Pure codegen'd expressions over one narrow scan: no
+    shuffle, no UDF; at 100 TB this runs at I/O speed. Flags are
+    computed on the UNROUNDED doubles in both engines (identical IEEE
+    arithmetic), the reported ratios are rounded for the hash gate."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_words = F.size(toks)
+    mwl = (F.aggregate(F.transform(toks, lambda x: F.length(x)),
+                       F.lit(0), lambda acc, x: acc + x)
+           .cast("double") / n_words)
+    frac_alpha = (F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+                  .cast("double") / n_words)
+    symr = (F.size(F.regexp_extract_all(F.col("text"), F.lit(r"#|\.\.\."), F.lit(0)))
+            .cast("double") / n_words)
+    n_stop = F.size(F.regexp_extract_all(
+        F.lower(F.col("text")),
+        F.lit(r"\b(the|be|to|of|and|that|have|with)\b"), F.lit(0)))
+    keep = ((n_words >= 50) & (n_words <= 100000)
+            & (mwl >= 3) & (mwl <= 10)
+            & (symr < 0.1) & (frac_alpha > 0.8) & (n_stop >= 2))
+    return (
+        d.select(
+            "doc_id", "lang",
+            n_words.cast("long").alias("n_words"),
+            F.round(mwl, 4).alias("mean_word_len"),
+            F.round(frac_alpha, 4).alias("frac_alpha_words"),
+            F.round(symr, 4).alias("symbol_ratio"),
+            n_stop.cast("long").alias("n_stopwords"),
+            F.when(keep, "keep").otherwise("flag").alias("gopher_bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "docs_token_budget_select",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, n_chars,
+               len(regexp_split_to_array(TRIM(text), '\\s+')) AS n_tok
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ), ranked AS (
+        SELECT lang, n_tok,
+               SUM(n_tok) OVER (ORDER BY n_chars DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_tok,
+               SUM(n_tok) OVER () AS total_tok
+        FROM toks
+    )
+    SELECT lang,
+           COUNT(*)                   AS n_docs_selected,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_selected
+    FROM ranked
+    WHERE cum_tok - n_tok < 0.5 * total_tok
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def docs_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection (the data-constrained-training
+    primitive, cf. Muennighoff et al. 2023 arXiv:2305.16264): rank
+    docs by a quality proxy (n_chars DESC, doc_id tiebreak) and keep
+    the prefix whose cumulative token count stays under 50% of the
+    corpus token budget; report the per-language profile of the
+    selected set.
+
+    The oracle's ``SUM() OVER (ORDER BY ...)`` is a single-reducer
+    plan at scale; the Spark side instead uses the factored
+    distributed prefix sum (operators/prefix.py::attach_running_total
+    — range repartition + bounded stats window + broadcast offsets,
+    same two-pass shape as orders_pareto_customers), so the global
+    running total is computed by ALL tasks in parallel and the oracle
+    value-checks the rewrite."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = d.select("doc_id", "lang", "n_chars",
+                    F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"))
+    ranked = attach_running_total(
+        toks, "n_tok", [F.desc("n_chars"), F.col("doc_id")],
+        cum_col="cum_tok", total_col="total_tok")
+    return (
+        ranked.filter(F.col("cum_tok") - F.col("n_tok") < 0.5 * F.col("total_tok"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs_selected"),
+             F.sum("n_tok").alias("tokens_selected"))
         .orderBy("lang")
     )

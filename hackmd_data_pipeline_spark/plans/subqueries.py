@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..operators.prefix import attach_running_total
 from ..tables import load_table
 from .registry import query
 
@@ -1134,49 +1135,22 @@ def orders_pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose PRE-inclusion cumulative share is below the threshold, i.e.
     the canonical 'crossing' set.
 
-    Scale shape — two-pass distributed prefix sum (same pattern as
-    operators/maintenance.py::assign_global_ids), replacing the former
-    single-partition running-total window (one task at a billion
-    customers):
-
-      1. range-repartition the per-customer table on
-         (revenue DESC, custkey) — the boundary-sampling pass
-         materializes the lazily-checkpointed aggregate, so the
-         orders aggregation runs once, not twice;
-      2. per-partition (sum, count) stats feed a window over at most
-         ``defaultParallelism`` ROWS (bounded by cluster config, not
-         by data) that turns them into prefix offsets, grand total,
-         and customer count — all broadcast back, no driver collect;
-      3. the running total is then a PARALLEL per-partition window
-         (partitionBy spark_partition_id) plus the broadcast offset.
-
-    The stats branch and the main branch consume the SAME range
-    exchange (ReusedExchange — asserted in tests), so everything
-    happens in one action; every task handles one range slice; no
+    Scale shape — the factored two-pass distributed prefix sum
+    (operators/prefix.py::attach_running_total, shared with
+    docs_token_budget_select), replacing the former single-partition
+    running-total window (one task at a billion customers): range
+    repartition on (revenue DESC, custkey) with the partition
+    assignment frozen by an eager localCheckpoint (a correctness
+    requirement — see the prefix-operator docstring), bounded
+    ``defaultParallelism``-row offsets window, broadcast offsets +
+    grand totals, per-partition parallel running-total window. No
     data-cardinality window anywhere."""
     o = load_table(spark, sf_dir, "orders")
-    per_cust = (o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
-                .localCheckpoint(eager=False))
-    nparts = spark.sparkContext.defaultParallelism
-    pc = (per_cust.repartitionByRange(nparts, F.desc("revenue"), F.col("o_custkey"))
-          .withColumn("_pid", F.spark_partition_id()))
-
-    stats = pc.groupBy("_pid").agg(F.sum("revenue").alias("_s"),
-                                   F.count("*").alias("_c"))
-    # window over <= nparts rows: bounded by cluster parallelism
-    woff = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
-    offsets = stats.select(
-        "_pid", F.coalesce(F.sum("_s").over(woff), F.lit(0.0)).alias("_off"))
-    totals = stats.agg(F.sum("_s").alias("_total"),
-                       F.sum("_c").cast("long").alias("_n"))
-
-    w = (W.partitionBy("_pid").orderBy(F.desc("revenue"), "o_custkey")
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
-    ranked = (pc.join(F.broadcast(offsets), "_pid")
-              .select("revenue",
-                      (F.sum("revenue").over(w) + F.col("_off")).alias("cum_rev")))
-    top = (ranked.crossJoin(F.broadcast(totals))
-           .filter(F.col("cum_rev") - F.col("revenue") < 0.8 * F.col("_total")))
+    per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("revenue"))
+    ranked = attach_running_total(
+        per_cust, "revenue", [F.desc("revenue"), F.col("o_custkey")],
+        cum_col="cum_rev", total_col="_total", count_col="_n")
+    top = ranked.filter(F.col("cum_rev") - F.col("revenue") < 0.8 * F.col("_total"))
     return (
         top.agg(
             F.count("*").alias("n_top_customers"),
@@ -1360,3 +1334,56 @@ def agg_theta_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("est_distinct_docs"),
                  F.count("*").alias("n_rows"))
             .orderBy("source"))
+
+
+@query(
+    "events_activity_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), islands AS (
+        SELECT user_id, d,
+               date_diff('day', DATE '2024-01-01', d)
+                 - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS island_key
+        FROM days
+    ), streaks AS (
+        SELECT user_id, island_key, COUNT(*) AS len, MIN(d) AS streak_start
+        FROM islands GROUP BY user_id, island_key
+    )
+    SELECT user_id,
+           COUNT(*)                 AS n_streaks,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           MIN(streak_start)        AS first_active_day
+    FROM streaks GROUP BY user_id ORDER BY user_id
+    """,
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks —
+    the one classic windowed-analytics shape the registry lacked
+    (sessionization is time-gap based; this is the calendar-day
+    variant engagement analytics actually report as 'streaks').
+
+    Plan shape: distinct (user, day) — one shuffle on the composite
+    key; then EVERY window and aggregation is partitioned by user_id,
+    so after the first exchange the whole island computation is
+    shuffle-free per user slice (AQE coalesces the tiny groups). The
+    day-number-minus-row-number island key is pure integer arithmetic
+    on TIMESTAMP_NTZ-derived dates — session-timezone independent.
+    No data-cardinality global window anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    days = (e.select("user_id", F.to_date("ts").alias("d")).distinct())
+    rn = F.row_number().over(W.partitionBy("user_id").orderBy("d"))
+    islands = days.select(
+        "user_id", "d",
+        (F.datediff("d", F.lit("2024-01-01").cast("date")) - rn).alias("island_key"))
+    streaks = (islands.groupBy("user_id", "island_key")
+               .agg(F.count("*").alias("len"), F.min("d").alias("streak_start")))
+    return (
+        streaks.groupBy("user_id")
+        .agg(F.count("*").alias("n_streaks"),
+             F.max("len").alias("longest_streak"),
+             F.sum("len").alias("n_active_days"),
+             F.min("streak_start").alias("first_active_day"))
+        .orderBy("user_id")
+    )

@@ -274,3 +274,37 @@ def test_fs_helpers_roundtrip(spark, tmp_path):
     assert fs_delete(spark, p)
     assert not fs_exists(spark, p)
     assert not fs_delete(spark, p)  # second delete: nothing to do
+
+
+def test_attach_running_total_matches_reference_and_deterministic(spark):
+    """The distributed prefix sum must equal the single-reducer
+    reference cumsum on every row, carry exact grand totals/counts,
+    and — the regression this operator exists to pin — produce the
+    SAME result on repeated invocations (un-reused range exchanges
+    used to sample independent boundaries, corrupting offsets
+    run-to-run; the eager checkpoint freezes partition assignment)."""
+    from hackmd_data_pipeline_spark.operators.prefix import attach_running_total
+
+    rows = [(i, ((i * 2654435761) % 997), 1 + (i * 7919) % 50)
+            for i in range(700)]
+    df = (spark.createDataFrame(rows, ["id", "key", "val"])
+          .repartition(11))
+
+    ref_sorted = sorted(rows, key=lambda r: (-r[1], r[0]))
+    ref_cum, acc = {}, 0
+    for rid, _k, v in ref_sorted:
+        acc += v
+        ref_cum[rid] = acc
+    total = sum(r[2] for r in rows)
+
+    outs = []
+    for _ in range(2):
+        got = attach_running_total(
+            df, "val", [F.desc("key"), F.col("id")],
+            cum_col="cum", total_col="tot", count_col="cnt")
+        outs.append({r.id: (r.cum, r.tot, r.cnt) for r in got.collect()})
+
+    assert outs[0] == outs[1], "prefix sum is nondeterministic across runs"
+    for rid, (cum, tot, cnt) in outs[0].items():
+        assert cum == ref_cum[rid], (rid, cum, ref_cum[rid])
+        assert tot == total and cnt == len(rows)

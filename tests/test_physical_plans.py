@@ -157,21 +157,25 @@ _BNLJ_OK = {
     "events_type_cooccurrence",  # 1-row user-count scalar cross join
     "customer_rfm_segments",     # 1-row percentile-cut-points cross join
     "orders_pareto_customers",   # 1-row totals scalar cross join
+    "docs_token_budget_select",  # 1-row totals scalar cross join (prefix op)
 }
 
 
-def test_pareto_reuses_range_exchange(spark):
-    """The Pareto two-pass prefix sum must consume ONE range exchange
-    from both its stats branch and its ranked branch — a second range
-    shuffle would mean the distributed prefix sum pays the
-    partitioning twice. AQE performs exchange reuse at runtime, so
-    the assertion reads the FINAL adaptive plan after execution."""
+def test_pareto_prefix_sum_reads_frozen_partitioning(spark):
+    """The Pareto two-pass prefix sum must not pay a per-branch range
+    shuffle, and must not leave partition assignment to AQE's
+    ReusedExchange heuristic (a CORRECTNESS hazard: un-reused range
+    exchanges sample boundaries independently and the offsets then
+    describe partitions the ranked branch doesn't hold — see
+    operators/prefix.py). After the eager checkpoint inside
+    attach_running_total, the query's executed plan consumes the
+    frozen partitioning: checkpoint-RDD scans, zero rangepartitioning
+    exchanges."""
     df = REGISTRY["orders_pareto_customers"].builder(spark, SF_CORRECT)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "isFinalPlan=true" in plan
-    assert "ReusedExchange" in plan, (
-        "stats/ranked branches don't share the range exchange")
+    assert "rangepartitioning" not in plan, plan
+    assert "ExistingRDD" in plan, plan
 
 
 # Unpartitioned Window nodes funnel their whole input through ONE
@@ -179,6 +183,7 @@ def test_pareto_reuses_range_exchange(spark):
 _GLOBAL_WINDOW_OK = {
     "docs_zipf_rank_frequency",   # input capped at 30 rows by TakeOrderedAndProject
     "orders_pareto_customers",    # offsets window over <= defaultParallelism stats rows
+    "docs_token_budget_select",   # same bounded offsets window (prefix op)
 }
 
 
