@@ -15,4 +15,5 @@ Reusable, scale-designed implementations:
                     sketch rollup maintenance
     sampling.py     splits/rebalancing;  packing.py  sequence packing
     scd.py          SCD2 merge;  maintenance.py  compaction, global ids
+    prefix.py       distributed prefix sum (frozen range partitioning)
 """

@@ -1387,3 +1387,52 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("streak_start").alias("first_active_day"))
         .orderBy("user_id")
     )
+
+
+@query(
+    "events_winsorized_stats",
+    oracle="""
+    WITH cuts AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*)                                              AS n_events,
+           ROUND(AVG(e.value), 4)                                AS mean_raw,
+           ROUND(AVG(LEAST(GREATEST(e.value, c.lo), c.hi)), 4)   AS mean_winsorized,
+           ROUND(MIN(c.lo), 4)                                   AS p05,
+           ROUND(MAX(c.hi), 4)                                   AS p95
+    FROM events e JOIN cuts c USING (event_type)
+    GROUP BY e.event_type ORDER BY e.event_type
+    """,
+)
+def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (5%/95%-clamped) robust means per event type — the
+    outlier-resistant metric layer (complements events_anomaly_zscore,
+    which FLAGS outliers; this bounds their influence). Spark
+    ``percentile`` is the same linear-interpolation estimator as
+    DuckDB ``quantile_cont`` (equivalence already pinned by
+    agg_exact_percentiles), so the cut points are value-checked too.
+
+    Scale shape: one partial-aggregated pass computes the per-type cut
+    points (output rows = #event types, tiny); the cut table is
+    BROADCAST back onto the fact scan, so the clamp+mean pass is a
+    map-side join + one aggregation — the fact table shuffles only
+    pre-aggregated per-type rows, never raw events."""
+    e = load_table(spark, sf_dir, "events")
+    cuts = (e.groupBy("event_type")
+            .agg(F.expr("percentile(value, 0.05)").alias("lo"),
+                 F.expr("percentile(value, 0.95)").alias("hi")))
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(cuts), "event_type")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.avg("value"), 4).alias("mean_raw"),
+             F.round(F.avg(clamped), 4).alias("mean_winsorized"),
+             F.round(F.min("lo"), 4).alias("p05"),
+             F.round(F.max("hi"), 4).alias("p95"))
+        .orderBy("event_type")
+    )
