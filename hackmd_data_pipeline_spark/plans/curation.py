@@ -552,3 +552,47 @@ def docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type").agg(F.count("*").alias("n_rows"))
         .orderBy("change_type")
     )
+
+
+@query(
+    "docs_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+        SELECT UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '\\s+')) AS w
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ), pairs AS (
+        SELECT UNNEST([w[i:i+1] FOR i IN range(1, GREATEST(LENGTH(w), 1))]) AS pair
+        FROM words WHERE LENGTH(w) >= 2
+    )
+    SELECT pair, COUNT(*) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair
+    LIMIT 20
+    """,
+)
+def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE tokenizer-training primitive (Sennrich et al. 2016,
+    arXiv:1508.07909): corpus-wide adjacent-symbol pair counts — the
+    statistic each BPE merge iteration maximizes (here the first
+    iteration, over raw characters; docs_vocabulary_topk covers the
+    word-level vocab scan). Top-20 with a deterministic (count DESC,
+    pair) tie-break.
+
+    Scale shape: explode is linear in corpus characters; the pair key
+    space is tiny (alphabet²), so the count aggregation is map-side
+    partial + a near-constant shuffle, and the top-k is
+    TakeOrderedAndProject — no global sort. The full BPE loop would
+    re-run this per merge on re-paired tokens; each iteration stays
+    this same one-shuffle shape."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    words = (d.select(F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
+             .filter(F.length("w") >= 2))
+    pairs = words.select(F.explode(
+        F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+    ).alias("pair"))
+    return (
+        pairs.groupBy("pair").agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(20)
+    )

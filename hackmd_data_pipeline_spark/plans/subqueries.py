@@ -1436,3 +1436,55 @@ def events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.max("hi"), 4).alias("p95"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_equidepth_histogram",
+    oracle="""
+    WITH cuts AS (
+        SELECT quantile_cont(value, 0.1) AS c1, quantile_cont(value, 0.2) AS c2,
+               quantile_cont(value, 0.3) AS c3, quantile_cont(value, 0.4) AS c4,
+               quantile_cont(value, 0.5) AS c5, quantile_cont(value, 0.6) AS c6,
+               quantile_cont(value, 0.7) AS c7, quantile_cont(value, 0.8) AS c8,
+               quantile_cont(value, 0.9) AS c9
+        FROM events
+    )
+    SELECT 1 + CAST(value > c1 AS INT) + CAST(value > c2 AS INT)
+             + CAST(value > c3 AS INT) + CAST(value > c4 AS INT)
+             + CAST(value > c5 AS INT) + CAST(value > c6 AS INT)
+             + CAST(value > c7 AS INT) + CAST(value > c8 AS INT)
+             + CAST(value > c9 AS INT)  AS bucket,
+           COUNT(*)                     AS n_events,
+           ROUND(MIN(value), 4)         AS lo,
+           ROUND(MAX(value), 4)         AS hi
+    FROM events, cuts
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH (decile) histogram — equal-population buckets whose
+    BOUNDARIES adapt to the distribution (events_value_histogram is
+    the fixed-width complement). The naive form is NTILE over a global
+    sort (single reducer); this is the scale-correct rewrite: one
+    aggregation computes the 9 interior deciles (Spark ``percentile``
+    ≡ DuckDB ``quantile_cont``, equivalence pinned by
+    agg_exact_percentiles), the 1-row cut table broadcasts back onto
+    the fact scan, and the bucket id is a branch-free sum of
+    comparisons — map-side partial agg, no global sort, no window.
+    At 100 TB the exact-percentile pass would swap for the mergeable
+    approx_percentile sketch (agg_approx_percentiles) unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    cuts = e.agg(*[F.expr(f"percentile(value, 0.{i})").alias(f"c{i}")
+                   for i in range(1, 10)])
+    bucket = F.lit(1)
+    for i in range(1, 10):
+        bucket = bucket + (F.col("value") > F.col(f"c{i}")).cast("int")
+    return (
+        e.crossJoin(F.broadcast(cuts))
+        .select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.min("value"), 4).alias("lo"),
+             F.round(F.max("value"), 4).alias("hi"))
+        .orderBy("bucket")
+    )

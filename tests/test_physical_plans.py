@@ -158,6 +158,7 @@ _BNLJ_OK = {
     "customer_rfm_segments",     # 1-row percentile-cut-points cross join
     "orders_pareto_customers",   # 1-row totals scalar cross join
     "docs_token_budget_select",  # 1-row totals scalar cross join (prefix op)
+    "events_equidepth_histogram",  # 1-row decile-cuts scalar cross join
 }
 
 
