@@ -308,3 +308,24 @@ def test_attach_running_total_matches_reference_and_deterministic(spark):
     for rid, (cum, tot, cnt) in outs[0].items():
         assert cum == ref_cum[rid], (rid, cum, ref_cum[rid])
         assert tot == total and cnt == len(rows)
+
+
+def test_attach_running_total_empty_and_single_row(spark):
+    """Degenerate inputs: an EMPTY frame yields an empty result (the
+    broadcast totals row vanishes with it, no null poisoning), and a
+    single row carries cum == total == its own value."""
+    from pyspark.sql import types as T
+
+    from hackmd_data_pipeline_spark.operators.prefix import attach_running_total
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("val", T.LongType())])
+    empty = spark.createDataFrame([], schema)
+    out = attach_running_total(empty, "val", [F.col("id")],
+                               cum_col="cum", total_col="tot")
+    assert out.count() == 0
+
+    one = spark.createDataFrame([(7, 42)], schema)
+    rows = attach_running_total(one, "val", [F.col("id")],
+                                cum_col="cum", total_col="tot").collect()
+    assert len(rows) == 1 and rows[0].cum == 42 and rows[0].tot == 42
