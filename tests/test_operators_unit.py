@@ -329,3 +329,89 @@ def test_attach_running_total_empty_and_single_row(spark):
     rows = attach_running_total(one, "val", [F.col("id")],
                                 cum_col="cum", total_col="tot").collect()
     assert len(rows) == 1 and rows[0].cum == 42 and rows[0].tot == 42
+
+
+def test_activity_streaks_islands_logic(spark):
+    """Gaps-and-islands on a crafted calendar: user 1 has runs
+    [d1-d3], [d5], [d7-d8] (3 streaks, longest 3, 6 active days);
+    user 2 is a single day; duplicate same-day events must not
+    inflate streaks."""
+    import datetime as ddt
+
+    from hackmd_data_pipeline_spark.plans import REGISTRY
+
+    rows = []
+    eid = 0
+    def ev(u, day, n=1):
+        nonlocal eid
+        for _ in range(n):
+            rows.append((eid, ddt.datetime(2024, 3, day, 12, 0, 0), u,
+                         "view", 1.0, "{}"))
+            eid += 1
+    ev(1, 1); ev(1, 2, n=3); ev(1, 3); ev(1, 5); ev(1, 7); ev(1, 8)
+    ev(2, 10, n=2)
+
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, schema).write.parquet(f"{d}/events.parquet")
+        got = {r.user_id: (r.n_streaks, r.longest_streak, r.n_active_days)
+               for r in REGISTRY["events_activity_streaks"]
+               .builder(spark, d).collect()}
+    assert got[1] == (3, 3, 6)
+    assert got[2] == (1, 1, 1)
+
+
+def test_gopher_rules_edge_shapes(spark):
+    """Crafted docs: an all-digits doc fails frac_alpha; a
+    two-letter-word doc fails mean_word_len >= 3; a long good doc with
+    stopwords passes; symbol-heavy '#' doc fails symbol_ratio."""
+    import tempfile
+
+    import pyspark.sql.types as T
+
+    from hackmd_data_pipeline_spark.plans import REGISTRY
+
+    good = ("the quick brown fox jumps over the lazy dog and keeps " * 6).strip()
+    docs = [
+        (0, good, "en", "s", len(good)),                  # keep
+        (1, " ".join(["123"] * 60), "en", "s", 239),      # all digits -> flag
+        (2, " ".join(["ab"] * 60), "en", "s", 179),       # short words -> flag
+        (3, ("# " * 30 + good)[:400], "en", "s", 400),    # symbols -> flag
+        (4, "   ", "en", "s", 3),                         # blank: filtered out
+    ]
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(docs, schema).write.parquet(f"{d}/documents.parquet")
+        got = {r.doc_id: r.gopher_bucket
+               for r in REGISTRY["text_gopher_rules"].builder(spark, d).collect()}
+    assert got == {0: "keep", 1: "flag", 2: "flag", 3: "flag"}
+
+
+def test_equidepth_buckets_are_near_equal(spark):
+    """On the real events table the 10 adaptive buckets must hold
+    near-equal populations (the defining property equi-WIDTH lacks)
+    and tile the value range without overlap."""
+    from hackmd_data_pipeline_spark.plans import REGISTRY
+
+    rows = (REGISTRY["events_equidepth_histogram"]
+            .builder(spark, "/root/testdata/sf0.01").orderBy("bucket").collect())
+    assert [r.bucket for r in rows] == list(range(1, 11))
+    counts = [r.n_events for r in rows]
+    assert max(counts) - min(counts) <= 0.02 * sum(counts) / 10 + 5
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.hi <= cur.lo
