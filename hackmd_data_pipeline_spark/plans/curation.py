@@ -596,3 +596,85 @@ def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "pair")
         .limit(20)
     )
+
+
+@query(
+    "graph_triangle_stats",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, SUBSTR(LOWER(TRIM(text)), 1, 40) AS head
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ), e AS (
+        SELECT a.doc_id AS u, b.doc_id AS v
+        FROM d a JOIN d b
+          ON SUBSTR(a.head, 1, 8) = SUBSTR(b.head, 1, 8)
+         AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.head, b.head) <= 10
+    ), deg AS (
+        SELECT node, COUNT(*) AS deg
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+        GROUP BY node
+    ), tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.v = e2.u
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), wed AS (
+        SELECT COUNT(*) AS n_nodes,
+               CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+        FROM deg
+    )
+    SELECT wed.n_nodes,
+           (SELECT COUNT(*) FROM e)  AS n_edges,
+           wed.n_wedges,
+           tri.n_triangles,
+           ROUND(3.0 * tri.n_triangles / GREATEST(wed.n_wedges, 1), 4)
+               AS global_clustering
+    FROM tri, wed
+    """,
+)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient over the
+    near-dup graph (edges = the oracle-expressible prefix-blocked
+    edit-distance pairs, same source dedup_cc_clusters gates on) —
+    the third distributed-graph primitive after connected components
+    and PageRank, and the standard transitivity audit for a dedup
+    pair set (near-dup relations SHOULD be highly transitive; a low
+    coefficient flags a blocking scheme emitting spurious pairs).
+
+    Scale shape: the classic ordered-orientation distributed triangle
+    count — edges kept as u < v, so each triangle is counted exactly
+    once by two equi-joins (path u->v->w closed by edge (u,w)); no
+    enumeration of per-node neighbor cross-products, no cartesian.
+    Degrees/wedges are one union + aggregation; the 1-row scalar
+    aggregates (edge count, wedge sum, triangle count) combine by
+    broadcast."""
+    d = (load_table(spark, sf_dir, "documents")
+         .filter(F.length(F.trim("text")) > 0)
+         .select("doc_id",
+                 F.substring(F.lower(F.trim(F.col("text"))), 1, 40).alias("head"))
+         .withColumn("_blk", F.substring("head", 1, 8)))
+    a, b = d.alias("a"), d.alias("b")
+    e = (a.join(b, (F.col("a._blk") == F.col("b._blk"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")))
+         .filter(F.levenshtein(F.col("a.head"), F.col("b.head")) <= 10)
+         .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")))
+
+    deg = (e.select(F.col("u").alias("node"))
+           .unionAll(e.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    wed = deg.agg(F.count("*").alias("n_nodes"),
+                  F.expr("sum(deg * (deg - 1) div 2)").alias("n_wedges"))
+    n_edges = e.agg(F.count("*").alias("n_edges"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+           .join(e3, (F.col("e3.u") == F.col("e1.u"))
+                 & (F.col("e3.v") == F.col("e2.v")))
+           .agg(F.count("*").alias("n_triangles")))
+    return (
+        wed.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles",
+                F.round(F.lit(3.0) * F.col("n_triangles")
+                        / F.greatest(F.col("n_wedges"), F.lit(1)), 4)
+                 .alias("global_clustering"))
+    )
