@@ -657,7 +657,13 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (a.join(b, (F.col("a._blk") == F.col("b._blk"))
                 & (F.col("a.doc_id") < F.col("b.doc_id")))
          .filter(F.levenshtein(F.col("a.head"), F.col("b.head")) <= 10)
-         .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v")))
+         .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+         # materialize the edge relation ONCE: six consumers (degree
+         # union x2, wedge agg, three triangle join legs) would each
+         # re-run the quadratic-within-block levenshtein join
+         # otherwise (measured 6x cost at 10x corpus); the edge list
+         # itself is tiny relative to the corpus
+         .localCheckpoint())
 
     deg = (e.select(F.col("u").alias("node"))
            .unionAll(e.select(F.col("v").alias("node")))

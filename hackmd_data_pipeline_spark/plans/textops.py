@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions import batch_id, fingerprint, sanitize_key, scrub_text, token_count, tokens
+from ..functions import batch_id, fingerprint, sanitize_key, scrub_text, tokens
 from ..operators.dedup import shingles
 from ..tables import load_table
 from .registry import query
