@@ -1488,3 +1488,58 @@ def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.max("value"), 4).alias("hi"))
         .orderBy("bucket")
     )
+
+
+@query(
+    "dq_key_skew_profile",
+    oracle="""
+    WITH freq_cust AS (
+        SELECT o_custkey AS key, COUNT(*) AS f FROM orders GROUP BY o_custkey
+    ), freq_part AS (
+        SELECT l_partkey AS key, COUNT(*) AS f FROM lineitem GROUP BY l_partkey
+    ), prof AS (
+        SELECT 'orders.o_custkey' AS join_key, COUNT(*) AS n_keys,
+               CAST(SUM(f) AS BIGINT) AS n_rows, CAST(MAX(f) AS BIGINT) AS max_freq,
+               ROUND(MAX(f) / (CAST(SUM(f) AS DOUBLE) / COUNT(*)), 4) AS skew_ratio
+        FROM freq_cust
+        UNION ALL
+        SELECT 'lineitem.l_partkey', COUNT(*),
+               CAST(SUM(f) AS BIGINT), CAST(MAX(f) AS BIGINT),
+               ROUND(MAX(f) / (CAST(SUM(f) AS DOUBLE) / COUNT(*)), 4)
+        FROM freq_part
+    )
+    SELECT * FROM prof ORDER BY join_key
+    """,
+)
+def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit — the measurement behind every
+    broadcast-vs-salt decision (operators/skew.py implements the cure;
+    this query is the diagnosis): per candidate join key, key
+    cardinality, row count, hottest-key frequency, and the
+    max/mean-frequency skew ratio. A ratio near 1 = uniform (hash
+    partitions balance); a large ratio says the hottest key's
+    partition dominates the stage and the join needs salting or an
+    AQE skew split.
+
+    Scale shape: one partial-aggregated count per key per table (the
+    same shuffle the real join would pay, ~free as an audit), each
+    folded to a 1-row profile; profiles unioned. No distinct-heavy
+    second pass — n_keys rides the same aggregation."""
+    def profile(df: DataFrame, key: str, label: str) -> DataFrame:
+        freq = df.groupBy(F.col(key).alias("key")).agg(F.count("*").alias("f"))
+        return freq.agg(
+            F.lit(label).alias("join_key"),
+            F.count("*").alias("n_keys"),
+            F.sum("f").alias("n_rows"),
+            F.max("f").alias("max_freq"),
+            F.round(F.max("f") / (F.sum("f").cast("double") / F.count("*")), 4)
+             .alias("skew_ratio"),
+        ).select("join_key", "n_keys", "n_rows", "max_freq", "skew_ratio")
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        profile(o, "o_custkey", "orders.o_custkey")
+        .unionAll(profile(li, "l_partkey", "lineitem.l_partkey"))
+        .orderBy("join_key")
+    )
