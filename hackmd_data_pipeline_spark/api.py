@@ -108,3 +108,11 @@ class Engine:
         """Fold pending rollup deltas into a new generation."""
         from .operators.rollup import compact_rollup
         return compact_rollup(self.spark, dest, **kwargs)
+
+    def retention_sweep(self, path: str, partition_col: str,
+                        keep_from: str) -> dict:
+        """Drop value-partitions below the cutoff (partition-scoped
+        DELETE; the lifecycle complement of refresh_rollup's
+        partition-scoped rewrite)."""
+        from .operators.maintenance import retention_sweep
+        return retention_sweep(self.spark, path, partition_col, keep_from)

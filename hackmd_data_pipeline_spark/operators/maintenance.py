@@ -94,3 +94,40 @@ def assign_global_ids(df: DataFrame, id_name: str = "global_id") -> DataFrame:
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(id_name, T.LongType())])
     return df.mapInPandas(add_ids, out_schema)
+
+
+def retention_sweep(spark: SparkSession, path: str, partition_col: str,
+                    keep_from: str) -> dict:
+    """Retention enforcement for a value-partitioned table: drop every
+    ``{partition_col}={value}`` directory whose value sorts below
+    ``keep_from`` (ISO dates compare lexicographically, so a date
+    cutoff is just a string). The complement of refresh_rollup's
+    partition-scoped REWRITE — this is the partition-scoped DELETE,
+    and together they give the hypertable-style lifecycle
+    (reference's managed Postgres tables age out rows with DELETEs;
+    a lakehouse table ages out whole partitions).
+
+    Scale posture: purely metadata-driven — list immediate partition
+    dirs, delete whole directories via the scheme-aware Hadoop
+    FileSystem API (sources/fs.py; pathlib would silently no-op on
+    hdfs:// and s3a://). Cost is O(partitions dropped), zero data
+    read, no job launched. Each directory delete is atomic on
+    HDFS/POSIX; on S3A a failed sweep re-run is idempotent (already-
+    deleted partitions are simply absent).
+
+    Returns {"dropped": [...], "kept": [...]} partition values.
+    """
+    from ..sources.fs import fs_delete, fs_list_dirs
+
+    prefix = f"{partition_col}="
+    dropped, kept = [], []
+    for name in fs_list_dirs(spark, path):
+        if not name.startswith(prefix):
+            continue
+        value = name[len(prefix):]
+        if value < keep_from:
+            fs_delete(spark, f"{path.rstrip('/')}/{name}")
+            dropped.append(value)
+        else:
+            kept.append(value)
+    return {"dropped": sorted(dropped), "kept": sorted(kept)}

