@@ -1591,3 +1591,66 @@ def win_order_analytics_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+@query(
+    "agg_boolean_suite",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*)                                              AS n_orders,
+           BOOL_AND(o_totalprice > 1000)                         AS all_over_1k,
+           BOOL_OR(o_totalprice > 400000)                        AS any_over_400k,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS n_finished,
+           CAST(MIN(o_orderkey) AS BIGINT)                       AS first_key
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def agg_boolean_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean / filtered aggregate suite: BOOL_AND, BOOL_OR, and the
+    FILTER-clause count (Spark ``count_if``) — predicate rollups a
+    monitoring layer asks constantly ('do ALL orders clear the
+    floor?', 'did ANY breach the cap?'). All are single-pass partial
+    aggregates (booleans merge as AND/OR map-side), one shuffle on the
+    group key."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+             F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+             F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+             F.min("o_orderkey").alias("first_key"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "fn_json_map_suite",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT)  AS k_value,
+           (json_extract(props, '$.missing') IS NULL)  AS missing_is_null,
+           CAST(len(json_keys(props)) AS BIGINT)       AS n_keys
+    FROM events ORDER BY event_id
+    """,
+)
+def fn_json_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON access parity (extends
+    events_props_json_extract): typed path extraction, missing-path
+    NULL semantics, and full-document parse to a typed MAP with key
+    cardinality — the props-column access patterns the reference's
+    JSONB column serves (reference create_table.sql: metadata JSONB).
+    Pure projection over one scan; from_json is codegen'd JVM-side,
+    no UDF."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", "map<string,bigint>")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+            F.get_json_object("props", "$.missing").isNull()
+             .alias("missing_is_null"),
+            F.size(parsed).cast("long").alias("n_keys"),
+        )
+        .orderBy("event_id")
+    )
