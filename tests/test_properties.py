@@ -228,3 +228,30 @@ def test_chunking_covers_every_token(spark, n_tokens_per_doc):
         for a, b in zip(chunks, chunks[1:]):
             if len(a.chunk) == window:
                 assert len(set(a.chunk) & set(b.chunk)) == window - stride
+
+
+# --------------------------------------------- distributed prefix sum
+
+@SETTINGS
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 10**6),            # order key (may collide)
+              st.integers(-1000, 1000)),        # value
+    min_size=1, max_size=60))
+def test_running_total_matches_cumsum(spark, rows):
+    """attach_running_total over an arbitrary (key, value) multiset ≡
+    the sequential cumulative sum along (key, row_id) — including
+    duplicate order keys (broken by the id tiebreak), negative values,
+    and single-row inputs. Pins the distributed two-pass rewrite to
+    the naive specification the oracle-side SUM() OVER expresses."""
+    from hackmd_data_pipeline_spark.operators.prefix import attach_running_total
+
+    data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, ["rid", "k", "v"]).repartition(5)
+    got = {r.rid: (r.cum, r.tot) for r in attach_running_total(
+        df, "v", [F.col("k"), F.col("rid")],
+        cum_col="cum", total_col="tot").collect()}
+
+    acc, total = 0, sum(v for _, v in rows)
+    for rid, k, v in sorted(data, key=lambda t: (t[1], t[0])):
+        acc += v
+        assert got[rid] == (acc, total), (rid, got[rid], acc, total)
