@@ -684,3 +684,75 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / F.greatest(F.col("n_wedges"), F.lit(1)), 4)
                  .alias("global_clustering"))
     )
+
+
+@query(
+    "docs_lm_perplexity",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS t
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ), bg AS (
+        SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        FROM toks, UNNEST(range(1, len(t))) AS r(i)
+        WHERE len(t) >= 2
+    ), big_counts AS (
+        SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+    ), uni_counts AS (
+        SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
+    ), vocab AS (
+        SELECT COUNT(DISTINCT u.w) AS v FROM (
+            SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg) u
+    )
+    SELECT b.doc_id,
+           COUNT(*)                                   AS n_bigrams,
+           ROUND(AVG(LN(CAST(bc.c12 + 1 AS DOUBLE)
+                        / (uc.c1 + vocab.v))), 4)     AS avg_logp
+    FROM bg b
+    JOIN big_counts bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+    JOIN uni_counts uc ON uc.w1 = b.w1
+    CROSS JOIN vocab
+    GROUP BY b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality scoring — the CCNet/KenLM perplexity
+    filter (Wenzek et al. 2020, arXiv:1911.00359) re-expressed as
+    pure relational algebra: estimate an add-one-smoothed BIGRAM
+    model from the corpus itself, then score every document by its
+    mean log-probability under that model (low = out-of-distribution
+    gibberish, the classic pre-training quality signal; LN arithmetic
+    is identical IEEE in both engines, so the score is fully
+    oracle-checkable — no external LM binary, no UDF).
+
+    Scale shape: bigram explode is linear in corpus tokens; the model
+    'fit' is two partial-aggregated counts (bigram, unigram); scoring
+    re-joins the exploded bigrams to both count tables on their
+    natural keys (shuffles partitioned by bigram/w1 — at 100 TB the
+    count tables are Zipf-skewed, which AQE's skew-join handles, or
+    pre-salt the head via operators/skew.py); the vocab size is a
+    1-row broadcast scalar."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bg = (d.filter(F.size(toks) >= 2)
+          .select("doc_id", toks.alias("t"))
+          .select("doc_id", F.explode(F.expr(
+              "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+              " (a, b) -> struct(a, b))")).alias("p"))
+          .select("doc_id", F.col("p.a").alias("w1"), F.col("p.b").alias("w2")))
+    big_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni_counts = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (bg.select(F.col("w1").alias("w"))
+             .unionAll(bg.select(F.col("w2").alias("w")))
+             .agg(F.countDistinct("w").alias("v")))
+    logp = F.ln((F.col("c12") + 1).cast("double") / (F.col("c1") + F.col("v")))
+    return (
+        bg.join(big_counts, ["w1", "w2"])
+        .join(uni_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"),
+             F.round(F.avg(logp), 4).alias("avg_logp"))
+        .orderBy("doc_id")
+    )

@@ -160,6 +160,7 @@ _BNLJ_OK = {
     "docs_token_budget_select",  # 1-row totals scalar cross join (prefix op)
     "events_equidepth_histogram",  # 1-row decile-cuts scalar cross join
     "graph_triangle_stats",        # 1-row scalar-aggregate cross joins
+    "docs_lm_perplexity",          # 1-row vocab-size scalar cross join
 }
 
 
