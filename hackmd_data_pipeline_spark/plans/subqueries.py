@@ -1654,3 +1654,60 @@ def fn_json_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN(EXTRACT(YEAR FROM o_orderdate))::BIGINT AS cohort_year
+        FROM orders GROUP BY o_custkey
+    ), cells AS (
+        SELECT f.cohort_year,
+               EXTRACT(YEAR FROM o.o_orderdate)::BIGINT - f.cohort_year
+                   AS offset_years,
+               COUNT(DISTINCT o.o_custkey) AS n_active,
+               ROUND(SUM(o.o_totalprice), 2) AS revenue
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+        GROUP BY 1, 2
+    )
+    SELECT cohort_year, offset_years, n_active, revenue,
+           ROUND(SUM(revenue) OVER (PARTITION BY cohort_year
+                 ORDER BY offset_years ROWS UNBOUNDED PRECEDING), 2)
+               AS cum_revenue
+    FROM cells ORDER BY cohort_year, offset_years
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by first-
+    order year, revenue tracked by years-since-acquisition, with the
+    running cumulative LTV per cohort — the acquisition-economics view
+    events_user_retention (activity counts) doesn't give.
+
+    Scale shape: the cohort assignment is one aggregation on custkey;
+    the fact re-join is a custkey-partitioned equi-join (the SAME
+    clustering the aggregation just produced — no broadcast needed and
+    none attempted, since at scale the customer dimension is large);
+    cells collapse to (#cohorts x #offsets) rows, so the cumulative
+    window runs over a bounded per-cohort handful. One custkey
+    shuffle + one cell aggregation end to end."""
+    o = load_table(spark, sf_dir, "orders")
+    firsts = (o.groupBy("o_custkey")
+              .agg(F.min(F.year("o_orderdate").cast("long"))
+                   .alias("cohort_year")))
+    cells = (
+        o.join(firsts, "o_custkey")
+        .groupBy("cohort_year",
+                 (F.year("o_orderdate").cast("long") - F.col("cohort_year"))
+                 .alias("offset_years"))
+        .agg(F.countDistinct("o_custkey").alias("n_active"),
+             F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = (W.partitionBy("cohort_year").orderBy("offset_years")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        cells.select("cohort_year", "offset_years", "n_active", "revenue",
+                     F.round(F.sum("revenue").over(w), 2).alias("cum_revenue"))
+        .orderBy("cohort_year", "offset_years")
+    )
