@@ -87,19 +87,55 @@ def main() -> None:
         },
         "iterations": all_iters,
     }
-    print(json.dumps(out))
-
-    # driver-parsable artifact (VERDICT r01 asked for one: the driver's
-    # own BENCH_r{N}.json scrape truncated the per-query tail): one
-    # clean JSON object, no log prefixes, named for the round after the
-    # latest recorded CORRECTNESS file so per-query times diff across
-    # rounds
+    # driver-parsable artifact FIRST (VERDICT r03 item 3: the driver
+    # stores only the final ~2000 chars of stdout and json-parses that
+    # tail; a 137-query dict is ~4-10 KB, so the full line has never
+    # parsed — r01/r02/r03 all landed "parsed": null). The complete
+    # per-query record therefore lives in this committed file, named
+    # for the round after the latest recorded CORRECTNESS file so
+    # per-query times diff across rounds.
     repo = Path(__file__).resolve().parent
     rounds = [int(p.stem.split("_r")[-1]) for p in repo.glob("CORRECTNESS_r*.json")
               if p.stem.split("_r")[-1].isdigit()]
     rnd = (max(rounds) + 1) if rounds else 0
-    (repo / f"BENCH_LOCAL_r{rnd:02d}.json").write_text(json.dumps(out, indent=1))
+    # non-default scales get their own filename so an exploratory
+    # sf0.01 pass can never clobber the round's official sf0.1 record
+    tag = "" if out["sf"] == 0.1 else f"_sf{sf}"
+    artifact = f"BENCH_LOCAL_r{rnd:02d}{tag}.json"
+    (repo / artifact).write_text(json.dumps(out, indent=1))
+
+    # stop the JVM BEFORE emitting the parse-critical lines so no
+    # shutdown noise can land after them on stdout
     spark.stop()
+
+    # full contract line (humans / logs / anyone capturing full stdout)
+    print(json.dumps(out, separators=(",", ":")), flush=True)
+
+    # LAST line: a complete JSON object guaranteed to fit inside the
+    # driver's 2000-char tail window, so "parsed" is finally non-null.
+    # Carries the headline metric + a pointer to the full per-query
+    # artifact + the slowest queries (as many as fit the budget).
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "n_queries": len(timings),
+        "queries_file": artifact,
+        "loadavg_before": out["env"]["loadavg_before"],
+        "wall_sec": out["env"]["wall_sec"],
+        "slowest_queries": {},
+    }
+    budget = 1500  # hard margin under the 2000-char tail
+    for name, sec in slowest:
+        summary["slowest_queries"][name] = sec
+        if len(json.dumps(summary, separators=(",", ":"))) > budget:
+            del summary["slowest_queries"][name]
+            break
+    line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) <= budget, "summary line exceeds tail-safe budget"
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

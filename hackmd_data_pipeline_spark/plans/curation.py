@@ -25,13 +25,22 @@ from .registry import query
 @query(
     "dedup_keep_best",
     oracle="""
-    SELECT md5(LOWER(TRIM(text)))                                  AS fp,
-           arg_max(doc_id, n_chars * 10000000 - doc_id)            AS keeper_doc_id,
-           CAST(MAX(n_chars) AS BIGINT)                            AS best_n_chars,
-           COUNT(*)                                                AS n_copies
-    FROM documents
-    GROUP BY fp
-    ORDER BY fp
+    WITH g AS (
+        SELECT md5(LOWER(TRIM(text))) AS fp, doc_id, n_chars
+        FROM documents
+    ), grp AS (
+        SELECT fp,
+               CAST(MAX(n_chars) AS BIGINT) AS best_n_chars,
+               COUNT(*)                     AS n_copies
+        FROM g GROUP BY fp
+    )
+    SELECT grp.fp,
+           MIN(g.doc_id)     AS keeper_doc_id,
+           grp.best_n_chars  AS best_n_chars,
+           grp.n_copies      AS n_copies
+    FROM grp JOIN g ON g.fp = grp.fp AND g.n_chars = grp.best_n_chars
+    GROUP BY grp.fp, grp.best_n_chars, grp.n_copies
+    ORDER BY grp.fp
     """,
 )
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,14 +52,17 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_exact_fingerprint's min-id rule).
 
     One shuffle on the 128-bit fingerprint; the argmax is a single
-    max_by aggregate (no window, no self-join). The score
-    ``n_chars * 1e7 - doc_id`` is an integer-exact composite key
-    (doc_id < 1e7), so both engines pick the identical keeper."""
+    max_by aggregate (no window, no self-join). The ordering key is a
+    STRUCT ``(n_chars, -doc_id)`` — lexicographic struct comparison is
+    identical in Spark and DuckDB (``ROW`` comparison), so both engines
+    pick the identical keeper with NO assumption about the id range
+    (the previous integer-packed score ``n_chars*1e7 - doc_id`` broke
+    silently for doc_id ≥ 1e7 — VERDICT r03 "What's wrong" #2)."""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.groupBy(fingerprint("text").alias("fp"))
         .agg(
-            F.expr("max_by(doc_id, n_chars * 10000000 - doc_id)")
+            F.expr("max_by(doc_id, struct(n_chars, -doc_id))")
              .alias("keeper_doc_id"),
             F.max("n_chars").alias("best_n_chars"),
             F.count("*").alias("n_copies"),
