@@ -32,8 +32,12 @@ def _covered_from_artifacts() -> frozenset:
     failure OR a hash mismatch do NOT count — they must re-enter the
     driver's sample window until green (round-2 verdict: a hash-fail
     row has err null, so the old err-only check wrongly parked the 4
-    HUGEINT-oracle failures in the covered tier forever). Falls back
-    to the static r01 set below if no artifact parses."""
+    HUGEINT-oracle failures in the covered tier forever). A rows-only
+    row likewise stops counting once the query has been PROMOTED to a
+    full oracle (round 4: split/rebalance/partial-overlap) — the new
+    oracle needs its own green hash row, so the query re-enters the
+    window. Falls back to the static r01 set below if no artifact
+    parses."""
     covered: set = set()
     for p in sorted(Path(__file__).resolve().parent.glob("CORRECTNESS_r*.json")):
         try:
@@ -43,7 +47,11 @@ def _covered_from_artifacts() -> frozenset:
         for name, row in data.items():
             if not isinstance(row, dict):
                 continue
-            if row.get("hash_match") is True or row.get("err") == "no_oracle":
+            if row.get("hash_match") is True:
+                covered.add(name)
+            elif (row.get("err") == "no_oracle"
+                  and (name not in REGISTRY
+                       or REGISTRY[name].oracle is None)):
                 covered.add(name)
     return frozenset(covered)
 
@@ -95,7 +103,15 @@ _ROWS_ONLY_PRIORITY = [
 ]
 
 
-_GATE_COVERED = _covered_from_artifacts() or _R01_COVERED
+# Queries whose BUILDER or ORACLE materially changed this round: a
+# green row from a previous round certifies the OLD form, so they must
+# re-enter the driver's sample window even though an artifact row
+# exists. Prune entries once the corresponding round's artifact lands.
+_FORCE_REGATE = frozenset({
+    "dedup_keep_best",        # r04: struct max_by + CTE oracle
+})
+
+_GATE_COVERED = (_covered_from_artifacts() - _FORCE_REGATE) or _R01_COVERED
 
 
 def _tier(name: str) -> int:

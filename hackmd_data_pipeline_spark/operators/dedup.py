@@ -225,6 +225,63 @@ def verify_jaccard(candidates: DataFrame, sh_df: DataFrame,
     return out.orderBy("id_a", "id_b") if sort else out
 
 
+def inverted_index_candidates(sh_df: DataFrame, id_col: str = "doc_id",
+                              max_df: int = 100) -> DataFrame:
+    """Candidate pairs ``(id_a, id_b)`` sharing >= 1 shingle — the
+    inverted-index (postings-list) candidate generator.
+
+    Complementary to LSH banding: banding trades recall for a fixed
+    bucket-join cost, postings give EXACT recall for any pair with a
+    single surviving shared shingle, at a cost of sum(df^2) over the
+    posting lists. The ``max_df`` stop-shingle cut (same posture as
+    winnowing's ``max_df``) bounds every posting list, so the join
+    cost is <= max_df * corpus_shingle_occurrences — linear in the
+    corpus with a constant cap, never quadratic. A true near-dup pair
+    is missed only if EVERY shingle it shares is corpus-boilerplate
+    (df > max_df) — at jaccard >= 0.3 a pair shares many shingles, so
+    in practice the cut costs no recall while it kills the hot-bucket
+    skew that would otherwise dominate at 100 TB.
+
+    Deterministic and engine-neutral (no banding, no hashing beyond
+    the shared shingle table), so queries built on it are fully
+    DuckDB-oracle-checkable — this is what promotes the MinHash
+    family's verify stage from rows-only to value-checked.
+    """
+    ex = sh_df.select(F.col(id_col).alias("_id"), F.explode("sh").alias("_h"))
+    # df=1 shingles can produce no pair; df>max_df are boilerplate
+    live = (ex.groupBy("_h").agg(F.count("*").alias("_df"))
+            .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+            .select("_h"))
+    pruned = ex.join(live, "_h")
+    a = pruned.select(F.col("_h"), F.col("_id").alias("id_a"))
+    b = pruned.select(F.col("_h"), F.col("_id").alias("id_b"))
+    return (
+        a.join(b, "_h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs_exact(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", shingle_n: int = 3,
+                        jaccard_threshold: float = 0.3,
+                        max_df: int = 100, sort: bool = True) -> DataFrame:
+    """All pairs with exact shingle Jaccard >= threshold (modulo the
+    documented ``max_df`` boilerplate cut): inverted-index candidates
+    -> the SAME exact-Jaccard verify the MinHash-LSH pipeline uses.
+
+    This is the deterministic ground-truth sibling of
+    ``minhash_lsh_pairs``: identical shingle table, identical verify
+    arithmetic, exact-recall candidate generation — so an oracle over
+    this query value-checks the verify stage shared by the whole
+    MinHash family, and LSH output must be a subset of it (asserted in
+    tests/test_properties.py)."""
+    sh_df = _cached_shingle_table(df, id_col, text_col, shingle_n)
+    cands = inverted_index_candidates(sh_df, id_col, max_df)
+    return verify_jaccard(cands, sh_df, id_col, jaccard_threshold, sort)
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 16,
                       bands: int = 4, shingle_n: int = 3,
@@ -587,18 +644,30 @@ def partial_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", window: int = 32,
                           stride: int = 24, num_hashes: int = 16,
                           bands: int = 4, shingle_n: int = 3,
-                          jaccard_threshold: float = 0.8) -> DataFrame:
+                          jaccard_threshold: float = 0.8,
+                          method: str = "inverted",
+                          max_df: int = 100) -> DataFrame:
     """Doc pairs sharing a near-duplicate SECTION: ``(doc_a, doc_b,
     n_matching_chunks, max_jaccard)``.
 
     Whole-doc Jaccard dilutes a copied paragraph inside an otherwise
-    new document below any usable threshold; chunk-level MinHash does
+    new document below any usable threshold; chunk-level dedup does
     not. Composition: slide ``window``-token chunks (stride
-    ``stride``) over each doc, run the FUSED MinHash-LSH pipeline over
-    the chunk corpus (chunk count is linear in corpus tokens; all the
-    sub-quadratic candidate bounds carry over), then fold chunk pairs
-    back to doc pairs, dropping within-doc self-overlap (adjacent
-    sliding chunks always share window-stride tokens).
+    ``stride``) over each doc, find near-dup chunk pairs over the
+    chunk corpus (chunk count is linear in corpus tokens), then fold
+    chunk pairs back to doc pairs, dropping within-doc self-overlap
+    (adjacent sliding chunks always share window-stride tokens).
+
+    ``method`` picks the chunk-pair candidate generator:
+      * ``"inverted"`` (default) — df-capped postings-list candidates
+        (``inverted_index_candidates``): deterministic, exact recall
+        up to the documented ``max_df`` boilerplate cut, and fully
+        DuckDB-expressible, so the registered query is value-checked
+        end-to-end (promoted rows-only -> oracle in r04).
+      * ``"lsh"`` — the fused MinHash-LSH pipeline: fixed bucket-join
+        cost, probabilistic recall; the alternative when a corpus's
+        shingle df distribution is so heavy that even capped postings
+        are too hot. Both paths share the shingle table and verify.
     """
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     starts = F.sequence(F.lit(1), F.size("toks"), F.lit(stride))
@@ -612,9 +681,15 @@ def partial_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
             F.array_join(F.slice(F.col("toks"), F.col("s"), F.lit(window)), " ")
             .alias("_ctext"))
     )
-    cpairs = minhash_lsh_pairs(chunks, "_ck", "_ctext", num_hashes,
-                               bands, shingle_n, jaccard_threshold,
-                               sort=False)
+    if method == "lsh":
+        cpairs = minhash_lsh_pairs(chunks, "_ck", "_ctext", num_hashes,
+                                   bands, shingle_n, jaccard_threshold,
+                                   sort=False)
+    elif method == "inverted":
+        cpairs = jaccard_pairs_exact(chunks, "_ck", "_ctext", shingle_n,
+                                     jaccard_threshold, max_df, sort=False)
+    else:
+        raise ValueError(f"unknown method: {method!r}")
     doc_a = F.split(F.col("id_a"), ":")[0].cast("long")
     doc_b = F.split(F.col("id_b"), ":")[0].cast("long")
     return (

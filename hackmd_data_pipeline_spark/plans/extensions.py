@@ -533,15 +533,34 @@ def events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("docs_train_val_test_split", oracle=None)
+from .oracle_helpers import xxhash64_bucket_cte  # noqa: E402
+
+_SPLIT_ORACLE = xxhash64_bucket_cte(
+    key_col="doc_id", seed=0, granularity=10_000,
+    source_sql="documents", keep_cols="lang") + """
+SELECT CASE WHEN bucket < 8000 THEN 'train'
+            WHEN bucket < 9000 THEN 'val'
+            ELSE 'test' END            AS split,
+       lang,
+       COUNT(*)                        AS n_docs
+FROM final
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+@query("docs_train_val_test_split", oracle=_SPLIT_ORACLE)
 def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment by hashed doc_id
     (operators/sampling.py) — stable across runs, partitionings, and
     incremental ingests, unlike randomSplit. Assignment is a pure
     projection; this query reports per-(split, lang) counts.
-    xxhash64 has no DuckDB twin -> rows-only; disjointness,
-    determinism under repartition, and fraction tolerance are
-    unit/property-tested."""
+
+    PROMOTED rows-only -> full oracle in r04: xxhash64 has no DuckDB
+    builtin, but xxh64-of-one-long is a closed-form 5-step arithmetic
+    function, restated bit-exactly in DuckDB HUGEINT/UBIGINT SQL
+    (plans/oracle_helpers.py) — the oracle now value-checks the
+    actual hash-bucket assignment, not just row counts."""
     from ..operators.sampling import deterministic_split
     d = load_table(spark, sf_dir, "documents")
     split = deterministic_split(
@@ -615,13 +634,43 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("docs_rebalance_langs", oracle=None)
+_REBALANCE_ORACLE = xxhash64_bucket_cte(
+    key_col="doc_id", seed=0, granularity=10_000,
+    source_sql="documents", keep_cols="doc_id, lang") + """
+, counts AS (
+    SELECT lang, COUNT(*) AS n_before FROM documents GROUP BY lang
+), tot AS (
+    SELECT SUM(n_before) AS total FROM counts
+), kf AS (
+    -- mirrors stratified_downsample's driver arithmetic exactly:
+    -- cap = 0.30 * total; keep_frac = min(1.0, cap / n) in IEEE
+    -- doubles, threshold = trunc(keep_frac * 10000)
+    SELECT lang, CAST(n_before AS BIGINT) AS n_before,
+           LEAST(1.0, (CAST(0.30 AS DOUBLE) * total) / n_before) AS keep_frac
+    FROM counts, tot
+)
+SELECT k.lang AS lang,
+       k.n_before AS n_before,
+       CAST(SUM(CASE WHEN f.bucket <
+                     CAST(TRUNC(k.keep_frac * 10000) AS BIGINT)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_after
+FROM kf k JOIN final f ON f.lang = k.lang
+GROUP BY k.lang, k.n_before
+ORDER BY lang
+"""
+
+
+@query("docs_rebalance_langs", oracle=_REBALANCE_ORACLE)
 def docs_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-mix rebalancing (operators/sampling.py::
     stratified_downsample): cap any language at 30% of the corpus by
     deterministic hash downsampling; reports per-lang before/after.
-    Hash-based -> rows-only; cap + determinism-under-repartition are
-    unit-tested."""
+
+    PROMOTED rows-only -> full oracle in r04: the keep/drop rule is
+    pmod(xxhash64(doc_id, lit(0)), 10000) < trunc(keep_frac * 10000),
+    and the xxhash64 closed form is restated bit-exactly in DuckDB
+    (plans/oracle_helpers.py), so the oracle value-checks the actual
+    per-row sampling decision, not just the cap property."""
     from ..operators.sampling import stratified_downsample
     d = load_table(spark, sf_dir, "documents")
     kept = stratified_downsample(d, "lang", "doc_id", 0.30)

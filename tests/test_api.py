@@ -77,3 +77,20 @@ def test_explain_surface(spark):
     eng = Engine(spark, SF_CORRECT)
     plan = eng.explain("q1_pricing_summary")
     assert "HashAggregate" in plan and "Scan parquet" in plan
+
+
+def test_gate_window_fits_all_uncovered():
+    """Driver-contract arithmetic guard (VERDICT r03 item 7): the
+    driver's correctness gate samples only the FIRST 50 entries of
+    queries(); every query still needing a driver row (never gated,
+    hash-failed, promoted to a new oracle, or force-regated) must sort
+    inside that window or it can never turn green."""
+    import __spark_entry__ as e
+
+    uncovered = [n for n in e._ORDERED if e._tier(n) < 3]
+    assert len(uncovered) <= 50, (
+        f"{len(uncovered)} uncovered queries exceed the driver's 50-row "
+        f"gate window; defer some via _DEFER_WITHIN_UNVERIFIED: "
+        f"{uncovered}")
+    head = set(e._ORDERED[:50])
+    assert all(n in head for n in uncovered)

@@ -1,0 +1,48 @@
+"""Bit-exactness of the DuckDB xxhash64 restatement
+(plans/oracle_helpers.py) against Spark's own xxhash64.
+
+The promoted docs_train_val_test_split oracle stands on this
+equivalence: Spark computes pmod(xxhash64(doc_id, lit(seed)), g) via
+XXH64.hashLong + hashInt; the oracle restates both in HUGEINT/UBIGINT
+arithmetic. A single differing bit anywhere in the 64-bit pipeline
+flips buckets, so the test sweeps a hostile domain: small ids, powers
+of two, values straddling 2**31/2**32/2**63, negatives, and Long
+min/max.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from hackmd_data_pipeline_spark.plans.oracle_helpers import xxhash64_bucket_cte
+
+HOSTILE_KEYS = sorted({
+    0, 1, 2, 5, 7, 63, 64, 255, 9999, 123456789,
+    2**31 - 1, 2**31, 2**32 - 1, 2**32, 2**32 + 17,
+    2**62, 2**63 - 1, -1, -2, -9999, -(2**31), -(2**63),
+    10**12, 10**15, 31337,
+})
+
+
+@pytest.mark.parametrize("seed,granularity", [(0, 10_000), (7, 10_000),
+                                              (0, 997), (12345, 64)])
+def test_duckdb_xxhash64_bucket_matches_spark(spark, seed, granularity):
+    df = spark.createDataFrame([(k,) for k in HOSTILE_KEYS], "k long")
+    expected = {
+        r.k: r.b for r in df.select(
+            "k",
+            F.pmod(F.xxhash64("k", F.lit(seed)), F.lit(granularity)).alias("b"),
+        ).collect()
+    }
+
+    con = duckdb.connect(":memory:")
+    vals = ", ".join(f"({k})" for k in sorted(HOSTILE_KEYS))
+    sql = xxhash64_bucket_cte(
+        key_col="k", seed=seed, granularity=granularity,
+        source_sql=f"(SELECT * FROM (VALUES {vals}) AS t(k))",
+        keep_cols="k",
+    ) + "\nSELECT k, bucket FROM final ORDER BY k"
+    got = dict(con.sql(sql).fetchall())
+    assert got == expected

@@ -201,3 +201,42 @@ def test_semdedup_groups_planted_duplicates(spark):
     # everything outside the planted group is kept
     for i in range(1, 30):
         assert by_id[i].is_kept
+
+
+def test_lsh_pairs_subset_of_exact_jaccard(spark):
+    """LSH banding is a recall-lossy candidate filter over the SAME
+    verify: every pair dedup_minhash_lsh reports must appear in the
+    exact inverted-index ground truth (dedup_jaccard_verify's
+    operator) with the IDENTICAL jaccard value — this pins the
+    rows-only LSH query to the value-checked oracle sibling
+    (VERDICT r03 item 1)."""
+    from hackmd_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs_exact,
+        minhash_lsh_pairs,
+    )
+
+    d = load_table(spark, SF_CORRECT, "documents")
+    lsh = {(r.id_a, r.id_b): r.jaccard
+           for r in minhash_lsh_pairs(d, jaccard_threshold=0.3).collect()}
+    exact = {(r.id_a, r.id_b): r.jaccard
+             for r in jaccard_pairs_exact(d, jaccard_threshold=0.3).collect()}
+    assert lsh, "planted dups in the synthetic corpus must produce pairs"
+    missing = {k: v for k, v in lsh.items() if exact.get(k) != v}
+    assert not missing, f"LSH pairs not confirmed by exact ground truth: {missing}"
+
+
+def test_partial_overlap_lsh_subset_of_inverted(spark):
+    """Same subset discipline at CHUNK level: the LSH variant of
+    partial_overlap_pairs must report a subset of the inverted-index
+    (oracled) variant's doc pairs, with max_jaccard agreeing on the
+    intersection."""
+    from hackmd_data_pipeline_spark.operators.dedup import partial_overlap_pairs
+
+    d = load_table(spark, SF_CORRECT, "documents").limit(200)
+    inv = {(r.doc_a, r.doc_b): r.max_jaccard
+           for r in partial_overlap_pairs(d, jaccard_threshold=0.8).collect()}
+    lsh = {(r.doc_a, r.doc_b): r.max_jaccard
+           for r in partial_overlap_pairs(
+               d, jaccard_threshold=0.8, method="lsh").collect()}
+    assert set(lsh) <= set(inv), f"LSH-only pairs: {set(lsh) - set(inv)}"
+    assert all(inv[k] >= v for k, v in lsh.items())
