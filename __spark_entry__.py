@@ -109,6 +109,9 @@ _ROWS_ONLY_PRIORITY = [
 # exists. Prune entries once the corresponding round's artifact lands.
 _FORCE_REGATE = frozenset({
     "dedup_keep_best",        # r04: struct max_by + CTE oracle
+    "dedup_editdistance",     # r04: bounded normalized-prefix blocking
+    "dedup_cc_clusters",      # r04: same edge-rule rework
+    "graph_triangle_stats",   # r04: same edge-rule rework + wedge=0 fix
 })
 
 _GATE_COVERED = (_covered_from_artifacts() - _FORCE_REGATE) or _R01_COVERED

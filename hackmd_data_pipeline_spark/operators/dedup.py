@@ -282,6 +282,84 @@ def jaccard_pairs_exact(df: DataFrame, id_col: str = "doc_id",
     return verify_jaccard(cands, sh_df, id_col, jaccard_threshold, sort)
 
 
+def editdistance_pair_edges(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", head_len: int = 40,
+                            prefix_len: int = 16, max_block: int = 64,
+                            max_dist: int = 10) -> DataFrame:
+    """Edit-distance near-dup edges ``(id_a, id_b, edit_dist)`` on
+    document heads, with BOUNDED-cardinality blocking.
+
+    r04 rework of the r03 scheme (VERDICT r03 "What's wrong" #1): the
+    old 8-raw-char prefix block was governed by block-size SKEW — a
+    corpus with a shared boilerplate head collapsed into one giant
+    block and the within-block levenshtein went quadratic (SCALE.md's
+    10x replica measurement). Two changes kill that failure mode:
+
+      * block key = first ``prefix_len`` chars of the ALPHANUMERIC
+        NORMALIZATION of the head (case-folded, punctuation/whitespace
+        stripped) — longer and denser than 8 raw chars, so formatting
+        edits don't split true dups while unrelated docs rarely
+        collide;
+      * a hard ``max_block`` cap: blocks larger than ``max_block``
+        are excluded from pairing entirely (the stop-block cut — the
+        same posture as winnowing's / the inverted index's ``max_df``).
+        An oversized block is by definition a boilerplate head, where
+        head-edit-distance is not a meaningful dup signal anyway.
+
+    With the cap, per-block work is <= max_block^2/2 and total work is
+    <= max_block * n_docs — LINEAR in the corpus by construction, for
+    ANY input distribution. The normalization scan is bounded too: it
+    strips only the first 4*prefix_len raw chars, not the whole text.
+    Shared by dedup_editdistance, dedup_cc_clusters, and
+    graph_triangle_stats; fully DuckDB-expressible, so all three stay
+    value-checked.
+    """
+    lower_head = F.lower(F.trim(F.col(text_col)))
+    norm = F.regexp_replace(
+        F.substring(lower_head, 1, 4 * prefix_len), "[^a-z0-9]", "")
+    d = (df.filter(F.length(F.trim(text_col)) > 0)
+         .select(F.col(id_col),
+                 F.substring(lower_head, 1, head_len).alias("head"),
+                 F.substring(norm, 1, prefix_len).alias("_blk")))
+    live = (d.groupBy("_blk").agg(F.count("*").alias("_bn"))
+            .filter((F.col("_bn") >= 2) & (F.col("_bn") <= max_block))
+            .select("_blk"))
+    dd = d.join(live, "_blk")
+    a, b = dd.alias("a"), dd.alias("b")
+    return (
+        a.join(b, (F.col("a._blk") == F.col("b._blk"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.levenshtein(F.col("a.head"), F.col("b.head"))
+                 .alias("edit_dist"))
+        .filter(F.col("edit_dist") <= max_dist)
+    )
+
+
+# The DuckDB restatement of editdistance_pair_edges' defaults, shared
+# verbatim by the three oracles built on it (dedup_editdistance,
+# dedup_cc_clusters, graph_triangle_stats). Ends with a CTE named
+# ``pairs(id_a, id_b, edit_dist)``.
+EDITDIST_PAIRS_ORACLE_CTE = """
+    d AS (
+        SELECT doc_id,
+               SUBSTR(LOWER(TRIM(text)), 1, 40) AS head,
+               SUBSTR(REGEXP_REPLACE(SUBSTR(LOWER(TRIM(text)), 1, 64),
+                                     '[^a-z0-9]', '', 'g'), 1, 16) AS blk
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ), live AS (
+        SELECT blk FROM d GROUP BY blk HAVING COUNT(*) BETWEEN 2 AND 64
+    ), db AS (
+        SELECT d.doc_id, d.head, d.blk FROM d JOIN live USING (blk)
+    ), pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               levenshtein(a.head, b.head) AS edit_dist
+        FROM db a JOIN db b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.head, b.head) <= 10
+    )"""
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 16,
                       bands: int = 4, shingle_n: int = 3,

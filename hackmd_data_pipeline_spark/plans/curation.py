@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import fingerprint
-from ..operators.dedup import _cached_shingle_table
+from ..operators.dedup import EDITDIST_PAIRS_ORACLE_CTE, _cached_shingle_table
 from ..operators.prefix import attach_running_total
 from ..tables import load_table
 from .registry import query
@@ -187,17 +187,8 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_cc_clusters",
-    oracle="""
-    WITH RECURSIVE d AS (
-        SELECT doc_id, SUBSTR(LOWER(TRIM(text)), 1, 40) AS head
-        FROM documents WHERE LENGTH(TRIM(text)) > 0
-    ), pairs AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM d a JOIN d b
-          ON SUBSTR(a.head, 1, 8) = SUBSTR(b.head, 1, 8)
-         AND a.doc_id < b.doc_id
-        WHERE levenshtein(a.head, b.head) <= 10
-    ), edges AS (
+    oracle=f"""
+    WITH RECURSIVE {EDITDIST_PAIRS_ORACLE_CTE}, edges AS (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION
         SELECT id_b AS src, id_a AS dst FROM pairs
@@ -224,19 +215,11 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     execution paths."""
     from ..operators.dedup import dedup_clusters
 
-    pairs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.length(F.trim("text")) > 0)
-        .select("doc_id",
-                F.substring(F.lower(F.trim(F.col("text"))), 1, 40).alias("head"))
-        .withColumn("_blk", F.substring("head", 1, 8))
-    )
-    a, b = pairs.alias("a"), pairs.alias("b")
+    from ..operators.dedup import editdistance_pair_edges
+
     edge_pairs = (
-        a.join(b, (F.col("a._blk") == F.col("b._blk"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .filter(F.levenshtein(F.col("a.head"), F.col("b.head")) <= 10)
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        editdistance_pair_edges(load_table(spark, sf_dir, "documents"))
+        .select("id_a", "id_b")
     )
     return (
         dedup_clusters(edge_pairs)
@@ -612,16 +595,9 @@ def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_triangle_stats",
-    oracle="""
-    WITH d AS (
-        SELECT doc_id, SUBSTR(LOWER(TRIM(text)), 1, 40) AS head
-        FROM documents WHERE LENGTH(TRIM(text)) > 0
-    ), e AS (
-        SELECT a.doc_id AS u, b.doc_id AS v
-        FROM d a JOIN d b
-          ON SUBSTR(a.head, 1, 8) = SUBSTR(b.head, 1, 8)
-         AND a.doc_id < b.doc_id
-        WHERE levenshtein(a.head, b.head) <= 10
+    oracle=f"""
+    WITH {EDITDIST_PAIRS_ORACLE_CTE}, e AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
     ), deg AS (
         SELECT node, COUNT(*) AS deg
         FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
@@ -632,7 +608,7 @@ def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                   JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
     ), wed AS (
         SELECT COUNT(*) AS n_nodes,
-               CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+               CAST(COALESCE(SUM(deg * (deg - 1) // 2), 0) AS BIGINT) AS n_wedges
         FROM deg
     )
     SELECT wed.n_nodes,
@@ -660,28 +636,22 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Degrees/wedges are one union + aggregation; the 1-row scalar
     aggregates (edge count, wedge sum, triangle count) combine by
     broadcast."""
-    d = (load_table(spark, sf_dir, "documents")
-         .filter(F.length(F.trim("text")) > 0)
-         .select("doc_id",
-                 F.substring(F.lower(F.trim(F.col("text"))), 1, 40).alias("head"))
-         .withColumn("_blk", F.substring("head", 1, 8)))
-    a, b = d.alias("a"), d.alias("b")
-    e = (a.join(b, (F.col("a._blk") == F.col("b._blk"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")))
-         .filter(F.levenshtein(F.col("a.head"), F.col("b.head")) <= 10)
-         .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+    from ..operators.dedup import editdistance_pair_edges
+    e = (editdistance_pair_edges(load_table(spark, sf_dir, "documents"))
+         .select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
          # materialize the edge relation ONCE: six consumers (degree
          # union x2, wedge agg, three triangle join legs) would each
-         # re-run the quadratic-within-block levenshtein join
-         # otherwise (measured 6x cost at 10x corpus); the edge list
-         # itself is tiny relative to the corpus
+         # re-run the within-block levenshtein join otherwise
+         # (measured 6x cost at 10x corpus); the edge list itself is
+         # tiny relative to the corpus
          .localCheckpoint())
 
     deg = (e.select(F.col("u").alias("node"))
            .unionAll(e.select(F.col("v").alias("node")))
            .groupBy("node").agg(F.count("*").alias("deg")))
     wed = deg.agg(F.count("*").alias("n_nodes"),
-                  F.expr("sum(deg * (deg - 1) div 2)").alias("n_wedges"))
+                  F.coalesce(F.expr("sum(deg * (deg - 1) div 2)"),
+                             F.lit(0)).alias("n_wedges"))
     n_edges = e.agg(F.count("*").alias("n_edges"))
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (e1.join(e2, F.col("e1.v") == F.col("e2.u"))
