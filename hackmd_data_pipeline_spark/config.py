@@ -56,3 +56,21 @@ class PipelineConfig:
         if not isinstance(doc, Mapping):
             raise ValueError(f"config root must be a mapping, got {type(doc).__name__}")
         return cls.from_mapping(doc)
+
+    @classmethod
+    def from_hadoop_path(cls, spark, path: str) -> "PipelineConfig":
+        """Load the YAML document from ANY filesystem the session can
+        reach — ``s3a://bucket/config/config.yaml``, ``hdfs://...``,
+        or ``file:/...`` — mirroring the reference's
+        download-config-from-object-store-at-startup behavior
+        (reference arxiv_collector.py:21-35) without a cloud SDK: the
+        path's scheme picks the Hadoop FileSystem exactly as it does
+        for data reads (sources/fs.py), so the same deployment
+        credentials/endpoints apply."""
+        if yaml is None:  # pragma: no cover
+            raise RuntimeError("PyYAML not available; use from_mapping")
+        from .sources.fs import fs_read_text
+        doc = yaml.safe_load(fs_read_text(spark, path)) or {}
+        if not isinstance(doc, Mapping):
+            raise ValueError(f"config root must be a mapping, got {type(doc).__name__}")
+        return cls.from_mapping(doc)
