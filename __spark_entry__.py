@@ -112,6 +112,7 @@ _FORCE_REGATE = frozenset({
     "dedup_editdistance",     # r04: bounded normalized-prefix blocking
     "dedup_cc_clusters",      # r04: same edge-rule rework
     "graph_triangle_stats",   # r04: same edge-rule rework + wedge=0 fix
+    "fn_json_map_suite",      # r04: n_keys via map<string,string>
 })
 
 _GATE_COVERED = (_covered_from_artifacts() - _FORCE_REGATE) or _R01_COVERED

@@ -115,19 +115,35 @@ def retention_sweep(spark: SparkSession, path: str, partition_col: str,
     HDFS/POSIX; on S3A a failed sweep re-run is idempotent (already-
     deleted partitions are simply absent).
 
-    Returns {"dropped": [...], "kept": [...]} partition values.
+    Directory names carry Hive's URL-style escaping (a timestamp
+    partition is ``ts=2024-01-01 00%3A00%3A00``; a NULL partition is
+    ``__HIVE_DEFAULT_PARTITION__``), so values are UNESCAPED before
+    comparing — comparing the escaped form mis-buckets any value whose
+    escape sequences sort differently from their characters (round-3
+    ADVICE). NULL partitions are never dropped by a value cutoff; they
+    are reported under ``skipped`` for the caller to decide.
+
+    Returns {"dropped": [...], "kept": [...], "skipped": [...]}
+    (unescaped) partition values.
     """
+    import urllib.parse
+
     from ..sources.fs import fs_delete, fs_list_dirs
 
     prefix = f"{partition_col}="
-    dropped, kept = [], []
+    dropped, kept, skipped = [], [], []
     for name in fs_list_dirs(spark, path):
         if not name.startswith(prefix):
             continue
-        value = name[len(prefix):]
+        raw = name[len(prefix):]
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            skipped.append(raw)
+            continue
+        value = urllib.parse.unquote(raw)
         if value < keep_from:
             fs_delete(spark, f"{path.rstrip('/')}/{name}")
             dropped.append(value)
         else:
             kept.append(value)
-    return {"dropped": sorted(dropped), "kept": sorted(kept)}
+    return {"dropped": sorted(dropped), "kept": sorted(kept),
+            "skipped": sorted(skipped)}

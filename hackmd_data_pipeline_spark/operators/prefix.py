@@ -39,9 +39,55 @@ extension machinery.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+
+# LRU of frozen (checkpointed) range-partitioned inputs, keyed by
+# (session id, analyzed-plan semantic hash, order/value params) — the
+# same lifecycle discipline as operators/dedup.py::_cached_shingle_
+# table (round-3 ADVICE: the per-invocation eager localCheckpoint ran
+# a Spark job at plan-build time AND left dead checkpoint blocks to
+# accumulate across bench/determinism sweeps). Repeat invocations over
+# the same input reuse ONE materialization; eviction unpersists the
+# checkpointed blocks instead of waiting for JVM GC.
+_FROZEN_CACHE: OrderedDict = OrderedDict()
+_FROZEN_CACHE_MAX = 4
+
+
+def _frozen_range_partitioned(df: DataFrame,
+                              order_cols: list[Column | str]) -> DataFrame:
+    nparts = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        key = (id(df.sparkSession),
+               df._jdf.queryExecution().analyzed().semanticHash(),
+               nparts, str(order_cols))
+    except Exception:
+        key = None  # plan not hashable — freeze uncached
+
+    if key is not None:
+        hit = _FROZEN_CACHE.get(key)
+        # id() can be recycled after a session is GC'd — identity-check
+        if hit is not None and hit[0] is df.sparkSession:
+            _FROZEN_CACHE.move_to_end(key)
+            return hit[1]
+        if hit is not None:
+            _FROZEN_CACHE.pop(key, None)
+
+    pc = (df.repartitionByRange(nparts, *order_cols)
+          .withColumn("_pid", F.spark_partition_id())
+          .localCheckpoint())
+    if key is not None:
+        _FROZEN_CACHE[key] = (df.sparkSession, pc)
+        while len(_FROZEN_CACHE) > _FROZEN_CACHE_MAX:
+            _, (_, old) = _FROZEN_CACHE.popitem(last=False)
+            try:
+                old._jdf.rdd().unpersist(False)
+            except Exception:
+                pass  # owning session already stopped
+    return pc
 
 
 def attach_running_total(
@@ -59,13 +105,11 @@ def attach_running_total(
     when ``count_col`` is given, the grand row count. Ordering must be
     total (include a tiebreaker key) for a deterministic result.
     """
-    nparts = df.sparkSession.sparkContext.defaultParallelism
     # Eager checkpoint: freeze the range-partition assignment (see
     # module docstring) and materialize the upstream plan once for
-    # the stats, totals, and ranked consumers.
-    pc = (df.repartitionByRange(nparts, *order_cols)
-          .withColumn("_pid", F.spark_partition_id())
-          .localCheckpoint())
+    # the stats, totals, and ranked consumers; LRU-memoized per
+    # (session, plan, params) so sweeps don't accumulate dead blocks.
+    pc = _frozen_range_partitioned(df, order_cols)
 
     aggs = [F.sum(value_col).alias("_s")]
     if count_col is not None:

@@ -1641,9 +1641,15 @@ def fn_json_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality — the props-column access patterns the reference's
     JSONB column serves (reference create_table.sql: metadata JSONB).
     Pure projection over one scan; from_json is codegen'd JVM-side,
-    no UDF."""
+    no UDF.
+
+    Key cardinality parses as map<string,STRING> (round-3 ADVICE): a
+    bigint-valued map would go entirely NULL if any document carried a
+    non-integer value, silently diverging from the oracle's json_keys;
+    the string map counts keys for ANY value types, keeping the typed
+    bigint extraction a separate, independently-NULL-able column."""
     e = load_table(spark, sf_dir, "events")
-    parsed = F.from_json("props", "map<string,bigint>")
+    parsed = F.from_json("props", "map<string,string>")
     return (
         e.select(
             "event_id",
