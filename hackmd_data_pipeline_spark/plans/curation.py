@@ -149,23 +149,54 @@ def docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_pagerank_neardup", oracle=None)
+@query(
+    "graph_pagerank_neardup",
+    oracle=f"""
+    WITH RECURSIVE {EDITDIST_PAIRS_ORACLE_CTE}, edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), deg AS (
+        SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ), nn AS (
+        SELECT COUNT(*) AS n FROM deg
+    ), pr(iter, id, rank) AS (
+        SELECT 0, deg.src, CAST(1.0 AS DOUBLE) / nn.n FROM deg, nn
+        UNION ALL
+        SELECT p.iter + 1, e.dst,
+               0.15 / (SELECT n FROM nn) + 0.85 * SUM(p.rank / d.deg)
+        FROM pr p JOIN edges e ON e.src = p.id JOIN deg d ON d.src = p.id
+        WHERE p.iter < 10
+        GROUP BY p.iter, e.dst
+    )
+    SELECT id AS doc_id, ROUND(rank, 6) AS rank
+    FROM pr WHERE iter = 10
+    ORDER BY rank DESC, doc_id
+    """,
+)
 def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the near-dup pair graph: boilerplate/template
     docs (near-matching many well-connected docs) surface as hubs —
     the inspect-or-downweight list a curation pass wants. Edges are
-    MinHash-LSH pairs (jaccard >= 0.3, the dedup_minhash_lsh
-    surface); 10 damped rounds (operators/graph.py). Iterative =>
-    rows-only; ranks are verified against a numpy reference on known
-    graphs in tests/test_graph.py."""
-    from ..operators.dedup import minhash_lsh_pairs
+    the bounded-block edit-distance pairs (the same oracle-expressible
+    source dedup_cc_clusters and graph_triangle_stats ride); 10 damped
+    rounds (operators/graph.py).
+
+    PROMOTED rows-only -> full oracle in r04 (the third graph
+    primitive to get one, after CC and triangles): a fixed-iteration
+    PageRank is plain arithmetic, so DuckDB reproduces it with an
+    iteration-counted recursive CTE — the symmetric edge set means
+    every ranked node receives contributions each round, no outer-join
+    edge case. Ranks agree to 6 decimals; both engines' ranks are also
+    verified against a numpy reference on crafted graphs in
+    tests/test_graph.py."""
+    from ..operators.dedup import editdistance_pair_edges
     from ..operators.graph import pagerank
 
-    d = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(d, jaccard_threshold=0.3, sort=False)
+    pairs = editdistance_pair_edges(load_table(spark, sf_dir, "documents"))
     return (
         pagerank(pairs)
-        .select(F.col("id").alias("doc_id"), "rank")
+        .select(F.col("id").alias("doc_id"), F.round("rank", 6).alias("rank"))
         .orderBy(F.desc("rank"), "doc_id")
     )
 

@@ -357,13 +357,51 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features", oracle=None)
+@query(
+    "multimodal_features",
+    oracle=r"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+               LOWER(hex(encode(text))) AS h
+        FROM documents
+    ), b AS (
+        SELECT media_id, modality,
+               [ 16 * (strpos('0123456789abcdef', h[2*j-1]) - 1)
+                   + (strpos('0123456789abcdef', h[2*j]) - 1)
+                 FOR j IN range(1, LEAST(len(h) // 2, 4096) + 1) ] AS bytes
+        FROM m
+    ), hist AS (
+        SELECT media_id, modality,
+               [ len(list_filter(bytes, x -> x % 8 = k))
+                 FOR k IN range(0, 8) ] AS buckets,
+               GREATEST(len(bytes), 1) AS total
+        FROM b
+    )
+    SELECT media_id, modality,
+           ROUND(list_sum([ CAST(CAST(ROUND(CAST(c AS DOUBLE) / total, 6)
+                                      AS FLOAT) AS DOUBLE)
+                            FOR c IN buckets ]), 4) AS feature_sum,
+           8 AS dim
+    FROM hist ORDER BY media_id
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over mapInPandas (north star):
     the decode step is the deterministic stub (no codec libs in this
     container — operators/multimodal.py documents the swap point); the
     Spark plumbing (schema, batch shape, payload dropped before any
-    shuffle) is real. Determinism asserted in tests."""
+    shuffle) is real. Determinism asserted in tests.
+
+    PROMOTED rows-only -> full oracle in r04: the stub's byte-bucket
+    histogram is plain arithmetic over the UTF-8 payload, so DuckDB
+    reproduces it from hex(encode(text)) — including the
+    float32-of-round(.,6) representation the FEATURE_SCHEMA's
+    array<float> imposes before the double feature_sum (the oracle
+    casts through FLOAT at exactly the same point). This value-checks
+    the whole mapInPandas plumbing: batch shape, per-row decode
+    dispatch, Arrow float narrowing, and the 4096-byte cap."""
     media = _media(spark, sf_dir)
     feats = extract_features(media)
     return feats.select(

@@ -255,14 +255,59 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_winnowing", oracle=None)
+@query(
+    "dedup_winnowing",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, LOWER(hex(encode(LOWER(text)))) AS h FROM documents
+    ), byt AS (
+        SELECT doc_id,
+               [ 16 * (strpos('0123456789abcdef', h[2*j-1]) - 1)
+                   + (strpos('0123456789abcdef', h[2*j]) - 1)
+                 FOR j IN range(1, len(h) // 2 + 1) ] AS b
+        FROM m
+    ), grams AS (
+        SELECT doc_id,
+               [ (CAST(b[j+0] AS HUGEINT) * 74051159531521793 + CAST(b[j+1] AS HUGEINT) * 288136807515649 + CAST(b[j+2] AS HUGEINT) * 1121154893057 + CAST(b[j+3] AS HUGEINT) * 4362470401 + CAST(b[j+4] AS HUGEINT) * 16974593 + CAST(b[j+5] AS HUGEINT) * 66049 + CAST(b[j+6] AS HUGEINT) * 257 + CAST(b[j+7] AS HUGEINT) * 1) % 18446744073709551616
+                 FOR j IN range(1, len(b) - 6) ] AS g
+        FROM byt WHERE len(b) >= 15
+    ), mins AS (
+        SELECT doc_id,
+               list_distinct([ list_min(g[j : j+7])
+                               FOR j IN range(1, len(g) - 6) ]) AS fps
+        FROM grams
+    ), fps AS (
+        SELECT doc_id,
+               CAST(CASE WHEN u.fp >= 9223372036854775808
+                         THEN u.fp - 18446744073709551616
+                         ELSE u.fp END AS BIGINT) AS fp
+        FROM mins, UNNEST(fps) AS u(fp)
+    ), rare AS (
+        SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 20
+    ), pruned AS (
+        SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY id_a, id_b HAVING COUNT(*) >= 3
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprint near-dup (north star; the
     MOSS algorithm — operators/dedup.py::winnowing_pairs). Guarantee:
     any shared substring >= w+k-1 chars produces a shared fingerprint;
-    pairs sharing >= 3 fingerprints surface. xxhash64 has no DuckDB
-    twin -> rows-only; the substring-match guarantee and density are
-    property-tested in tests/test_winnowing.py."""
+    pairs sharing >= 3 fingerprints surface; fingerprints in > 20 docs
+    are the MOSS stop-fingerprint cut. Substring-match guarantee and
+    density are property-tested in tests/test_winnowing.py.
+
+    PROMOTED rows-only -> full oracle in r04: the fingerprint is a
+    base-257 polynomial over lowercased UTF-8 bytes in uint64
+    wraparound — plain arithmetic, no engine-specific hash — so DuckDB
+    restates the WHOLE pipeline (byte extraction from
+    hex(encode(...)), k-gram polynomial mod 2**64 in HUGEINT, windowed
+    min, distinct, df cut, pair count) and value-checks the numpy
+    mapInPandas kernel end to end."""
     from ..operators.dedup import winnowing_pairs
     d = load_table(spark, sf_dir, "documents")
     # w=8: fingerprint density 2/(w+1) = ~22% of positions — halves the
