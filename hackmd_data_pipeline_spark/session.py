@@ -28,9 +28,12 @@ def get_spark(app_name: str = "hackmd_data_pipeline_spark",
     (timezone, AQE, Arrow) matter.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    max_failures = os.environ.get("SPARK_GRAFT_TASK_MAX_FAILURES")
+    default_master = (f"local[{cpus}, {max_failures}]" if max_failures
+                      else f"local[{cpus}]")
     builder = (
         SparkSession.builder
-        .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        .master(os.environ.get("SPARK_GRAFT_MASTER", default_master))
         .appName(app_name)
         # correctness-critical: UTC like the reference; no silent ansi drift
         .config("spark.sql.session.timeZone", "UTC")
@@ -40,6 +43,17 @@ def get_spark(app_name: str = "hackmd_data_pipeline_spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions",
                 str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        # sink retry posture (reference arxiv_collector.py:177-193: a
+        # 3-attempt exponential-backoff S3 upload). Spark's equivalent
+        # is TASK retry under the file-commit protocol: a failed write
+        # task's attempt directory is discarded and the retry commits
+        # alone, so retries are exactly-once per task (demonstrated in
+        # tests/test_write_retry.py). maxFailures=4 = 3 retries, the
+        # reference's budget. NOTE: cluster managers honor this conf;
+        # local[N] hardcodes 1 — for local resilience tests use
+        # SPARK_GRAFT_TASK_MAX_FAILURES, which switches the master to
+        # the local[N, F] form.
+        .config("spark.task.maxFailures", "4")
         # slow-path UDFs go through Arrow batches, never per-row pickle
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
