@@ -263,22 +263,79 @@ def inverted_index_candidates(sh_df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def postings_candidates_bounded(sh_df: DataFrame, id_col: str,
+                                jaccard_threshold: float, max_df: int,
+                                doc_of=None) -> DataFrame:
+    """Inverted-index candidate pairs with a SAFE Jaccard upper-bound
+    prefilter — the piece that makes exact postings dedup affordable.
+
+    The naive postings join admits every pair sharing ONE rare
+    shingle; on a dup-heavy corpus that is millions of junk pairs per
+    few hundred true ones, and the array-carrying verify join pays for
+    all of them (measured 7.4 s at sf0.1 chunks). Instead:
+
+      1. count each pair's shared LIVE shingles (df in [2, max_df]) —
+         the same postings join, aggregated instead of distinct'd;
+      2. bound the true intersection: shared shingles outside the
+         live set must be boilerplate (df > max_df; a shared shingle
+         cannot have df < 2), so
+         ``i <= cnt + least(n_boiler_a, n_boiler_b)``;
+      3. Jaccard is monotone in the intersection at fixed sizes, so
+         ``J <= i_ub / (n_a + n_b - i_ub)`` — prune any pair whose
+         BOUND sits below threshold (epsilon under the rounded gate,
+         so no true pair can be lost).
+
+    Per-pair state is four small ints — the expensive shingle-array
+    verify join runs only on the survivors. ``doc_of(col)`` optionally
+    maps a chunk id to its document id; same-doc pairs are dropped
+    INSIDE the join when given (the chunk-overlap path).
+    """
+    ex = sh_df.select(F.col(id_col).alias("_id"), F.explode("sh").alias("_h"))
+    freq = ex.groupBy("_h").agg(F.count("*").alias("_df"))
+    exf = ex.join(freq, "_h")
+    stats = (sh_df.select(F.col(id_col).alias("_id"),
+                          F.size("sh").alias("_n"))
+             .join(exf.filter(F.col("_df") > max_df)
+                   .groupBy("_id").agg(F.count("*").alias("_nb")),
+                   "_id", "left")
+             .select("_id", "_n", F.coalesce("_nb", F.lit(0)).alias("_nb")))
+    pruned = exf.filter((F.col("_df") >= 2) & (F.col("_df") <= max_df)) \
+                .select("_id", "_h")
+    a = pruned.select("_h", F.col("_id").alias("id_a"))
+    b = pruned.select("_h", F.col("_id").alias("id_b"))
+    joined = a.join(b, "_h").filter(F.col("id_a") < F.col("id_b"))
+    if doc_of is not None:
+        joined = joined.filter(doc_of(F.col("id_a")) != doc_of(F.col("id_b")))
+    cnt = joined.groupBy("id_a", "id_b").agg(F.count("*").alias("_cnt"))
+    sa = stats.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na"),
+                      F.col("_nb").alias("_ba"))
+    sb = stats.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nbn"),
+                      F.col("_nb").alias("_bb"))
+    i_ub = F.col("_cnt") + F.least("_ba", "_bb")
+    j_ub = i_ub.cast("double") / (F.col("_na") + F.col("_nbn") - i_ub)
+    return (cnt.join(sa, "id_a").join(sb, "id_b")
+            .filter(j_ub >= jaccard_threshold - 0.0001)
+            .select("id_a", "id_b"))
+
+
 def jaccard_pairs_exact(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", shingle_n: int = 3,
                         jaccard_threshold: float = 0.3,
                         max_df: int = 100, sort: bool = True) -> DataFrame:
     """All pairs with exact shingle Jaccard >= threshold (modulo the
-    documented ``max_df`` boilerplate cut): inverted-index candidates
-    -> the SAME exact-Jaccard verify the MinHash-LSH pipeline uses.
+    documented ``max_df`` boilerplate cut): bounded inverted-index
+    candidates -> the SAME exact-Jaccard verify the MinHash-LSH
+    pipeline uses.
 
     This is the deterministic ground-truth sibling of
     ``minhash_lsh_pairs``: identical shingle table, identical verify
-    arithmetic, exact-recall candidate generation — so an oracle over
-    this query value-checks the verify stage shared by the whole
-    MinHash family, and LSH output must be a subset of it (asserted in
-    tests/test_properties.py)."""
+    arithmetic, exact-recall candidate generation (up to the max_df
+    cut) — so an oracle over this query value-checks the verify stage
+    shared by the whole MinHash family, and LSH output must be a
+    subset of it (asserted in tests/test_similarity.py)."""
     sh_df = _cached_shingle_table(df, id_col, text_col, shingle_n)
-    cands = inverted_index_candidates(sh_df, id_col, max_df)
+    cands = postings_candidates_bounded(sh_df, id_col,
+                                        jaccard_threshold, max_df)
     return verify_jaccard(cands, sh_df, id_col, jaccard_threshold, sort)
 
 
@@ -724,7 +781,7 @@ def partial_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
                           bands: int = 4, shingle_n: int = 3,
                           jaccard_threshold: float = 0.8,
                           method: str = "inverted",
-                          max_df: int = 100) -> DataFrame:
+                          max_df: int = 12) -> DataFrame:
     """Doc pairs sharing a near-duplicate SECTION: ``(doc_a, doc_b,
     n_matching_chunks, max_jaccard)``.
 
@@ -764,8 +821,30 @@ def partial_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
                                    bands, shingle_n, jaccard_threshold,
                                    sort=False)
     elif method == "inverted":
-        cpairs = jaccard_pairs_exact(chunks, "_ck", "_ctext", shingle_n,
-                                     jaccard_threshold, max_df, sort=False)
+        # chunk-corpus postings as per-shingle COMBINATIONS: one
+        # groupBy collects each live shingle's <= max_df chunk ids and
+        # a codegen'd nested transform emits its C(df,2) pairs — one
+        # shuffle by shingle instead of the two-sided self-join, with
+        # the df cap bounding every list. Same-doc chunk pairs are cut
+        # inline (sliding chunks of one doc overlap by construction
+        # and the fold discards them anyway).
+        sh_df = _cached_shingle_table(chunks, "_ck", "_ctext", shingle_n)
+        ex = sh_df.select(F.col("_ck").alias("_id"), F.explode("sh").alias("_h"))
+        posts = (ex.groupBy("_h")
+                 .agg(F.collect_list("_id").alias("ids"),
+                      F.count("*").alias("_df"))
+                 .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df)))
+        cands = (posts.select(F.explode(F.expr(
+            "flatten(transform(ids, (x, i) -> transform("
+            "slice(ids, i + 2, size(ids)), "
+            "y -> struct(least(x, y) as id_a, greatest(x, y) as id_b))))"
+        )).alias("p"))
+            .select("p.id_a", "p.id_b")
+            .filter(F.split(F.col("id_a"), ":")[0]
+                    != F.split(F.col("id_b"), ":")[0])
+            .distinct())
+        cpairs = verify_jaccard(cands, sh_df, "_ck", jaccard_threshold,
+                                sort=False)
     else:
         raise ValueError(f"unknown method: {method!r}")
     doc_a = F.split(F.col("id_a"), ":")[0].cast("long")

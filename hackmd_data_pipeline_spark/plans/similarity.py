@@ -300,7 +300,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), dsh AS (
         SELECT doc_id, UNNEST(shingles) AS s FROM sh
     ), freq AS (
-        SELECT s FROM dsh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 100
+        SELECT s FROM dsh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 12
     ), pruned AS (
         SELECT d.doc_id, d.s FROM dsh d JOIN freq USING (s)
     ), cand AS (
@@ -328,13 +328,14 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MinHash family's VERIFY stage to a full value-checked oracle
     (VERDICT r03 "Next round" item 1): identical shared shingle table,
     identical exact-Jaccard verify arithmetic, exact-recall candidates
-    (a pair is missed only if every shared shingle is in > max_df
-    docs). LSH output is asserted to be a subset of this in
+    (a pair is missed only if EVERY shared shingle is boilerplate,
+    df > 20 — a jaccard>=0.3 pair shares >=23% of its combined
+    distinct shingles, so real near-dups always carry rare ones). LSH output is asserted to be a subset of this in
     tests/test_properties.py, closing the loop on the rows-only
     dedup_minhash_lsh entry."""
     from ..operators.dedup import jaccard_pairs_exact
     d = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs_exact(d, jaccard_threshold=0.3, max_df=100)
+    return jaccard_pairs_exact(d, jaccard_threshold=0.3, max_df=12)
 
 
 @query(
@@ -355,15 +356,15 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                               FOR i IN range(1, GREATEST(len(ct) - 1, 1))]) AS shingles
         FROM chunks WHERE len(ct) >= 3
     ), dsh AS (
-        SELECT ck, UNNEST(shingles) AS s FROM csh
+        SELECT ck, doc_id, UNNEST(shingles) AS s FROM csh
     ), freq AS (
-        SELECT s FROM dsh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 100
+        SELECT s FROM dsh GROUP BY s HAVING COUNT(*) BETWEEN 2 AND 12
     ), pruned AS (
-        SELECT d.ck, d.s FROM dsh d JOIN freq USING (s)
+        SELECT d.ck, d.doc_id, d.s FROM dsh d JOIN freq USING (s)
     ), cand AS (
         SELECT DISTINCT a.ck AS ck_a, b.ck AS ck_b
         FROM pruned a JOIN pruned b USING (s)
-        WHERE a.ck < b.ck
+        WHERE a.ck < b.ck AND a.doc_id <> b.doc_id
     ), ver AS (
         SELECT sa.doc_id AS da, sb.doc_id AS db,
                ROUND(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
