@@ -225,44 +225,6 @@ def verify_jaccard(candidates: DataFrame, sh_df: DataFrame,
     return out.orderBy("id_a", "id_b") if sort else out
 
 
-def inverted_index_candidates(sh_df: DataFrame, id_col: str = "doc_id",
-                              max_df: int = 100) -> DataFrame:
-    """Candidate pairs ``(id_a, id_b)`` sharing >= 1 shingle — the
-    inverted-index (postings-list) candidate generator.
-
-    Complementary to LSH banding: banding trades recall for a fixed
-    bucket-join cost, postings give EXACT recall for any pair with a
-    single surviving shared shingle, at a cost of sum(df^2) over the
-    posting lists. The ``max_df`` stop-shingle cut (same posture as
-    winnowing's ``max_df``) bounds every posting list, so the join
-    cost is <= max_df * corpus_shingle_occurrences — linear in the
-    corpus with a constant cap, never quadratic. A true near-dup pair
-    is missed only if EVERY shingle it shares is corpus-boilerplate
-    (df > max_df) — at jaccard >= 0.3 a pair shares many shingles, so
-    in practice the cut costs no recall while it kills the hot-bucket
-    skew that would otherwise dominate at 100 TB.
-
-    Deterministic and engine-neutral (no banding, no hashing beyond
-    the shared shingle table), so queries built on it are fully
-    DuckDB-oracle-checkable — this is what promotes the MinHash
-    family's verify stage from rows-only to value-checked.
-    """
-    ex = sh_df.select(F.col(id_col).alias("_id"), F.explode("sh").alias("_h"))
-    # df=1 shingles can produce no pair; df>max_df are boilerplate
-    live = (ex.groupBy("_h").agg(F.count("*").alias("_df"))
-            .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
-            .select("_h"))
-    pruned = ex.join(live, "_h")
-    a = pruned.select(F.col("_h"), F.col("_id").alias("id_a"))
-    b = pruned.select(F.col("_h"), F.col("_id").alias("id_b"))
-    return (
-        a.join(b, "_h")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-
-
 def postings_candidates_bounded(sh_df: DataFrame, id_col: str,
                                 jaccard_threshold: float, max_df: int,
                                 doc_of=None) -> DataFrame:
@@ -795,7 +757,7 @@ def partial_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
 
     ``method`` picks the chunk-pair candidate generator:
       * ``"inverted"`` (default) — df-capped postings-list candidates
-        (``inverted_index_candidates``): deterministic, exact recall
+        (per-shingle combination generation): deterministic, exact recall
         up to the documented ``max_df`` boilerplate cut, and fully
         DuckDB-expressible, so the registered query is value-checked
         end-to-end (promoted rows-only -> oracle in r04).
