@@ -769,3 +769,27 @@ def docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.avg(logp), 4).alias("avg_logp"))
         .orderBy("doc_id")
     )
+
+
+from ..operators.redaction import pii_scrub_oracle_sql, scrub_documents  # noqa: E402
+
+
+@query("docs_pii_scrub", oracle=pii_scrub_oracle_sql())
+def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / sensitive-term redaction report (operators/redaction.py):
+    emails, national-id shapes, IPv4s, phone shapes, and a
+    deployment-configurable term list replaced with typed tags; per-doc
+    hit counts + scrubbed-text digest. The corpus-hygiene step every
+    shipped training set runs before packing.
+
+    Fully oracled from a single shared pattern table (the DuckDB SQL is
+    GENERATED from the same patterns the Spark plan compiles — one
+    source of truth). Plan shape: one narrow codegen'd projection over
+    the scan, zero shuffles; scales with scan bandwidth."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        scrub_documents(d)
+        .select("doc_id", "n_email", "n_ssn", "n_ipv4", "n_phone", "n_term",
+                "n_redactions", "scrubbed_md5", "scrubbed_len")
+        .orderBy("doc_id")
+    )

@@ -108,3 +108,335 @@ def xxhash64_bucket_cte(key_col: str, seed: int, granularity: int,
         out.append(s.replace("__PREV__", prev) if prev else s)
         prev = name
     return "WITH " + ",\n".join(out)
+
+
+def _signed(u: str) -> str:
+    """UBIGINT bit pattern -> signed BIGINT value (two's complement)."""
+    return (f"CAST(CASE WHEN {u} >= CAST(9223372036854775808 AS UBIGINT) "
+            f"THEN CAST({u} AS HUGEINT) - {_M} ELSE CAST({u} AS HUGEINT) END "
+            f"AS BIGINT)")
+
+
+def _unsigned(s: str) -> str:
+    """signed BIGINT -> UBIGINT bit pattern."""
+    return f"CAST((CAST({s} AS HUGEINT) + {_M}) % {_M} AS UBIGINT)"
+
+
+def _fmix_inline(h: str) -> str:
+    """xxh64 avalanche as ONE expression. ``h`` must be a short column
+    reference — the inlining duplicates it ~16x."""
+    a = _xor(h, f"({h}) >> 33")
+    b = _mulmod(a, _P2)
+    c = _xor(b, f"({b}) >> 29")
+    d = _mulmod(c, _P3)
+    return _xor(d, f"({d}) >> 32")
+
+
+def _xxh_round(acc: str, inp: str) -> str:
+    """XXH64 accumulator round: rotl31(acc + inp*P2) * P1."""
+    return _mulmod(_rotl(_addmod(acc, _mulmod(inp, _P2)), 31), _P1)
+
+
+def _round0(v: str) -> str:
+    return _mulmod(_rotl(_mulmod(v, _P2), 31), _P1)
+
+
+def hashlong_steps(prefix: str, x_col: str, seed: str | int,
+                   src: str) -> tuple[list[str], str]:
+    """CTE steps computing XXH64.hashLong(x_col, seed) — x_col is a
+    UBIGINT bit-pattern column, seed a constant or UBIGINT column.
+    Returns (steps, final_column_name); steps chain from ``src`` and
+    each subsequent step reads the previous one (caller stitches)."""
+    if isinstance(seed, int):
+        init = f"CAST({(seed + _P5 + 8) % (1 << 64)} AS UBIGINT)"
+    else:
+        init = _addmod(seed, _P5 + 8)
+    k = _mulmod(_rotl(_mulmod(x_col, _P2), 31), _P1)
+    steps = [
+        f"{prefix}a AS (SELECT *, {_xor(init, k)} AS {prefix}_t FROM {src})",
+        f"{prefix}b AS (SELECT *, "
+        f"{_addmod(_mulmod(_rotl(f'{prefix}_t', 27), _P1), _P4)} "
+        f"AS {prefix}_u FROM {prefix}a)",
+        f"{prefix}c AS (SELECT *, {_fmix_inline(f'{prefix}_u')} "
+        f"AS {prefix}_h FROM {prefix}b)",
+    ]
+    return steps, f"{prefix}_h"
+
+
+def hashint_expr(i_expr: str, seed_col: str) -> str:
+    """XXH64.hashInt(i, seed) as one expression — ``i_expr`` a small
+    non-negative INT expression/column, ``seed_col`` a UBIGINT column.
+    The final fmix inlines ``seed_col``-derived text ~16x, so keep the
+    caller's columns short."""
+    h0 = _addmod(seed_col, _P5 + 4)
+    h1 = _xor(h0, _mulmod(f"CAST({i_expr} AS UBIGINT)", _P1))
+    h2 = _addmod(_mulmod(_rotl(h1, 23), _P2), _P3)
+    return h2  # caller fmixes from a column to avoid text blow-up
+
+
+def xxh64_string_ctes(src: str, carry: str, str_col: str,
+                      prefix: str = "xs", seed: int = 42) -> tuple[str, str]:
+    """CTE fragment hashing a VARCHAR column with the full XXH64
+    algorithm (stripes for >= 32 bytes, 8-byte tail words, 4-byte
+    chunk, trailing bytes, avalanche) — bit-exact with Spark's
+    ``xxhash64(string_col)`` (verified over hostile lengths and
+    multibyte UTF-8 in tests/test_oracle_helpers.py).
+
+    ``src`` must be a prior CTE exposing ``carry`` columns plus
+    ``str_col``. Returns (fragment, final_cte_name); the final CTE
+    exposes ``carry`` + ``h`` (UBIGINT bit pattern). Folds run via
+    list_reduce with the running hash prepended; the four stripe
+    accumulators fold independently over every 4th stripe word.
+    """
+    p = prefix
+    V1 = (seed + int(_P1) + int(_P2)) % (1 << 64)
+    V2 = (seed + int(_P2)) % (1 << 64)
+    V3 = seed
+    V4 = (seed - int(_P1)) % (1 << 64)
+    byte_expr = ("[ CAST(16 * (strpos('0123456789abcdef', hx[2*j-1]) - 1)"
+                 " + (strpos('0123456789abcdef', hx[2*j]) - 1) AS HUGEINT)"
+                 " FOR j IN range(1, len(hx) // 2 + 1) ]")
+    word_expr = ("[ " + " + ".join(f"b[8*(j-1)+{t + 1}] * {2 ** (8 * t)}"
+                                   for t in range(8))
+                 + " FOR j IN range(1, len(b) // 8 + 1) ]")
+
+    def vfold(i: int, init: int) -> str:
+        lst = f"[ w[4*t + {i + 1}] FOR t IN range(0, ns) ]"
+        return (f"list_reduce(list_prepend(CAST({init} AS UBIGINT), "
+                f"list_transform({lst}, x -> CAST(x % {_M} AS UBIGINT))), "
+                f"(acc, x) -> {_xxh_round('acc', 'x')})")
+
+    hmerge = _addmod(_addmod(_rotl("v1", 1), _rotl("v2", 7)),
+                     _addmod(_rotl("v3", 12), _rotl("v4", 18)))
+
+    def merge_round(h: str, v: str) -> str:
+        return _addmod(_mulmod(_xor(h, _round0(v)), _P1), _P4)
+
+    tail_words = (f"[ CAST(w[j] % {_M} AS UBIGINT) "
+                  f"FOR j IN range(4*ns + 1, len(w) + 1) ]")
+    word_step = _addmod(_mulmod(_rotl(_xor("acc", _round0("x")), 27), _P1),
+                        _P4)
+    u32 = " + ".join(f"b[8*(nb//8)+{t + 1}] * {2 ** (8 * t)}"
+                     for t in range(4))
+    u32_step = _addmod(_mulmod(_rotl(
+        _xor("h3", _mulmod(f"CAST(({u32}) AS UBIGINT)", _P1)), 23), _P2),
+        _P3)
+    tail_bytes = ("[ CAST(b[j] AS UBIGINT) FOR j IN range("
+                  "8*(nb//8) + CASE WHEN nb % 8 >= 4 THEN 4 ELSE 0 END + 1, "
+                  "nb + 1) ]")
+    byte_step = _mulmod(_rotl(_xor("acc", _mulmod("x", _P5)), 11), _P1)
+
+    frag = f"""{p}bts AS (
+    SELECT {carry}, LOWER(hex(encode({str_col}))) AS hx FROM {src}
+), {p}byt AS (
+    SELECT {carry}, {byte_expr} AS b FROM {p}bts
+), {p}wrd AS (
+    SELECT {carry}, b, len(b) AS nb, len(b) // 32 AS ns, {word_expr} AS w
+    FROM {p}byt
+), {p}acc AS (
+    SELECT {carry}, b, nb, ns, w,
+           {vfold(0, V1)} AS v1, {vfold(1, V2)} AS v2,
+           {vfold(2, V3)} AS v3, {vfold(3, V4)} AS v4
+    FROM {p}wrd
+), {p}h0 AS (
+    SELECT {carry}, b, nb, ns, w,
+           CASE WHEN nb >= 32 THEN
+               {merge_round(merge_round(merge_round(merge_round(hmerge, 'v1'), 'v2'), 'v3'), 'v4')}
+           ELSE CAST({(seed + _P5) % (1 << 64)} AS UBIGINT) END AS h
+    FROM {p}acc
+), {p}h1 AS (
+    SELECT {carry}, b, nb, ns, w, {_addmod('h', 'nb')} AS h FROM {p}h0
+), {p}h2 AS (
+    SELECT {carry}, b, nb, ns,
+           list_reduce(list_prepend(h, {tail_words}),
+                       (acc, x) -> {word_step}) AS h3
+    FROM {p}h1
+), {p}h4 AS (
+    SELECT {carry}, b, nb,
+           CASE WHEN nb % 8 >= 4 THEN {u32_step} ELSE h3 END AS h
+    FROM {p}h2
+), {p}h5 AS (
+    SELECT {carry},
+           list_reduce(list_prepend(h, {tail_bytes}),
+                       (acc, x) -> {byte_step}) AS h
+    FROM {p}h4
+), {p}out AS (
+    SELECT {carry}, {_fmix_inline('h')} AS h FROM {p}h5
+)"""
+    return frag, f"{p}out"
+
+
+def minhash_pairs_ctes(shingle_n: int = 3, num_hashes: int = 16,
+                       bands: int = 4, threshold: float = 0.3) -> str:
+    """Full DuckDB restatement of ``minhash_lsh_pairs`` — BANDING
+    INCLUDED: shingle strings -> xxh64 string hash -> per-hash
+    hashLong(·,42) shared by the k remixes -> hashInt(i,·) minhash
+    remixes -> per-band chained-hashLong bucket keys -> bucket-join
+    candidates -> exact hashed-shingle Jaccard >= threshold.
+
+    Every hash is the bit-exact xxh64 restatement above, so the oracle
+    reproduces Spark's banding DECISIONS, not just the verify
+    arithmetic — the LSH family's rows-only-by-nature rationale is
+    retired. Stage-for-stage equivalence is pinned in
+    tests/test_oracle_helpers.py; the registered query is hash-gated
+    by the driver like any other oracle.
+
+    Returns a WITH-body fragment (no leading WITH) ending in a CTE
+    named ``mh_pairs(id_a, id_b, jaccard)`` — wrappers append their
+    own final SELECT (the pair listing, or a recursive closure for
+    cluster resolution)."""
+    rows = num_hashes // bands
+    frag, out = xxh64_string_ctes("uniq", "s", "s", prefix="xs")
+
+    band_steps: list[str] = []
+    prev_cte = "sp"
+    band_cols: list[str] = []
+    for b in range(bands):
+        for r in range(rows):
+            pfx = f"bh{b}x{r}"
+            seed_arg = 42 if r == 0 else f"bh{b}x{r - 1}_h"
+            steps, _ = hashlong_steps(pfx, _unsigned(f"s{rows * b + r}"),
+                                      seed_arg, prev_cte)
+            band_steps.extend(steps)
+            prev_cte = f"{pfx}c"
+        band_cols.append(f"bh{b}x{rows - 1}_h")
+    band_frag = ",\n".join(band_steps)
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, {band_cols[b]} AS bh FROM {prev_cte}"
+        for b in range(bands))
+
+    grams = " || ' ' || ".join(f"t[i+{k}]" for k in range(shingle_n))
+    hl_init = f"CAST({(42 + _P5 + 8) % (1 << 64)} AS UBIGINT)"
+    jac = ("ROUND(CAST(len(list_intersect(ha.hs, hb.hs)) AS DOUBLE) "
+           "/ (ha.n + hb.n - len(list_intersect(ha.hs, hb.hs))), 4)")
+    return f"""
+    docs AS MATERIALIZED (
+        SELECT doc_id,
+               list_distinct([{grams}
+                              FOR i IN range(1, GREATEST(len(t) - {shingle_n - 2}, 1))]) AS shingles
+        FROM (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS t
+              FROM documents WHERE LENGTH(TRIM(text)) > 0)
+        WHERE len(t) >= {shingle_n}
+    ), dsh AS MATERIALIZED (
+        SELECT doc_id, UNNEST(shingles) AS s FROM docs WHERE len(shingles) > 0
+    ), uniq AS MATERIALIZED (
+        SELECT DISTINCT s FROM dsh
+    ), {frag},
+    dh AS MATERIALIZED (
+        SELECT d.doc_id, ho.h FROM dsh d JOIN {out} ho ON ho.s = d.s
+    ),
+    uh AS MATERIALIZED (SELECT DISTINCT h FROM dh),
+    hla AS (SELECT *, {_xor(hl_init, _mulmod(_rotl(_mulmod('h', _P2), 31), _P1))} AS hl_t FROM uh),
+    hlb AS (SELECT *, {_addmod(_mulmod(_rotl('hl_t', 27), _P1), _P4)} AS hl_u FROM hla),
+    hlc AS (SELECT *, {_fmix_inline('hl_u')} AS hl FROM hlb),
+    ri0 AS (SELECT h, hl, u.i FROM hlc, UNNEST(range(0, {num_hashes})) AS u(i)),
+    ri1 AS (SELECT h, i, {hashint_expr('i', 'hl')} AS rx FROM ri0),
+    ri2 AS (SELECT h, i, {_fmix_inline('rx')} AS remix FROM ri1),
+    sigl AS (
+        SELECT dh.doc_id, r.i, MIN({_signed('r.remix')}) AS sig
+        FROM dh JOIN ri2 r ON r.h = dh.h GROUP BY dh.doc_id, r.i
+    ),
+    sp AS (
+        SELECT doc_id,
+               {", ".join(f"MIN(CASE WHEN i = {i} THEN sig END) AS s{i}" for i in range(num_hashes))}
+        FROM sigl GROUP BY doc_id
+    ),
+    {band_frag},
+    bb AS MATERIALIZED ({band_union}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bb a JOIN bb b ON a.band = b.band AND a.bh = b.bh
+                            AND a.doc_id < b.doc_id
+    ),
+    hsets AS MATERIALIZED (SELECT doc_id, list(h) AS hs, COUNT(*) AS n FROM dh GROUP BY doc_id),
+    mh_pairs AS (
+        SELECT c.id_a, c.id_b, {jac} AS jaccard
+        FROM cand c JOIN hsets ha ON ha.doc_id = c.id_a
+                    JOIN hsets hb ON hb.doc_id = c.id_b
+        WHERE {jac} >= {threshold}
+    )"""
+
+
+def simhash_oracle(max_hamming: int = 3) -> str:
+    """Full DuckDB restatement of ``simhash_pairs`` (64-bit signature,
+    16-bit pigeonhole blocks): per-token xxh64 -> per-bit majority
+    votes over token OCCURRENCES -> packed signature -> block-value
+    equi-join -> Hamming verify. Bit-exact with Spark's packed-lane
+    vote kernel because both sides reduce the same per-token hash bits
+    with integer arithmetic."""
+    frag, out = xxh64_string_ctes("uniq", "s", "s", prefix="xs")
+    sums = ",\n               ".join(
+        f"SUM(CAST((h >> {i}) & 1 AS BIGINT)) AS s{i}" for i in range(64))
+    sig = " + ".join(
+        f"CASE WHEN 2*s{i} > n THEN CAST({1 << i} AS HUGEINT) ELSE 0 END"
+        for i in range(64))
+    blocks = " UNION ALL ".join(
+        f"SELECT doc_id, {k} AS blk, "
+        f"CAST((sig >> {16 * k}) & 65535 AS BIGINT) AS blk_val, sig "
+        f"FROM sigs" for k in range(4))
+    return f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, u.tok AS s
+        FROM (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS t
+              FROM documents),
+             UNNEST(t) AS u(tok)
+        WHERE LENGTH(u.tok) > 0
+    ), uniq AS MATERIALIZED (
+        SELECT DISTINCT s FROM toks
+    ), {frag},
+    th AS MATERIALIZED (
+        SELECT t.doc_id, ho.h FROM toks t JOIN {out} ho ON ho.s = t.s
+    ), votes AS (
+        SELECT doc_id, COUNT(*) AS n,
+               {sums}
+        FROM th GROUP BY doc_id
+    ), sigs AS (
+        SELECT doc_id, CAST(({sig}) % {_M} AS UBIGINT) AS sig
+        FROM votes
+    ), bb AS MATERIALIZED ({blocks})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+    FROM bb a JOIN bb b ON a.blk = b.blk AND a.blk_val = b.blk_val
+                        AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+    ORDER BY id_a, id_b
+    """
+
+
+def minhash_lsh_oracle(shingle_n: int = 3, num_hashes: int = 16,
+                       bands: int = 4, threshold: float = 0.3) -> str:
+    """dedup_minhash_lsh's oracle: the pair pipeline + ordered listing."""
+    return ("WITH " + minhash_pairs_ctes(shingle_n, num_hashes, bands,
+                                         threshold)
+            + "\nSELECT id_a, id_b, jaccard FROM mh_pairs ORDER BY id_a, id_b")
+
+
+def minhash_cluster_oracle(threshold: float = 0.5) -> str:
+    """dedup_cluster_resolve's oracle: the SAME value-checked LSH pair
+    pipeline at the resolve threshold, closed transitively with a
+    recursive CTE and labeled with each component's minimum id — the
+    DuckDB twin of pairs -> dedup_clusters -> canonical flag.
+
+    The pair pipeline MUST be pinned ``AS MATERIALIZED``: under
+    ``WITH RECURSIVE`` DuckDB inlines plain CTEs, so the recursive
+    ``reach`` join would re-evaluate the whole xxh64 pipeline per
+    fixpoint iteration — observed as an unbounded-memory blowup at
+    sf0.01 (the inline form OOM'd a 125 GB host; the materialized
+    form runs in ~30 s / <2 GB)."""
+    return ("WITH RECURSIVE pairs AS MATERIALIZED (WITH "
+            + minhash_pairs_ctes(threshold=threshold) + """
+    SELECT id_a, id_b FROM mh_pairs
+    ),
+    edges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    )
+    SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id,
+           (MIN(r) = id) AS is_canonical
+    FROM reach GROUP BY id ORDER BY doc_id
+    """)

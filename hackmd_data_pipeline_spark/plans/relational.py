@@ -704,6 +704,46 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_session_windows",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+    ), flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT user_id, ts, value,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP)                       AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP)  AS session_end,
+           COUNT(*)                                         AS n_events,
+           ROUND(SUM(value), 2)                             AS value_sum
+    FROM s GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` aggregation (streaming/sessions.py) —
+    the streaming-capable form of events_sessionization: the SAME plan
+    runs on a watermarked readStream (streaming ≡ batch pinned in
+    tests/test_streaming_sessions.py). Merge is INCLUSIVE at the gap
+    boundary (probed: an event exactly ``gap`` after the previous one
+    merges), so the oracle breaks on ``diff > gap`` and the session
+    end is ``last_event + gap``. One shuffle on the session key."""
+    from ..streaming.sessions import session_window_agg
+    ev = load_table(spark, sf_dir, "events")
+    return (session_window_agg(ev, gap="30 minutes")
+            .orderBy("user_id", "session_start"))
+
+
+@query(
     "events_props_json_extract",
     oracle="""
     SELECT event_type,

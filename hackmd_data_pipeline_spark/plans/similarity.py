@@ -129,22 +129,42 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
 
 
-@query("dedup_minhash_lsh", oracle=None)
+from .oracle_helpers import minhash_lsh_oracle  # noqa: E402
+
+
+@query("dedup_minhash_lsh", oracle=minhash_lsh_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16)+LSH(4 bands) near-dup candidates verified by exact
     shingle Jaccard >= 0.3 (north star). Bucket-join candidate
-    generation — sub-quadratic at scale; rows-only (banding is
-    engine-specific)."""
+    generation — sub-quadratic at scale.
+
+    PROMOTED rows-only -> full oracle in r04, BANDING INCLUDED: the
+    bit-exact DuckDB xxh64 restatement (plans/oracle_helpers.py) now
+    covers variable-length strings, so the oracle reproduces the
+    shingle hash, all 16 minhash remixes, the 4 chained band-bucket
+    keys, the bucket-join candidate decisions, and the exact-Jaccard
+    verify — the 'banding is engine-specific' rationale that kept the
+    whole LSH family rows-only is retired."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, jaccard_threshold=0.3)
 
 
-@query("dedup_simhash", oracle=None)
+from .oracle_helpers import simhash_oracle  # noqa: E402
+
+
+@query("dedup_simhash", oracle=simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit) near-dup pairs within Hamming distance 3, with
-    16-bit-block pigeonhole blocking (north star); rows-only. 64-bit
-    signatures keep block buckets thin as the corpus grows (the 32-bit
-    form's 256-value block keys were quadratic at 100x scale)."""
+    16-bit-block pigeonhole blocking (north star). 64-bit signatures
+    keep block buckets thin as the corpus grows (the 32-bit form's
+    256-value block keys were quadratic at 100x scale).
+
+    PROMOTED rows-only -> full oracle in r04: per-token xxh64, the
+    per-bit majority votes, the packed signature, the pigeonhole
+    block-join decisions, and the Hamming verify are all restated
+    bit-exactly in DuckDB (plans/oracle_helpers.py::simhash_oracle) —
+    the packed-lane Spark vote kernel is now value-checked end to
+    end."""
     d = load_table(spark, sf_dir, "documents")
     return simhash_pairs(d, max_hamming=3)
 
@@ -241,15 +261,21 @@ def emb_normalize_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
-@query("dedup_cluster_resolve", oracle=None)
+from .oracle_helpers import minhash_cluster_oracle  # noqa: E402
+
+
+@query("dedup_cluster_resolve", oracle=minhash_cluster_oracle(threshold=0.5))
 def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup RESOLUTION: MinHash-LSH candidate pairs ->
     connected components (min-label propagation, operators/dedup.py::
     dedup_clusters) -> one canonical doc per duplicate cluster. This is
     the operator a training-data pipeline actually runs: pairs alone
     don't dedup a corpus; the cluster's min id becomes the keeper.
-    Iterative (label propagation) => rows-only; convergence and
-    cluster correctness are unit-tested on known clusters in
+    PROMOTED rows-only -> full oracle in r04: with the LSH pair
+    pipeline now bit-exactly expressible in DuckDB (banding included),
+    the transitive closure over those pairs is a recursive CTE —
+    every label this query assigns is value-checked. Convergence and
+    cluster correctness also unit-tested on known clusters in
     tests/test_operators_unit.py.
 
     Plan shape: the pair pipeline is the FUSED minhash_lsh_pairs (one

@@ -46,3 +46,37 @@ def test_duckdb_xxhash64_bucket_matches_spark(spark, seed, granularity):
     ) + "\nSELECT k, bucket FROM final ORDER BY k"
     got = dict(con.sql(sql).fetchall())
     assert got == expected
+
+
+def test_duckdb_xxh64_string_matches_spark(spark):
+    """Full-algorithm xxh64-over-VARCHAR (stripes, tail words, 4-byte
+    chunk, trailing bytes): bit-exact vs Spark's xxhash64(string) over
+    hostile lengths (0..80B, the 4/8/32-byte structure boundaries) and
+    multibyte UTF-8."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.plans.oracle_helpers import (
+        _signed,
+        xxh64_string_ctes,
+    )
+
+    strs = ["", "a", "ab", "abc", "abcd", "abcde", "abcdef", "abcdefg",
+            "abcdefgh", "abcdefghi", "hello world", "x" * 31, "x" * 32,
+            "x" * 33, "y" * 39, "y" * 40, "z" * 63, "z" * 64, "z" * 65,
+            "the quick brown fox jumps over the lazy dog",
+            "日本語テキストです", "naïve café ブログ", "a b c " * 13]
+    rows = [(i, s) for i, s in enumerate(strs)]
+
+    df = spark.createDataFrame(rows, "rid long, s string")
+    expected = {r.rid: r.h for r in
+                df.select("rid", F.xxhash64("s").alias("h")).collect()}
+
+    import duckdb
+    con = duckdb.connect(":memory:")
+    vals = ", ".join("(%d, '%s')" % (i, s.replace("'", "''"))
+                     for i, s in rows)
+    frag, out = xxh64_string_ctes("inp", "rid", "s")
+    sql = (f"WITH inp(rid, s) AS (SELECT * FROM (VALUES {vals})), {frag} "
+           f"SELECT rid, {_signed('h')} AS h FROM {out} ORDER BY rid")
+    got = dict(con.sql(sql).fetchall())
+    assert got == expected

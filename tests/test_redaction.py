@@ -1,0 +1,106 @@
+"""operators/redaction.py — pattern battery on real PII shapes (the
+synthetic corpus only exercises the term list) + the two-phase
+count/scrub contract + Spark-vs-DuckDB parity on hostile text."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from hackmd_data_pipeline_spark.operators.redaction import (
+    REDACTION_PATTERNS,
+    pii_scrub_oracle_sql,
+    scrub_documents,
+    scrub_expr,
+)
+
+DOCS = [
+    (1, "contact alice.smith+spam@example.co.uk or bob@sub.domain.org now"),
+    (2, "ssn 123-45-6789 and phone +1 555-867-5309 on file"),
+    (3, "server 10.0.255.3 peered with 192.168.1.1"),
+    (4, "customer key customer KEY Key"),  # term list is case-sensitive
+    (5, "no sensitive content here"),
+    (6, ""),
+    (7, "call 555 123 4567 x 99"),  # digit-run phone shape
+    (8, "v1.2.3.4 release notes"),  # ipv4 shape inside a version string
+]
+
+
+@pytest.fixture(scope="module")
+def scrubbed(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    return {r["doc_id"]: r.asDict() for r in scrub_documents(df).collect()}
+
+
+def test_email_variants(scrubbed):
+    assert scrubbed[1]["n_email"] == 2
+    assert scrubbed[1]["n_redactions"] == 2
+
+
+def test_ssn_and_phone(scrubbed):
+    assert scrubbed[2]["n_ssn"] == 1
+    # the raw text also matches the phone shape twice (the SSN's digit
+    # run and the actual phone) — counts are measured on the ORIGINAL
+    # text, independently per pattern
+    assert scrubbed[2]["n_phone"] == 2
+
+
+def test_ipv4(scrubbed):
+    assert scrubbed[3]["n_ipv4"] == 2
+    # 'v1.2.3.4' has no word boundary between 'v' and '1' — the
+    # version string is correctly NOT an IPv4 hit
+    assert scrubbed[8]["n_ipv4"] == 0
+
+
+def test_terms_case_sensitive(scrubbed):
+    assert scrubbed[4]["n_term"] == 3  # customer, key, customer
+
+
+def test_clean_and_empty(scrubbed):
+    assert scrubbed[5]["n_redactions"] == 0
+    assert scrubbed[6]["n_redactions"] == 0
+    assert scrubbed[6]["scrubbed_len"] == 0
+
+
+def test_sequential_scrub_consumes_earlier_matches(spark):
+    """Phase 2 contract: the SSN is consumed by the <SSN> tag before
+    the phone pattern sees the text, so the scrubbed body keeps the
+    tag intact (no '<SS<PHONE>' mangling)."""
+    df = spark.createDataFrame([(1, "id 123-45-6789 ok")],
+                               "doc_id long, text string")
+    out = df.select(scrub_expr("text").alias("s")).head()["s"]
+    assert out == "id <SSN> ok"
+
+
+def test_duckdb_parity_on_pii_shapes(spark):
+    """The generated oracle and the Spark plan agree on text the
+    synthetic corpus never shows the driver (every pattern firing,
+    multibyte neighbors, adjacent matches)."""
+    extra = [(9, "naïve@exämple.com café"),  # multibyte near an email
+             (10, "a@b.cc c@d.dd"),          # adjacent matches
+             (11, "key customer 1.2.3.4 555-867-5309 x 123-45-6789")]
+    rows = DOCS + extra
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: tuple(r)[1:]
+        for r in scrub_documents(df)
+        .select("doc_id", "n_email", "n_ssn", "n_ipv4", "n_phone", "n_term",
+                "n_redactions", "scrubbed_md5", "scrubbed_len")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {r[0]: r[1:] for r in con.sql(pii_scrub_oracle_sql()).fetchall()}
+    assert got == want
+
+
+def test_custom_pattern_table(spark):
+    """The engine is pattern-table-generic, not hardwired to the
+    default battery."""
+    pats = (("num", r"[0-9]+", "<N>"),)
+    df = spark.createDataFrame([(1, "a1 b22 c")], "doc_id long, text string")
+    row = scrub_documents(df, patterns=pats).head()
+    assert row["n_num"] == 2 and row["n_redactions"] == 2
+    assert df.select(
+        scrub_expr("text", pats).alias("s")).head()["s"] == "a<N> b<N> c"
+    assert len(REDACTION_PATTERNS) == 5
