@@ -704,6 +704,77 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_resample_ffill",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+               COUNT(*)             AS n,
+               ROUND(SUM(value), 2) AS vs
+        FROM events GROUP BY event_type, h
+    ), bounds AS (
+        SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS h0,
+               CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS h1
+        FROM events
+    ), spine AS (
+        SELECT t.event_type, CAST(u.h AS TIMESTAMP) AS h
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             bounds, UNNEST(generate_series(bounds.h0, bounds.h1,
+                                            INTERVAL 1 HOUR)) AS u(h)
+    )
+    SELECT s.event_type                                   AS event_type,
+           s.h                                            AS hour_start,
+           COALESCE(n, 0)                                 AS n_events,
+           last_value(vs IGNORE NULLS)
+               OVER (PARTITION BY s.event_type ORDER BY s.h
+                     ROWS UNBOUNDED PRECEDING)            AS value_sum_ffill,
+           (hourly.event_type IS NULL)                    AS is_gap
+    FROM spine s LEFT JOIN hourly
+      ON hourly.event_type = s.event_type AND hourly.h = s.h
+    ORDER BY s.event_type, hour_start
+    """,
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: resample the event stream onto a
+    dense hourly spine per event type, forward-filling the last seen
+    hourly value across gaps and flagging synthesized rows — the
+    gap-fill step every downstream ML/monitoring consumer needs before
+    treating event aggregates as a regular series (an empty hour is a
+    0-count fact, not a missing row).
+
+    Plan shape: one shuffle for the hourly pre-agg (bounded by
+    hours x types, tiny at any corpus scale); the spine is a
+    1-row-bounds broadcast + ``sequence`` explode; the left join
+    broadcasts the pre-agg; the forward fill is one window pass over
+    the already-tiny spine. The raw event volume only ever flows
+    through the first partial-aggregated groupBy, so the query scales
+    with scan bandwidth. NTZ epoch arithmetic throughout (no
+    date_trunc on the Spark side — session-timezone-independent)."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    hidx = F.timestamp_diff("HOUR", epoch, F.col("ts"))
+    hourly = (ev.groupBy(F.col("event_type"), hidx.alias("h"))
+              .agg(F.count("*").alias("n"),
+                   F.round(F.sum("value"), 2).alias("vs")))
+    bounds = ev.agg(F.min(hidx).alias("h0"), F.max(hidx).alias("h1"))
+    spine = (ev.select("event_type").distinct()
+             .crossJoin(F.broadcast(bounds))
+             .select("event_type",
+                     F.explode(F.sequence("h0", "h1")).alias("h")))
+    w = (W.partitionBy("event_type").orderBy("h")
+         .rowsBetween(W.unboundedPreceding, 0))
+    return (
+        spine.join(F.broadcast(hourly), ["event_type", "h"], "left")
+        .select("event_type",
+                F.timestamp_add("HOUR", F.col("h"), epoch).alias("hour_start"),
+                F.coalesce("n", F.lit(0)).alias("n_events"),
+                F.last("vs", ignorenulls=True).over(w).alias("value_sum_ffill"),
+                F.col("n").isNull().alias("is_gap"))
+        .orderBy("event_type", "hour_start")
+    )
+
+
+@query(
     "events_session_windows",
     oracle="""
     WITH e AS (

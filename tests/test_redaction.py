@@ -104,3 +104,39 @@ def test_custom_pattern_table(spark):
     assert df.select(
         scrub_expr("text", pats).alias("s")).head()["s"] == "a<N> b<N> c"
     assert len(REDACTION_PATTERNS) == 5
+
+
+def test_scrub_matches_python_re_model(spark):
+    """Property: the Spark (Java-regex) scrub and counts equal an
+    independent Python ``re`` model on adversarial text — pins the
+    common-dialect claim (the DuckDB parity test covers RE2; this
+    covers the third engine). Deterministic corpus: hypothesis is
+    overkill for a pure-function comparison over a fixed generator."""
+    import itertools
+    import re
+
+    frags = ["a@b.co", "x", " ", ".", "-", "@", "12", "345-67-8901",
+             "1.2.3.4", "customer", "key", "keys", "+1 23456789",
+             "é", "@@", "a.b@c.dd e", "9"]
+    texts = ["".join(p) for p in itertools.islice(
+        itertools.permutations(frags, 3), 0, 600, 7)]
+    texts += ["".join(f * 3 for f in frags), ""]
+
+    def model(t):
+        counts = [len(re.findall(pat, t)) for _tag, pat, _rep in
+                  REDACTION_PATTERNS]
+        s = t
+        for _tag, pat, rep in REDACTION_PATTERNS:
+            s = re.sub(pat, rep, s)
+        return (*counts, s)
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_email"], r["n_ssn"], r["n_ipv4"], r["n_phone"],
+                      r["n_term"], r["s"])
+        for r in scrub_documents(df)
+        .withColumn("s", scrub_expr("text")).collect()
+    }
+    for i, t in rows:
+        assert got[i] == model(t), (t, got[i], model(t))
