@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 
 def shingles(text_col, n: int = 3):
@@ -820,4 +821,71 @@ def partial_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
         .agg(F.count("*").alias("n_matching_chunks"),
              F.max("jaccard").alias("max_jaccard"))
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def exact_substring_spans(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 32) -> DataFrame:
+    """Exact duplicated-substring detection (the suffix-array exact
+    dedup of Lee et al. 2022, arXiv:2107.06499, restated for Spark):
+    a token span appearing VERBATIM in >= 2 documents is training-set
+    leakage the fuzzy (Jaccard) families deliberately smooth over.
+
+    Method: hash every k-token window (stride 1), keep windows whose
+    hash occurs in >= 2 distinct docs, then merge each doc's
+    duplicated window positions into maximal covered intervals
+    (consecutive-or-overlapping positions - gap <= k - fuse, so
+    ``n_dup_tokens`` is the EXACT union coverage, never
+    double-counted). Returns per-doc ``(n_tokens, n_dup_spans,
+    n_dup_tokens, dup_fraction)`` for every non-empty doc.
+
+    Scale: the window explode is one row per token POSITION, but the
+    shuffle key is the 8-byte ``xxhash64`` of the span, not the span
+    text, so groupBy traffic is ~corpus-token-count x 8 bytes — the
+    Spark-sized stand-in for the suffix array (which assumes a shared
+    address space). Hash collisions (2^-64/pair) could merge two
+    different spans into a false duplicate; accepted and caught by the
+    text-grouping DuckDB oracle if it ever mattered at test scale.
+    One window pass per doc for the interval merge; positions are
+    strictly increasing, so overlap-with-union-so-far reduces to
+    ``i - lag(i) <= k`` (lag(i) is the max previous position).
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    t = (df.filter(F.length(F.trim(text_col)) > 0)
+         .select(F.col(id_col), toks.alias("toks"))
+         .select(id_col, "toks", F.size("toks").alias("n_tokens")))
+    w = (t.filter(F.col("n_tokens") >= k)
+         .select(id_col,
+                 F.explode(F.sequence(F.lit(1), F.col("n_tokens") - k + 1))
+                 .alias("i"), "toks")
+         .select(id_col, "i",
+                 F.xxhash64(F.array_join(F.slice("toks", F.col("i"), F.lit(k)),
+                                         " ")).alias("h")))
+    dup = (w.groupBy("h")
+           .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+           .filter(F.col("nd") >= 2))
+    win = W.partitionBy(id_col).orderBy("i")
+    pos = w.join(dup.select("h"), "h")
+    islands = (
+        pos.withColumn(
+            "brk",
+            F.when(F.lag("i").over(win).isNull()
+                   | (F.col("i") - F.lag("i").over(win) > k), 1).otherwise(0))
+        .withColumn("grp", F.sum("brk").over(
+            win.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy(id_col, "grp")
+        .agg((F.max("i") - F.min("i") + k).alias("span_tokens"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_spans"),
+             F.sum("span_tokens").alias("n_dup_tokens"))
+    )
+    return (
+        t.select(id_col, "n_tokens")
+        .join(islands, id_col, "left")
+        .select(id_col, "n_tokens",
+                F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+                F.coalesce("n_dup_tokens", F.lit(0)).alias("n_dup_tokens"),
+                F.round(F.coalesce("n_dup_tokens", F.lit(0))
+                        / F.col("n_tokens"), 4).alias("dup_fraction"))
+        .orderBy(id_col)
     )

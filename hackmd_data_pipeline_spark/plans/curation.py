@@ -793,3 +793,64 @@ def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_redactions", "scrubbed_md5", "scrubbed_len")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "docs_exact_substring_dedup",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ), sized AS (
+        SELECT doc_id, toks, len(toks) AS n_tokens FROM t
+    ), w AS (
+        SELECT doc_id, u.i AS i,
+               array_to_string(toks[u.i : u.i + 31], ' ') AS span
+        FROM sized, UNNEST(range(1, n_tokens - 30)) AS u(i)
+        WHERE n_tokens >= 32
+    ), dup AS (
+        SELECT span FROM w GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+    ), pos AS (
+        SELECT w.doc_id, w.i FROM w JOIN dup USING (span)
+    ), flagged AS (
+        SELECT doc_id, i,
+               CASE WHEN LAG(i) OVER win IS NULL
+                    OR i - LAG(i) OVER win > 32 THEN 1 ELSE 0 END AS brk
+        FROM pos WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+    ), grp AS (
+        SELECT doc_id, i,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS UNBOUNDED PRECEDING) AS g
+        FROM flagged
+    ), islands AS (
+        SELECT doc_id, COUNT(DISTINCT g) AS n_dup_spans,
+               SUM(span_tokens) AS n_dup_tokens
+        FROM (SELECT doc_id, g, MAX(i) - MIN(i) + 32 AS span_tokens
+              FROM grp GROUP BY doc_id, g)
+        GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.n_tokens AS INT)                   AS n_tokens,
+           CAST(COALESCE(n_dup_spans, 0) AS BIGINT)  AS n_dup_spans,
+           CAST(COALESCE(n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+           ROUND(CAST(COALESCE(n_dup_tokens, 0) AS DOUBLE) / s.n_tokens, 4)
+                                                     AS dup_fraction
+    FROM sized s LEFT JOIN islands ON islands.doc_id = s.doc_id
+    ORDER BY s.doc_id
+    """,
+)
+def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring audit (operators/dedup.py::
+    exact_substring_spans) — the verbatim-leakage detector of Lee et
+    al. 2022 (arXiv:2107.06499) the fuzzy families can't express: any
+    32-token span appearing in >= 2 docs, merged per doc into maximal
+    covered intervals with EXACT union token coverage. The third leg
+    of the dedup triad (exact whole-doc / fuzzy chunk / exact
+    substring).
+
+    Spark shuffles 8-byte span hashes (never span text); the oracle
+    groups by the span text itself, so a hash collision would surface
+    as a gate mismatch rather than hide."""
+    from ..operators.dedup import exact_substring_spans
+    d = load_table(spark, sf_dir, "documents")
+    return exact_substring_spans(d, k=32)

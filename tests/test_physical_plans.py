@@ -161,6 +161,7 @@ _BNLJ_OK = {
     "events_equidepth_histogram",  # 1-row decile-cuts scalar cross join
     "graph_triangle_stats",        # 1-row scalar-aggregate cross joins
     "docs_lm_perplexity",          # 1-row vocab-size scalar cross join
+    "events_resample_ffill",       # 1-row hour-bounds scalar cross join
 }
 
 
