@@ -64,7 +64,10 @@ def test_duckdb_xxh64_string_matches_spark(spark):
             "abcdefgh", "abcdefghi", "hello world", "x" * 31, "x" * 32,
             "x" * 33, "y" * 39, "y" * 40, "z" * 63, "z" * 64, "z" * 65,
             "the quick brown fox jumps over the lazy dog",
-            "日本語テキストです", "naïve café ブログ", "a b c " * 13]
+            "日本語テキストです", "naïve café ブログ", "a b c " * 13,
+            # stripes-heavy: hundreds of 32-byte stripes + ragged tails
+            "qwerty uiop 0123456789 " * 40, "Z" * 1000, "Z" * 1001,
+            ("мультибайтовый текст " * 30)[:500]]
     rows = [(i, s) for i, s in enumerate(strs)]
 
     df = spark.createDataFrame(rows, "rid long, s string")

@@ -103,3 +103,31 @@ def test_streaming_state_is_session_window(spark, tmp_path):
               .withWatermark("ts", "10 minutes"))
     plan = session_window_agg(stream)._jdf.queryExecution().analyzed().toString()
     assert "session_window" in plan
+
+
+def test_late_event_merges_into_open_session(spark, tmp_path):
+    """A late event (within the watermark) arriving in a LATER
+    micro-batch merges into the still-open session state — the
+    cross-batch merge that distinguishes session windows from a
+    per-batch groupBy."""
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    collected: list = []
+
+    spark.createDataFrame([(7, _m(0), 1.0), (7, _m(20), 1.0)],
+                          SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
+    _drain(spark, src, ckpt, collected)
+
+    # late arrival BETWEEN the two seen events, same session
+    spark.createDataFrame([(7, _m(10), 5.0)],
+                          SCHEMA).coalesce(1).write.parquet(str(src / "b2"))
+    _drain(spark, src, ckpt, collected)
+
+    # close everything
+    spark.createDataFrame([(999, T0 + dt.timedelta(days=1), 0.0)],
+                          SCHEMA).coalesce(1).write.parquet(str(src / "b3"))
+    _drain(spark, src, ckpt, collected)
+
+    sessions = {tuple(r) for r in collected if r[0] == 7}
+    assert sessions == {(7, _m(0), _m(50), 3, 7.0)}
