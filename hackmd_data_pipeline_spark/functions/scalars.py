@@ -36,7 +36,7 @@ def batch_id(category: Column | str, date: Column | str, n: Column | str) -> Col
 
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization of non-empty text -> array<string>."""
-    return F.split(F.trim(col if isinstance(col, Column) else F.col(col)), "\\s+")
+    return F.split(F.trim(col if isinstance(col, Column) else F.col(col)), "[ \\t\\n\\x0B\\f\\r]+")
 
 
 def token_count(col: Column | str) -> Column:

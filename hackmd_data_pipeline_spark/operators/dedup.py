@@ -34,7 +34,7 @@ def shingles(text_col, n: int = 3):
     which benchmarked 10x slower at sf0.1.) Docs shorter than n tokens
     yield an empty array.
     """
-    toks = F.split(F.trim(F.lower(text_col)), "\\s+")
+    toks = F.split(F.trim(F.lower(text_col)), "[ \\t\\n\\x0B\\f\\r]+")
     sh = toks
     for j in range(1, n):
         # pair position i with token i+j; tail positions get NULL b ->
@@ -436,7 +436,7 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     """
     assert bits == 64, "packed vote kernel is specialized to 64 bits"
     ex = (
-        df.select(id_col, F.explode(F.split(F.trim(F.lower(F.col(text_col))), "\\s+")).alias("tok"))
+        df.select(id_col, F.explode(F.split(F.trim(F.lower(F.col(text_col))), "[ \\t\\n\\x0B\\f\\r]+")).alias("tok"))
         .filter(F.length("tok") > 0)
         .withColumn("h", F.xxhash64("tok"))
     )
@@ -767,7 +767,7 @@ def partial_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
         shingle df distribution is so heavy that even capped postings
         are too hot. Both paths share the shingle table and verify.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "[ \\t\\n\\x0B\\f\\r]+")
     starts = F.sequence(F.lit(1), F.size("toks"), F.lit(stride))
     chunks = (
         df.filter(F.length(F.trim(text_col)) > 0)
@@ -843,14 +843,22 @@ def exact_substring_spans(df: DataFrame, id_col: str = "doc_id",
     shuffle key is the 8-byte ``xxhash64`` of the span, not the span
     text, so groupBy traffic is ~corpus-token-count x 8 bytes — the
     Spark-sized stand-in for the suffix array (which assumes a shared
-    address space). Hash collisions (2^-64/pair) could merge two
-    different spans into a false duplicate; accepted and caught by the
-    text-grouping DuckDB oracle if it ever mattered at test scale.
+    address space). The per-position slice+join+hash does build ~k x
+    corpus bytes of TRANSIENT strings pre-shuffle; an O(1)-per-position
+    rotate-xor rolling hash over once-hashed tokens was A/B'd against
+    it (zip_with chain, sf0.1 warm: 1.01 s vs 0.82 s) and LOST —
+    interpreted higher-order-function lambdas cost more than the
+    whole-stage-codegen'd string build, so the transient expansion is
+    deliberate; revisit only if a measured deployment shows the
+    explode stage CPU-bound on string construction. Hash collisions
+    (2^-64/pair) could merge two different spans into a false
+    duplicate; accepted and caught by the text-grouping DuckDB oracle
+    if it ever mattered at test scale.
     One window pass per doc for the interval merge; positions are
     strictly increasing, so overlap-with-union-so-far reduces to
     ``i - lag(i) <= k`` (lag(i) is the max previous position).
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col(text_col))), "[ \\t\\n\\x0B\\f\\r]+")
     t = (df.filter(F.length(F.trim(text_col)) > 0)
          .select(F.col(id_col), toks.alias("toks"))
          .select(id_col, "toks", F.size("toks").alias("n_tokens")))

@@ -13,12 +13,22 @@ driver participation; Tungsten evaluates the regex chain per row
 inside whole-stage codegen, so the operator scales with scan
 bandwidth exactly like a filter.
 
-Engine parity: every default pattern is written in the common
-Java-regex / RE2 dialect subset (no backrefs, no lookaround), so the
-same pattern text drives Spark's ``regexp_replace``/``regexp_count``
-and DuckDB's ``regexp_replace(..., 'g')``/``regexp_extract_all`` —
-the DuckDB oracle is generated from the SAME pattern table
-(:func:`pii_scrub_oracle_sql`), keeping one source of truth.
+Engine parity: every core pattern is written in the common
+Java-regex / RE2 dialect subset (no backrefs, no lookaround).
+Word boundaries are the one construct that CANNOT be shared verbatim:
+Java's ``\\b`` is Unicode-aware (``é`` is a word char) while RE2's is
+ASCII-only, so the same ``\\b`` text silently disagrees on multibyte
+neighbors. Boundaries are therefore declared as a FLAG in the pattern
+table and rendered per engine to the SAME zero-width ASCII-word
+semantic — ``(?<![0-9A-Za-z_])``/``(?![0-9A-Za-z_])`` lookarounds for
+Java (and python ``re``), bare ``\\b`` for RE2, where it means exactly
+that. ASCII boundaries are the only semantic RE2 can express; the
+over-match on multibyte neighbors (``ékey`` → term hit) errs toward
+over-redaction, the safe direction for PII. The DuckDB oracle is
+generated from the SAME pattern table (:func:`pii_scrub_oracle_sql`),
+keeping one source of truth; cross-engine agreement on
+boundary-adjacent multibyte text is pinned in
+tests/test_redaction.py.
 
 Counts are measured on the ORIGINAL text per pattern (independent,
 order-free); the scrub itself applies sequentially in table order, so
@@ -37,37 +47,58 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# (tag, pattern, replacement) — pattern text valid and equivalent in
-# Java regex AND RE2. Order matters for the sequential scrub phase:
-# most-specific first so composite shapes (an email's host, an SSN's
-# digit groups) are consumed before the broader digit patterns see
-# them.
-REDACTION_PATTERNS: tuple[tuple[str, str, str], ...] = (
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
-    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
-    ("phone", r"\+?[0-9][0-9\- ]{7,}[0-9]", "<PHONE>"),
+_WORD = "0-9A-Za-z_"
+
+# (tag, core_pattern, replacement, bounded) — core patterns valid and
+# equivalent in Java regex AND RE2; ``bounded`` asks for zero-width
+# ASCII-word boundaries on both ends, rendered per engine. Order
+# matters for the sequential scrub phase: most-specific first so
+# composite shapes (an email's host, an SSN's digit groups) are
+# consumed before the broader digit patterns see them.
+REDACTION_PATTERNS: tuple[tuple[str, str, str, bool], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>", False),
+    ("ssn", r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>", True),
+    ("ipv4", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>", True),
+    ("phone", r"\+?[0-9][0-9\- ]{7,}[0-9]", "<PHONE>", False),
     # Deployment-specific sensitive-term list (names, project
     # codewords, credentials). The default redacts two terms that DO
     # occur in the synthetic corpus so the oracle check exercises real
     # replacements, not just zero-hit parity.
-    ("term", r"\b(?:customer|key)\b", "<TERM>"),
+    ("term", r"(?:customer|key)", "<TERM>", True),
 )
 
 
+def render_pattern(core: str, bounded: bool, engine: str) -> str:
+    """Render a pattern-table row for one regex engine.
+
+    ``engine``: ``"java"`` (Spark; also valid for python ``re``) or
+    ``"re2"`` (DuckDB). Both renderings implement the identical
+    zero-width ASCII-word boundary — Java via lookarounds (its ``\\b``
+    is Unicode-aware, the wrong semantic here), RE2 via ``\\b`` (which
+    IS the ASCII boundary, and RE2 has no lookaround)."""
+    if not bounded:
+        return core
+    if engine == "java":
+        return f"(?<![{_WORD}])(?:{core})(?![{_WORD}])"
+    if engine == "re2":
+        return rf"\b(?:{core})\b"
+    raise ValueError(f"unknown engine: {engine!r}")
+
+
 def scrub_expr(text_col: str | Column,
-               patterns: tuple[tuple[str, str, str], ...] = REDACTION_PATTERNS,
-               ) -> Column:
+               patterns: tuple[tuple[str, str, str, bool], ...] =
+               REDACTION_PATTERNS) -> Column:
     """The scrubbed-text expression: sequential ``regexp_replace``
     chain in pattern-table order."""
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    for _tag, pat, rep in patterns:
-        col = F.regexp_replace(col, pat, rep)
+    for _tag, pat, rep, bounded in patterns:
+        col = F.regexp_replace(col, render_pattern(pat, bounded, "java"), rep)
     return col
 
 
 def scrub_documents(df: DataFrame, text_col: str = "text",
-                    patterns: tuple[tuple[str, str, str], ...] =
+                    patterns: tuple[tuple[str, str, str, bool], ...] =
                     REDACTION_PATTERNS) -> DataFrame:
     """Per-document redaction report + scrubbed-text digest.
 
@@ -76,11 +107,13 @@ def scrub_documents(df: DataFrame, text_col: str = "text",
     (the digest keeps the oracle row narrow — shipping the scrubbed
     body itself is a ``select`` away via :func:`scrub_expr`)."""
     counts = [
-        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{tag}")
-        for tag, pat, _rep in patterns
+        F.regexp_count(F.col(text_col),
+                       F.lit(render_pattern(pat, bounded, "java")))
+        .alias(f"n_{tag}")
+        for tag, pat, _rep, bounded in patterns
     ]
     total = None
-    for tag, _pat, _rep in patterns:
+    for tag, _pat, _rep, _b in patterns:
         c = F.col(f"n_{tag}")
         total = c if total is None else total + c
     scrubbed = scrub_expr(text_col, patterns)
@@ -99,19 +132,24 @@ def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
-def pii_scrub_oracle_sql(patterns: tuple[tuple[str, str, str], ...] =
+def pii_scrub_oracle_sql(patterns: tuple[tuple[str, str, str, bool], ...] =
                          REDACTION_PATTERNS) -> str:
     """DuckDB restatement generated from the SAME pattern table:
     ``regexp_extract_all`` lengths for the counts, a nested
-    ``regexp_replace(..., 'g')`` chain for the scrub."""
+    ``regexp_replace(..., 'g')`` chain for the scrub. Every output
+    column (including the count list) derives from the pattern table,
+    so custom batteries generate valid SQL too."""
     counts = ",\n           ".join(
-        f"CAST(len(regexp_extract_all(text, {_sql_quote(pat)})) AS INT) "
+        f"CAST(len(regexp_extract_all(text, "
+        f"{_sql_quote(render_pattern(pat, bounded, 're2'))})) AS INT) "
         f"AS n_{tag}"
-        for tag, pat, _rep in patterns)
-    total = " + ".join(f"n_{tag}" for tag, _pat, _rep in patterns)
+        for tag, pat, _rep, bounded in patterns)
+    count_cols = ", ".join(f"n_{tag}" for tag, _p, _r, _b in patterns)
+    total = " + ".join(f"n_{tag}" for tag, _p, _r, _b in patterns)
     scrub = "text"
-    for _tag, pat, rep in patterns:
-        scrub = (f"regexp_replace({scrub}, {_sql_quote(pat)}, "
+    for _tag, pat, rep, bounded in patterns:
+        scrub = (f"regexp_replace({scrub}, "
+                 f"{_sql_quote(render_pattern(pat, bounded, 're2'))}, "
                  f"{_sql_quote(rep)}, 'g')")
     return f"""
     WITH c AS (
@@ -120,7 +158,7 @@ def pii_scrub_oracle_sql(patterns: tuple[tuple[str, str, str], ...] =
            {scrub} AS scrubbed
         FROM documents
     )
-    SELECT doc_id, n_email, n_ssn, n_ipv4, n_phone, n_term,
+    SELECT doc_id, {count_cols},
            CAST({total} AS INT)      AS n_redactions,
            md5(scrubbed)             AS scrubbed_md5,
            CAST(LENGTH(scrubbed) AS INT) AS scrubbed_len

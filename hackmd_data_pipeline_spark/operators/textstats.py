@@ -24,7 +24,7 @@ _LANG_MARKERS: dict[str, str] = {
 
 def lang_scores(text: Column) -> Column:
     """Array of (score, lang) structs; score = marker hits / tokens."""
-    n_tok = F.greatest(F.size(F.split(F.trim(text), "\\s+")), F.lit(1))
+    n_tok = F.greatest(F.size(F.split(F.trim(text), "[ \\t\\n\\x0B\\f\\r]+")), F.lit(1))
     structs = [
         F.struct(
             (F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0))).cast("double") / n_tok).alias("score"),

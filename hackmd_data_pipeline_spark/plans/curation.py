@@ -266,7 +266,7 @@ def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
         SELECT doc_id, lang, LOWER(t.tok) AS tok
         FROM documents,
-             UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS t(tok)
+             UNNEST(regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) AS t(tok)
         WHERE LENGTH(TRIM(text)) > 0 AND LENGTH(t.tok) > 0
     ), vocab AS (
         SELECT tok FROM (
@@ -306,7 +306,7 @@ def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs_decontamination's benchmark side."""
     d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     toks = (d.select("doc_id", "lang",
-                     F.explode(F.split(F.trim(F.lower("text")), "\\s+")).alias("tok"))
+                     F.explode(F.split(F.trim(F.lower("text")), "[ \\t\\n\\x0B\\f\\r]+")).alias("tok"))
             .filter(F.length("tok") > 0))
     vocab = (toks.groupBy("tok")
              .agg(F.countDistinct("doc_id").alias("df"))
@@ -339,7 +339,7 @@ def docs_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
                               LOWER(t[i+2]) || ' ' || LOWER(t[i+3]) || ' ' ||
                               LOWER(t[i+4])
                               FOR i IN range(1, GREATEST(len(t) - 3, 1))]) AS shingles
-        FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t
+        FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
               FROM documents WHERE LENGTH(TRIM(text)) > 0)
         WHERE len(t) >= 5
     ), dsh AS (
@@ -394,7 +394,7 @@ def docs_shingle_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
         SELECT doc_id, lang, text,
-               regexp_split_to_array(TRIM(text), '\\s+') AS t
+               regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
         FROM documents WHERE LENGTH(TRIM(text)) > 0
     ), m AS (
         SELECT doc_id, lang,
@@ -433,7 +433,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed on the UNROUNDED doubles in both engines (identical IEEE
     arithmetic), the reported ratios are rounded for the hash gate."""
     d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+")
     n_words = F.size(toks)
     mwl = (F.aggregate(F.transform(toks, lambda x: F.length(x)),
                        F.lit(0), lambda acc, x: acc + x)
@@ -467,7 +467,7 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
         SELECT doc_id, lang, n_chars,
-               len(regexp_split_to_array(TRIM(text), '\\s+')) AS n_tok
+               len(regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_tok
         FROM documents WHERE LENGTH(TRIM(text)) > 0
     ), ranked AS (
         SELECT lang, n_tok,
@@ -501,7 +501,7 @@ def docs_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checks the rewrite."""
     d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     toks = d.select("doc_id", "lang", "n_chars",
-                    F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"))
+                    F.size(F.split(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+")).alias("n_tok"))
     ranked = attach_running_total(
         toks, "n_tok", [F.desc("n_chars"), F.col("doc_id")],
         cum_col="cum_tok", total_col="total_tok")
@@ -584,7 +584,7 @@ def docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_bpe_pair_counts",
     oracle="""
     WITH words AS (
-        SELECT UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '\\s+')) AS w
+        SELECT UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS w
         FROM documents WHERE LENGTH(TRIM(text)) > 0
     ), pairs AS (
         SELECT UNNEST([w[i:i+1] FOR i IN range(1, GREATEST(LENGTH(w), 1))]) AS pair
@@ -612,7 +612,7 @@ def docs_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     this same one-shuffle shape."""
     d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     words = (d.select(F.explode(
-                F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"))
+                F.split(F.trim(F.lower(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).alias("w"))
              .filter(F.length("w") >= 2))
     pairs = words.select(F.explode(
         F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
@@ -703,7 +703,7 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_lm_perplexity",
     oracle="""
     WITH toks AS (
-        SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS t
+        SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
         FROM documents WHERE LENGTH(TRIM(text)) > 0
     ), bg AS (
         SELECT doc_id, t[i] AS w1, t[i+1] AS w2
@@ -747,7 +747,7 @@ def docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-salt the head via operators/skew.py); the vocab size is a
     1-row broadcast scalar."""
     d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+")
     bg = (d.filter(F.size(toks) >= 2)
           .select("doc_id", toks.alias("t"))
           .select("doc_id", F.explode(F.expr(
@@ -799,7 +799,7 @@ def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_exact_substring_dedup",
     oracle="""
     WITH t AS (
-        SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
         FROM documents WHERE LENGTH(TRIM(text)) > 0
     ), sized AS (
         SELECT doc_id, toks, len(toks) AS n_tokens FROM t

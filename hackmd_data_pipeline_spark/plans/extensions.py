@@ -242,7 +242,7 @@ def ingest_canonical_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
         SELECT doc_id, LOWER(t.tok) AS term
         FROM documents,
-             UNNEST(regexp_split_to_array(TRIM(text), '\\s+')) AS t(tok)
+             UNNEST(regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) AS t(tok)
         WHERE LENGTH(TRIM(text)) > 0 AND LENGTH(t.tok) > 3
     ), tf AS (
         SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
@@ -275,7 +275,7 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     same way."""
     d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     toks = (
-        d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+        d.select("doc_id", F.explode(F.split(F.trim("text"), "[ \\t\\n\\x0B\\f\\r]+")).alias("tok"))
         .filter(F.length("tok") > 3)
         .select("doc_id", F.lower("tok").alias("term"))
     )
@@ -309,7 +309,7 @@ def text_topics_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import CountVectorizer, RegexTokenizer, StopWordsRemover
 
     d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    tok = RegexTokenizer(inputCol="text", outputCol="_toks", pattern=r"\s+")
+    tok = RegexTokenizer(inputCol="text", outputCol="_toks", pattern="[ \\t\\n\\x0B\\f\\r]+")
     stop = StopWordsRemover(inputCol="_toks", outputCol="_clean")
     cv = CountVectorizer(inputCol="_clean", outputCol="features",
                          vocabSize=2048, minDF=2.0)
@@ -621,7 +621,7 @@ def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0)
     with_counts = d.select(
-        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"))
+        "doc_id", F.size(F.split(F.trim("text"), "[ \\t\\n\\x0B\\f\\r]+")).alias("n_tokens"))
     packed = pack_sequences(with_counts, max_tokens=1024)
     return packing_stats(packed, 1024).orderBy("seq_id")
 

@@ -75,6 +75,14 @@ def xxhash64_bucket_cte(key_col: str, seed: int, granularity: int,
     """A WITH-clause prefix computing Spark's
     ``pmod(xxhash64(key_col, lit(seed)), granularity)`` per row.
 
+    NOTE: this predates the general ``hashlong_steps``/``hashint_expr``
+    helpers below and hand-rolls the same hashLong+hashInt rounds in a
+    different CTE idiom. Both restatements are pinned bit-exact against
+    the SAME ground truth (Spark's ``xxhash64``) by
+    tests/test_oracle_helpers.py, so drift in either is caught; kept
+    separate because the split-step form here feeds string-template
+    callers that the chained-steps form doesn't fit.
+
     Returns SQL text ``WITH ... , final AS (SELECT keep_cols, bucket
     FROM ...)`` — append your own SELECT over ``final``. ``source_sql``
     is the FROM-able source (table name or subquery); ``keep_cols``
@@ -277,9 +285,14 @@ def minhash_pairs_ctes(shingle_n: int = 3, num_hashes: int = 16,
     Every hash is the bit-exact xxh64 restatement above, so the oracle
     reproduces Spark's banding DECISIONS, not just the verify
     arithmetic — the LSH family's rows-only-by-nature rationale is
-    retired. Stage-for-stage equivalence is pinned in
-    tests/test_oracle_helpers.py; the registered query is hash-gated
-    by the driver like any other oracle.
+    retired. Coverage split, stated precisely: the string-hash
+    primitive (and the long+int bucket path) is pinned BIT-EXACT
+    against Spark in tests/test_oracle_helpers.py over hostile
+    lengths/encodings; the remix chain, band-key chaining, and the
+    banding decisions themselves are checked END-TO-END by the
+    hash-gated query at three scales (a remix bug that changed no
+    banding decision on those corpora could in principle hide — the
+    per-stage guarantee applies to the string hash only).
 
     Returns a WITH-body fragment (no leading WITH) ending in a CTE
     named ``mh_pairs(id_a, id_b, jaccard)`` — wrappers append their
@@ -314,7 +327,7 @@ def minhash_pairs_ctes(shingle_n: int = 3, num_hashes: int = 16,
         SELECT doc_id,
                list_distinct([{grams}
                               FOR i IN range(1, GREATEST(len(t) - {shingle_n - 2}, 1))]) AS shingles
-        FROM (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS t
+        FROM (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
               FROM documents WHERE LENGTH(TRIM(text)) > 0)
         WHERE len(t) >= {shingle_n}
     ), dsh AS MATERIALIZED (
@@ -377,7 +390,7 @@ def simhash_oracle(max_hamming: int = 3) -> str:
     return f"""
     WITH toks AS MATERIALIZED (
         SELECT doc_id, u.tok AS s
-        FROM (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS t
+        FROM (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
               FROM documents),
              UNNEST(t) AS u(tok)
         WHERE LENGTH(u.tok) > 0

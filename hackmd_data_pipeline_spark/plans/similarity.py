@@ -178,7 +178,7 @@ _LANG_MARKER_ORACLE = {
 }
 _LANG_STRUCTS = ",\n             ".join(
     "struct_pack(score := CAST(len(regexp_extract_all(lower(text), '{pat}')) AS DOUBLE)"
-    " / GREATEST(len(regexp_split_to_array(TRIM(text), '\\s+')), 1), lang := '{lang}')"
+    " / GREATEST(len(regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')), 1), lang := '{lang}')"
     .format(pat=pat, lang=lang)
     for lang, pat in sorted(_LANG_MARKER_ORACLE.items()))
 
@@ -320,7 +320,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                               FOR i IN range(1, GREATEST(len(t) - 1, 1))]) AS shingles
-        FROM (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS t
+        FROM (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
               FROM documents WHERE LENGTH(TRIM(text)) > 0)
         WHERE len(t) >= 3
     ), dsh AS (
@@ -368,7 +368,7 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_partial_overlap",
     oracle="""
     WITH docs AS (
-        SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '\\s+') AS t
+        SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
         FROM documents WHERE LENGTH(TRIM(text)) > 0
     ), chunks AS (
         SELECT CAST(doc_id AS VARCHAR) || ':' ||

@@ -1034,7 +1034,7 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH freq AS (
         SELECT term, COUNT(*) AS f
-        FROM (SELECT UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '\\s+')) AS term
+        FROM (SELECT UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
               FROM documents WHERE LENGTH(TRIM(text)) > 0)
         WHERE LENGTH(term) > 0
         GROUP BY term
@@ -1059,7 +1059,7 @@ def docs_zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every term funneled through one task) is gone."""
     d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     freq = (
-        d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"))
+        d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).alias("term"))
         .filter(F.length("term") > 0)
         .groupBy("term").agg(F.count("*").alias("f"))
     )
@@ -1306,7 +1306,7 @@ def agg_approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_queries_oracle.py::test_topk_sketch_close."""
     d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     terms = (d.select("source",
-                      F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+                      F.explode(F.split(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+"))
                       .alias("term"))
              .filter(F.length("term") > 0))
     per_source = terms.groupBy("source").agg(

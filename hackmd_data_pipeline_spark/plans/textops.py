@@ -20,8 +20,11 @@ from .registry import query
 
 # BPE-ish pre-tokenizer (GPT-2-shaped): contractions, space-prefixed
 # letter runs, digit runs, punctuation runs. Lookahead-free on purpose
-# so Java regex (Spark) and RE2 (DuckDB) tokenize identically.
-_BPE_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+# so Java regex (Spark) and RE2 (DuckDB) tokenize identically; the
+# whitespace class is spelled out because Java \s includes \x0B while
+# RE2's does not (same divergence the tokenizer sweep closed).
+_BPE_RE = (r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+           r"| ?[^ \t\n\x0B\f\rA-Za-z0-9]+")
 _BPE_RE_SQL = _BPE_RE.replace("'", "''").replace("\\", "\\\\")
 
 
@@ -64,9 +67,9 @@ def fn_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_stats",
     oracle=f"""
     SELECT doc_id,
-           len(regexp_split_to_array(TRIM(text), '\\s+'))   AS n_tokens,
+           len(regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+'))   AS n_tokens,
            LENGTH(text)                                     AS n_chars_actual,
-           len(list_distinct(regexp_split_to_array(LOWER(TRIM(text)), '\\s+'))) AS n_unique_tokens,
+           len(list_distinct(regexp_split_to_array(LOWER(TRIM(text)), '[ \\t\\n\\x0B\\f\\r]+'))) AS n_unique_tokens,
            len(regexp_extract_all(text, '{_BPE_RE_SQL}'))   AS n_bpe_tokens
     FROM documents
     WHERE LENGTH(TRIM(text)) > 0
@@ -86,7 +89,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size(tokens("text")).alias("n_tokens"),
             F.length("text").alias("n_chars_actual"),
-            F.size(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), "\\s+"))).alias("n_unique_tokens"),
+            F.size(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+"))).alias("n_unique_tokens"),
             F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), 0)).alias("n_bpe_tokens"),
         )
         .orderBy("doc_id")
@@ -99,7 +102,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
         SELECT doc_id, lang,
                LENGTH(text) AS n,
-               len(regexp_split_to_array(TRIM(text), '\\s+')) AS n_tok,
+               len(regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_tok,
                len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b')) AS n_stop,
                LENGTH(regexp_replace(text, '[^.!?,;]', '', 'g')) AS n_punct
         FROM documents
@@ -169,7 +172,7 @@ def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                list_distinct([LOWER(t[i]) || ' ' || LOWER(t[i+1]) || ' ' || LOWER(t[i+2])
                               FOR i IN range(1, GREATEST(len(t) - 1, 1))]) AS shingles
-        FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t
+        FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
               FROM documents WHERE LENGTH(TRIM(text)) > 0)
         WHERE len(t) >= 3
     )
@@ -413,13 +416,13 @@ def fn_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            array_to_string(
-               list_sort(regexp_split_to_array(LOWER(TRIM(text)), '\\s+'))[1:5],
+               list_sort(regexp_split_to_array(LOWER(TRIM(text)), '[ \\t\\n\\x0B\\f\\r]+'))[1:5],
                ',')                                           AS first5_sorted,
-           len(list_distinct(regexp_split_to_array(LOWER(TRIM(text)), '\\s+')))
+           len(list_distinct(regexp_split_to_array(LOWER(TRIM(text)), '[ \\t\\n\\x0B\\f\\r]+')))
                                                              AS n_distinct,
-           list_contains(regexp_split_to_array(LOWER(TRIM(text)), '\\s+'), 'spark')
+           list_contains(regexp_split_to_array(LOWER(TRIM(text)), '[ \\t\\n\\x0B\\f\\r]+'), 'spark')
                                                              AS has_spark,
-           array_to_string(regexp_split_to_array(TRIM(text), '\\s+')[1:3], '|')
+           array_to_string(regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')[1:3], '|')
                                                              AS first3_joined
     FROM documents
     WHERE LENGTH(TRIM(text)) > 0
@@ -438,8 +441,8 @@ def fn_collection_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonicalizer sorts+hashes result columns and cannot factorize
     list-typed cells, so arrays must never escape the query."""
     d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    toks_cased = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+")
+    toks_cased = F.split(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+")
     return (
         d.select(
             "doc_id",
@@ -481,7 +484,7 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_vocabulary_topk",
     oracle="""
     WITH toks AS (
-        SELECT UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '\\s+')) AS term
+        SELECT UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
         FROM documents WHERE LENGTH(TRIM(text)) > 0
     )
     SELECT term, COUNT(*) AS freq
@@ -499,7 +502,7 @@ def docs_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per distinct term per partition, not per token)."""
     d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     return (
-        d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("term"))
+        d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+")).alias("term"))
         .filter(F.length("term") > 0)
         .groupBy("term").agg(F.count("*").alias("freq"))
         .orderBy(F.desc("freq"), "term")
@@ -514,7 +517,7 @@ def docs_vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                [LOWER(t[i]) || ' ' || LOWER(t[i+1]) || ' ' || LOWER(t[i+2])
                 FOR i IN range(1, GREATEST(len(t) - 1, 1))] AS shingles
-        FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS t
+        FROM (SELECT doc_id, regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
               FROM documents WHERE LENGTH(TRIM(text)) > 0)
         WHERE len(t) >= 3
     )
@@ -536,7 +539,7 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores high and gets flagged. Single projection pass (the shingle
     arrays never leave their row), no shuffle, value-checked."""
     d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.split(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+")
     all_sh = F.filter(
         F.zip_with(
             F.zip_with(F.transform(toks, lambda x: F.lower(x)),
@@ -569,7 +572,7 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                               LOWER(t[i+2]) || ' ' || LOWER(t[i+3]) || ' ' ||
                               LOWER(t[i+4])
                               FOR i IN range(1, GREATEST(len(t) - 3, 1))]) AS shingles
-        FROM (SELECT doc_id, source, regexp_split_to_array(TRIM(text), '\\s+') AS t
+        FROM (SELECT doc_id, source, regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+') AS t
               FROM documents WHERE LENGTH(TRIM(text)) > 0)
         WHERE len(t) >= 5
     )
@@ -594,7 +597,7 @@ def docs_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition."""
     d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     sh = (
-        d.filter(F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 5)
+        d.filter(F.size(F.split(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+")) >= 5)
         .select("doc_id", "source",
                 F.explode(F.array_distinct(shingles(F.col("text"), 5))).alias("shingle"))
         .filter(F.length("shingle") > 0)
@@ -704,10 +707,10 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT * FROM documents WHERE LENGTH(TRIM(text)) > 0
     ), quality AS (
         SELECT * FROM nonempty
-        WHERE len(regexp_split_to_array(TRIM(text), '\\s+')) >= 20
+        WHERE len(regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) >= 20
           AND CAST(len(regexp_extract_all(text,
                 '\\b(the|a|of|and|to|in|is)\\b')) AS DOUBLE)
-              / len(regexp_split_to_array(TRIM(text), '\\s+')) > 0.05
+              / len(regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) > 0.05
     ), deduped AS (
         SELECT md5(LOWER(TRIM(text))) AS fp, MIN(doc_id) AS keeper
         FROM quality GROUP BY fp
@@ -731,7 +734,7 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     per ingest batch."""
     d = load_table(spark, sf_dir, "documents")
     nonempty = d.filter(F.length(F.trim("text")) > 0)
-    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    n_tok = F.size(F.split(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
     n_stop = F.size(F.regexp_extract_all(
         F.col("text"), F.lit("\\b(the|a|of|and|to|in|is)\\b"), F.lit(0)))
     quality = nonempty.filter(
@@ -758,7 +761,7 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "docs_chunk_sliding",
     oracle="""
     WITH t AS (
-        SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(LOWER(TRIM(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
         FROM documents WHERE LENGTH(TRIM(text)) > 0
     ), chunks AS (
         SELECT doc_id,
@@ -784,7 +787,7 @@ def docs_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs yield no chunks."""
     window, stride = 32, 24
     d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+")
     t = d.select("doc_id", toks.alias("toks"))
     starts = F.sequence(F.lit(1), F.size("toks"), F.lit(stride))
     return (

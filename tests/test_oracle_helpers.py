@@ -83,3 +83,33 @@ def test_duckdb_xxh64_string_matches_spark(spark):
            f"SELECT rid, {_signed('h')} AS h FROM {out} ORDER BY rid")
     got = dict(con.sql(sql).fetchall())
     assert got == expected
+
+
+def test_tokenizer_whitespace_class_parity(spark):
+    """The explicit whitespace class [ \\t\\n\\x0B\\f\\r]+ (the r04
+    sweep replacing \\s+) tokenizes IDENTICALLY in Spark/Java and
+    DuckDB/RE2 on the characters where their \\s definitions diverge:
+    Java \\s includes \\x0B (vertical tab), RE2's does not. NBSP and
+    other Unicode spaces stay inside tokens on both engines."""
+    from pyspark.sql import functions as F
+
+    import duckdb
+
+    texts = ["a\x0bb", "a\fb", "a\tb\nc\rd", "a b", "a  b",
+             "\x0b\x0blead", "trail\x0b"]
+    df = spark.createDataFrame(list(enumerate(texts)), "i long, t string")
+    spark_toks = {
+        r["i"]: r["toks"]
+        for r in df.select(
+            "i", F.split(F.trim("t"), "[ \\t\\n\\x0B\\f\\r]+").alias("toks")
+        ).collect()
+    }
+    con = duckdb.connect()
+    vals = ", ".join(
+        "(%d, '%s')" % (i, t.replace("'", "''")) for i, t in enumerate(texts))
+    duck_toks = dict(con.sql(
+        f"SELECT i, regexp_split_to_array(TRIM(t), '[ \\t\\n\\x0B\\f\\r]+') "
+        f"FROM (VALUES {vals}) v(i, t) ORDER BY i").fetchall())
+    assert spark_toks == duck_toks
+    # and the divergent char is actually exercised: \x0b splits
+    assert spark_toks[0] == ["a", "b"]

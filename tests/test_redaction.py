@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from hackmd_data_pipeline_spark.operators.redaction import (
     REDACTION_PATTERNS,
     pii_scrub_oracle_sql,
+    render_pattern,
     scrub_documents,
     scrub_expr,
 )
@@ -77,7 +78,12 @@ def test_duckdb_parity_on_pii_shapes(spark):
     multibyte neighbors, adjacent matches)."""
     extra = [(9, "naïve@exämple.com café"),  # multibyte near an email
              (10, "a@b.cc c@d.dd"),          # adjacent matches
-             (11, "key customer 1.2.3.4 555-867-5309 x 123-45-6789")]
+             (11, "key customer 1.2.3.4 555-867-5309 x 123-45-6789"),
+             # multibyte letters DIRECTLY adjacent to bounded matches —
+             # the case where Java \b (Unicode) and RE2 \b (ASCII)
+             # disagree; the rendered zero-width ASCII boundaries must
+             # agree across engines (over-redaction by design)
+             (12, "ékey café123-45-6789 naïve1.2.3.4é customerè")]
     rows = DOCS + extra
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
@@ -97,13 +103,22 @@ def test_duckdb_parity_on_pii_shapes(spark):
 def test_custom_pattern_table(spark):
     """The engine is pattern-table-generic, not hardwired to the
     default battery."""
-    pats = (("num", r"[0-9]+", "<N>"),)
+    import duckdb
+
+    pats = (("num", r"[0-9]+", "<N>", False),)
     df = spark.createDataFrame([(1, "a1 b22 c")], "doc_id long, text string")
     row = scrub_documents(df, patterns=pats).head()
     assert row["n_num"] == 2 and row["n_redactions"] == 2
     assert df.select(
         scrub_expr("text", pats).alias("s")).head()["s"] == "a<N> b<N> c"
     assert len(REDACTION_PATTERNS) == 5
+
+    # the generated oracle derives ALL columns from the custom table
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.sql("INSERT INTO documents VALUES (1, 'a1 b22 c')")
+    got = con.sql(pii_scrub_oracle_sql(pats)).fetchall()
+    assert got == [(1, 2, 2, row["scrubbed_md5"], row["scrubbed_len"])]
 
 
 def test_scrub_matches_python_re_model(spark):
@@ -123,11 +138,13 @@ def test_scrub_matches_python_re_model(spark):
     texts += ["".join(f * 3 for f in frags), ""]
 
     def model(t):
-        counts = [len(re.findall(pat, t)) for _tag, pat, _rep in
-                  REDACTION_PATTERNS]
+        # python `re` shares Java's lookaround support, so the "java"
+        # rendering is the correct one for the model
+        counts = [len(re.findall(render_pattern(pat, b, "java"), t))
+                  for _tag, pat, _rep, b in REDACTION_PATTERNS]
         s = t
-        for _tag, pat, rep in REDACTION_PATTERNS:
-            s = re.sub(pat, rep, s)
+        for _tag, pat, rep, b in REDACTION_PATTERNS:
+            s = re.sub(render_pattern(pat, b, "java"), rep, s)
         return (*counts, s)
 
     rows = list(enumerate(texts))
