@@ -2,8 +2,11 @@
 
 Oracle-checked where DuckDB can reproduce the float fold order
 (list_zip + list_transform + list_reduce mirror Spark's zip_with +
-aggregate left-fold exactly); LSH/IVF/SimHash variants are rows-only
-by nature (bucketing decisions are engine-specific).
+aggregate left-fold exactly). Since r04 the MinHash-LSH / SimHash /
+cluster-resolve family is ALSO fully oracled — banding decisions
+included — via the bit-exact xxh64 restatement in
+plans/oracle_helpers.py; only the ANN paths (IVF k-means, PCG64
+hyperplanes) remain rows-only by nature.
 """
 
 from __future__ import annotations
@@ -313,9 +316,9 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_hyperplane_topk(emb, queries, k=10, n_planes=4, n_tables=8)
 
 
-@query(
-    "dedup_jaccard_verify",
-    oracle="""
+# exact shingle-Jaccard near-dup pairs (the LSH family's deterministic
+# ground truth) — shared by dedup_jaccard_verify and the recall eval
+_EXACT_PAIRS_SQL = """
     WITH sh AS (
         SELECT doc_id,
                list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
@@ -345,8 +348,10 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (len(sa.shingles) + len(sb.shingles)
                    - len(list_intersect(sa.shingles, sb.shingles))), 4) >= 0.3
     ORDER BY c.id_a, c.id_b
-    """,
-)
+    """
+
+
+@query("dedup_jaccard_verify", oracle=_EXACT_PAIRS_SQL)
 def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-Jaccard near-dup pairs (jaccard >= 0.3) via the
     df-capped inverted-index candidate generator — the deterministic
@@ -429,3 +434,59 @@ def dedup_partial_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import partial_overlap_pairs
     d = load_table(spark, sf_dir, "documents")
     return partial_overlap_pairs(d, jaccard_threshold=0.8)
+
+
+def _lsh_recall_oracle() -> str:
+    """Eval oracle: the exact ground-truth pair set and the full
+    banding-included LSH pair set, both restated in DuckDB, reduced to
+    the recall/containment numbers a threshold-tuning loop reads."""
+    return f"""
+    WITH e AS (SELECT id_a, id_b FROM ({_EXACT_PAIRS_SQL}) ex),
+    l AS (SELECT id_a, id_b FROM ({minhash_lsh_oracle()}) lp),
+    m AS (
+        SELECT (SELECT COUNT(*) FROM e)  AS n_exact,
+               (SELECT COUNT(*) FROM l)  AS n_lsh,
+               (SELECT COUNT(*) FROM e JOIN l USING (id_a, id_b))
+                                         AS n_common
+    )
+    SELECT n_exact, n_lsh, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / n_exact, 4) AS lsh_recall,
+           ROUND(CAST(n_common AS DOUBLE) / n_lsh, 4)   AS exact_coverage
+    FROM m
+    """
+
+
+@query("dedup_lsh_recall_eval", oracle=_lsh_recall_oracle())
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup TUNING loop as a query: measure the probabilistic
+    LSH pipeline against the deterministic exact ground truth on the
+    same corpus and thresholds — ``lsh_recall`` (share of true pairs
+    banding surfaces) is the number that decides num_hashes/bands;
+    ``exact_coverage`` (share of LSH pairs the df-capped exact path
+    also finds) audits the ground truth's own boilerplate cut from the
+    other side. Neither set is a subset of the other by construction:
+    banding can miss true pairs, the df cap can miss pairs whose every
+    shared shingle is boilerplate.
+
+    Both pair pipelines are fully oracled (the banding via the
+    bit-exact xxh64 restatement), so even this meta-query is
+    value-checked. Plan shape: the two pair pipelines share the
+    LRU-memoized shingle table; the comparison is one full-outer join
+    on the (id_a, id_b) key plus a 1-row aggregate."""
+    from ..operators.dedup import jaccard_pairs_exact
+    d = load_table(spark, sf_dir, "documents")
+    e = (jaccard_pairs_exact(d, jaccard_threshold=0.3, max_df=12)
+         .select("id_a", "id_b", F.lit(1).alias("in_e")))
+    l = (minhash_lsh_pairs(d, jaccard_threshold=0.3, sort=False)
+         .select("id_a", "id_b", F.lit(1).alias("in_l")))
+    j = e.join(l, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.sum("in_e").alias("n_exact"),
+        F.sum("in_l").alias("n_lsh"),
+        F.count(F.when(F.col("in_e").isNotNull()
+                       & F.col("in_l").isNotNull(), 1)).alias("n_common"),
+    ).select(
+        "n_exact", "n_lsh", "n_common",
+        F.round(F.col("n_common") / F.col("n_exact"), 4).alias("lsh_recall"),
+        F.round(F.col("n_common") / F.col("n_lsh"), 4).alias("exact_coverage"),
+    )
