@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..functions import batch_id, fingerprint, sanitize_key, scrub_text, tokens
 from ..operators.dedup import shingles
@@ -840,5 +841,78 @@ def fn_null_semantics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(big, "big").when(~big, "small").otherwise("unknown")
              .alias("three_valued"),
         )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "docs_curation_decisions",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id,
+               LENGTH(TRIM(text)) = 0 AS is_empty,
+               len(regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_tok,
+               CAST(len(regexp_extract_all(text,
+                    '\\b(the|a|of|and|to|in|is)\\b')) AS DOUBLE) AS n_stop,
+               md5(LOWER(TRIM(text))) AS fp
+        FROM documents
+    ), flagged AS (
+        SELECT doc_id, is_empty, n_tok, fp,
+               NOT is_empty AND n_tok >= 20 AND n_stop / n_tok > 0.05
+                   AS quality_ok
+        FROM base
+    ), keepers AS (
+        SELECT doc_id, is_empty, n_tok, quality_ok,
+               MIN(CASE WHEN quality_ok THEN doc_id END)
+                   OVER (PARTITION BY fp) AS keeper
+        FROM flagged
+    ), verdicts AS (
+        SELECT doc_id,
+               CASE WHEN is_empty THEN 'empty'
+                    WHEN n_tok < 20 THEN 'too_short'
+                    WHEN NOT quality_ok THEN 'low_stopword'
+                    WHEN doc_id <> keeper THEN 'exact_dup'
+                    ELSE 'keep' END AS verdict,
+               CASE WHEN quality_ok THEN keeper END AS keeper_doc_id
+        FROM keepers
+    )
+    SELECT doc_id, verdict, keeper_doc_id, (verdict = 'keep') AS kept
+    FROM verdicts ORDER BY doc_id
+    """,
+)
+def docs_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel's user-facing twin: a PER-DOCUMENT decision table —
+    first failing stage as a verdict ('empty' | 'too_short' |
+    'low_stopword' | 'exact_dup' | 'keep'), plus keeper provenance for
+    exact-dup drops (the doc that survived in this doc's place). Same
+    thresholds as docs_curation_funnel/text_quality_score, so the
+    funnel's stage counts are exactly this table's verdict histogram;
+    this is the table a pipeline materializes to EXPLAIN a cleaned
+    corpus, not just count it.
+
+    One scan + one window shuffle on the content fingerprint; the
+    keeper is a min-over-quality-members window (conditional MIN), so
+    non-quality docs never anchor a duplicate group."""
+    d = load_table(spark, sf_dir, "documents")
+    is_empty = F.length(F.trim("text")) == 0
+    n_tok = F.size(F.split(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
+    n_stop = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit("\\b(the|a|of|and|to|in|is)\\b"), F.lit(0)))
+    quality_ok = (~is_empty & (n_tok >= 20)
+                  & (n_stop.cast("double") / n_tok > 0.05))
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    keeper = F.min(F.when(quality_ok, F.col("doc_id"))).over(
+        W.partitionBy(fp))
+    verdict = (F.when(is_empty, "empty")
+               .when(n_tok < 20, "too_short")
+               .when(~quality_ok, "low_stopword")
+               .when(F.col("doc_id") != keeper, "exact_dup")
+               .otherwise("keep"))
+    return (
+        d.select("doc_id",
+                 verdict.alias("verdict"),
+                 F.when(quality_ok, keeper).alias("keeper_doc_id"))
+        .select("doc_id", "verdict", "keeper_doc_id",
+                (F.col("verdict") == "keep").alias("kept"))
         .orderBy("doc_id")
     )

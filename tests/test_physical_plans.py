@@ -195,19 +195,25 @@ _GLOBAL_WINDOW_OK = {
 def test_no_unbounded_global_window(spark, name):
     """No registered query may rank/accumulate unbounded rows in a
     single-partition window (the r01 verdict's RFM/Zipf/Pareto
-    finding, now pinned registry-wide): a physical Window node whose
-    spec has no PARTITION BY shows exactly two bracket groups
-    (functions, ordering) instead of three."""
+    finding, now pinned registry-wide). A windowspecdefinition's args
+    before the frame are partition exprs then order exprs (order exprs
+    carry ASC/DESC); a spec whose every leading arg is an order expr —
+    or that has none — is a global window. (The old two-bracket-group
+    line heuristic misread partitioned-but-UNORDERED windows, e.g. the
+    per-fingerprint conditional MIN in docs_curation_decisions, as
+    global.)"""
     import re
     if name in _GLOBAL_WINDOW_OK:
         return
     df = REGISTRY[name].builder(spark, SF_CORRECT)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    for line in plan.splitlines():
-        if re.search(r"\bWindow\b", line):
-            groups = re.findall(r"\[[^\]]*\]", line)
-            assert len(groups) != 2, (
-                f"{name} plans a single-partition global window: {line.strip()[:160]}")
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split("specifiedwindowframe")[0]
+        args = [a.strip() for a in head.split(",") if a.strip()]
+        partitioned = any(" ASC" not in a and " DESC" not in a for a in args)
+        assert partitioned, (
+            f"{name} plans a single-partition global window: "
+            f"windowspecdefinition({spec[:120]}...)")
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))

@@ -205,3 +205,25 @@ def test_oracle_match_small_n(spark, duck_smoke_oracle, name):
     nd = _normalize(duck_rows, list(rel.columns))
     mismatches = [(a, b) for a, b in zip(ns, nd) if a != b]
     assert not mismatches, f"{name}: {mismatches[:3]}"
+
+
+def test_curation_decisions_histogram_equals_funnel(spark):
+    """docs_curation_decisions' verdict histogram must reproduce
+    docs_curation_funnel's stage counts exactly (same thresholds by
+    construction): nonempty = all - empty, quality_keep = keep +
+    exact_dup survivors' group members, exact_dedup = keep count."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.plans import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    dec = {r["verdict"]: r["n"] for r in
+           REGISTRY["docs_curation_decisions"].builder(spark, sf)
+           .groupBy("verdict").agg(F.count("*").alias("n")).collect()}
+    fun = {r["stage"]: r["n_docs"] for r in
+           REGISTRY["docs_curation_funnel"].builder(spark, sf).collect()}
+    total = sum(dec.values())
+    assert fun["raw"] == total
+    assert fun["nonempty"] == total - dec.get("empty", 0)
+    assert fun["quality_keep"] == dec.get("keep", 0) + dec.get("exact_dup", 0)
+    assert fun["exact_dedup"] == dec.get("keep", 0)
