@@ -34,9 +34,19 @@ def batch_id(category: Column | str, date: Column | str, n: Column | str) -> Col
     return F.concat_ws("_", cat, d.cast("string"), F.lit("batch"), num.cast("string"))
 
 
+# THE canonical whitespace-tokenizer class — identical byte-for-byte
+# in Java regex (Spark) and RE2 (DuckDB oracles): Java's \s includes
+# \x0B, RE2's does not, so \s must never be used for tokenization.
+# Every tokenizer split in the engine AND every oracle must use this
+# exact class; tests/test_oracle_schema.py scans the registry for
+# drift.
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokenization of non-empty text -> array<string>."""
-    return F.split(F.trim(col if isinstance(col, Column) else F.col(col)), "[ \\t\\n\\x0B\\f\\r]+")
+    return F.split(F.trim(col if isinstance(col, Column) else F.col(col)),
+                   WS_CLASS)
 
 
 def token_count(col: Column | str) -> Column:

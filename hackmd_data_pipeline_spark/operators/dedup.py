@@ -868,7 +868,16 @@ def exact_substring_spans(df: DataFrame, id_col: str = "doc_id",
                  .alias("i"), "toks")
          .select(id_col, "i",
                  F.xxhash64(F.array_join(F.slice("toks", F.col("i"), F.lit(k)),
-                                         " ")).alias("h")))
+                                         " ")).alias("h"))
+         # two consumers (dup-hash agg + position join) would each
+         # re-run the k-token slice+join+hash explode — the dominant
+         # cost — because the agg side partial-aggregates before its
+         # exchange and ReuseExchange can't unify the two shapes.
+         # LAZY localCheckpoint materializes the (id, i, h) rows once
+         # on first use (24 bytes/row — the span strings are already
+         # gone); lazy, unlike the eager form, runs no job at plan
+         # build time (the r03 ADVICE lifecycle concern).
+         .localCheckpoint(eager=False))
     dup = (w.groupBy("h")
            .agg(F.count_distinct(F.col(id_col)).alias("nd"))
            .filter(F.col("nd") >= 2))

@@ -76,14 +76,68 @@ def render_pattern(core: str, bounded: bool, engine: str) -> str:
     ``"re2"`` (DuckDB). Both renderings implement the identical
     zero-width ASCII-word boundary — Java via lookarounds (its ``\\b``
     is Unicode-aware, the wrong semantic here), RE2 via ``\\b`` (which
-    IS the ASCII boundary, and RE2 has no lookaround)."""
+    IS the ASCII boundary, and RE2 has no lookaround).
+
+    CONTRACT for ``bounded=True``: every match of ``core`` must START
+    and END with an ASCII word character ``[0-9A-Za-z_]`` (true for
+    the whole default battery). A core that can match from a non-word
+    edge (e.g. ``#[0-9]{4}``) makes the two renderings DIVERGE — the
+    Java lookbehind tests the char before the '#', RE2's ``\\b`` tests
+    the word/non-word transition AT the '#' — so Spark and the
+    generated oracle would disagree. Custom batteries must be run
+    through :func:`validate_battery` (which probes both engines on
+    caller texts) before being trusted; bounded cores with
+    syntactically obvious non-word edges are rejected here outright."""
     if not bounded:
         return core
+    if engine not in ("java", "re2"):
+        raise ValueError(f"unknown engine: {engine!r}")
+    # cheap static screen: strip grouping/alternation syntax at the
+    # edges and reject cores whose first/last matchable char is an
+    # obvious non-word literal. (Conservative — validate_battery is
+    # the authoritative check for custom batteries.)
+    import re as _re
+
+    edge = _re.sub(r"^(\(\?:|\(|\[)*|(\)|\]|[+*?]|\{\d+(,\d*)?\})*$", "",
+                   core)
+    for ch in (edge[:1], edge[-1:]):
+        if ch and ch in "#@.+- ,;:!$%^&*/\\|<>~`'\"":
+            raise ValueError(
+                f"bounded core {core!r} can match from a non-word edge "
+                f"({ch!r}); the java/re2 boundary renderings diverge — "
+                "use bounded=False and encode the boundary explicitly")
     if engine == "java":
         return f"(?<![{_WORD}])(?:{core})(?![{_WORD}])"
-    if engine == "re2":
-        return rf"\b(?:{core})\b"
-    raise ValueError(f"unknown engine: {engine!r}")
+    return rf"\b(?:{core})\b"
+
+
+def validate_battery(patterns: tuple[tuple[str, str, str, bool], ...],
+                     probe_texts: list[str]) -> None:
+    """Empirically verify a custom battery's cross-engine agreement:
+    run the java rendering (python ``re`` shares Java's lookaround and
+    ASCII-class semantics for these constructs) and the RE2 rendering
+    (DuckDB) over ``probe_texts`` and raise if counts or scrubbed text
+    disagree. The authoritative guard for bounded cores the static
+    screen in :func:`render_pattern` can't judge."""
+    import re as _re
+
+    import duckdb
+
+    con = duckdb.connect()
+    for tag, pat, rep, bounded in patterns:
+        jpat = render_pattern(pat, bounded, "java")
+        rpat = render_pattern(pat, bounded, "re2")
+        for t in probe_texts:
+            jn = len(_re.findall(jpat, t))
+            js = _re.sub(jpat, rep, t)
+            rn, rs = con.execute(
+                "SELECT len(regexp_extract_all(?, ?)), "
+                "regexp_replace(?, ?, ?, 'g')",
+                [t, rpat, t, rpat, rep]).fetchone()
+            if (jn, js) != (rn, rs):
+                raise ValueError(
+                    f"pattern {tag!r} diverges across engines on "
+                    f"{t!r}: java=({jn}, {js!r}) re2=({rn}, {rs!r})")
 
 
 def scrub_expr(text_col: str | Column,

@@ -26,7 +26,13 @@ from .registry import query
 # RE2's does not (same divergence the tokenizer sweep closed).
 _BPE_RE = (r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
            r"| ?[^ \t\n\x0B\f\rA-Za-z0-9]+")
-_BPE_RE_SQL = _BPE_RE.replace("'", "''").replace("\\", "\\\\")
+# SQL-quote ONLY. DuckDB standard strings do not process backslash
+# escapes, so RE2 must receive the single-backslash pattern verbatim —
+# the old .replace("\\", "\\\\") fed RE2 escaped-backslash + literal
+# letter, silently disabling the whitespace exclusions (latent: the
+# synthetic corpora contain no tabs/newlines; pinned by
+# test_bpe_tokenizer_parity_on_whitespace).
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")
 
 
 @query(
@@ -890,9 +896,16 @@ def docs_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is the table a pipeline materializes to EXPLAIN a cleaned
     corpus, not just count it.
 
-    One scan + one window shuffle on the content fingerprint; the
-    keeper is a min-over-quality-members window (conditional MIN), so
-    non-quality docs never anchor a duplicate group."""
+    Scale shape: non-quality docs never enter ANY keyed shuffle — the
+    keeper is a partial-aggregated groupBy over QUALITY docs only,
+    joined back to the quality stratum, with the dropped-earlier
+    stratum unioned in keeper-less. (The first cut used a window
+    partitioned by fingerprint over ALL docs; every empty/boilerplate
+    doc shares one fingerprint, so a lake-scale corpus would serialize
+    its whole empty fraction through a single window task — the r01
+    skew class this repo polices. Quality fingerprints are
+    content-diverse by construction, so the surviving join has no hot
+    key.)"""
     d = load_table(spark, sf_dir, "documents")
     is_empty = F.length(F.trim("text")) == 0
     n_tok = F.size(F.split(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
@@ -901,17 +914,25 @@ def docs_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_ok = (~is_empty & (n_tok >= 20)
                   & (n_stop.cast("double") / n_tok > 0.05))
     fp = F.md5(F.lower(F.trim(F.col("text"))))
-    keeper = F.min(F.when(quality_ok, F.col("doc_id"))).over(
-        W.partitionBy(fp))
-    verdict = (F.when(is_empty, "empty")
-               .when(n_tok < 20, "too_short")
-               .when(~quality_ok, "low_stopword")
-               .when(F.col("doc_id") != keeper, "exact_dup")
-               .otherwise("keep"))
+    flagged = d.select(
+        "doc_id", is_empty.alias("is_empty"), n_tok.alias("n_tok"),
+        quality_ok.alias("quality_ok"), fp.alias("fp"))
+    keepers = (flagged.filter("quality_ok")
+               .groupBy("fp").agg(F.min("doc_id").alias("keeper_doc_id")))
+    q = (flagged.filter("quality_ok")
+         .join(keepers, "fp")
+         .select("doc_id",
+                 F.when(F.col("doc_id") != F.col("keeper_doc_id"),
+                        "exact_dup").otherwise("keep").alias("verdict"),
+                 "keeper_doc_id"))
+    nq = flagged.filter(~F.col("quality_ok")).select(
+        "doc_id",
+        F.when(F.col("is_empty"), "empty")
+         .when(F.col("n_tok") < 20, "too_short")
+         .otherwise("low_stopword").alias("verdict"),
+        F.lit(None).cast("long").alias("keeper_doc_id"))
     return (
-        d.select("doc_id",
-                 verdict.alias("verdict"),
-                 F.when(quality_ok, keeper).alias("keeper_doc_id"))
+        q.unionByName(nq)
         .select("doc_id", "verdict", "keeper_doc_id",
                 (F.col("verdict") == "keep").alias("kept"))
         .orderBy("doc_id")

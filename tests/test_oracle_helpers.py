@@ -113,3 +113,32 @@ def test_tokenizer_whitespace_class_parity(spark):
     assert spark_toks == duck_toks
     # and the divergent char is actually exercised: \x0b splits
     assert spark_toks[0] == ["a", "b"]
+
+
+def test_bpe_tokenizer_parity_on_whitespace(spark):
+    """The BPE pre-tokenizer counts agree between Spark (Java regex)
+    and DuckDB (RE2) on text containing real tabs/newlines/backslashes
+    — the characters the old double-backslashed SQL rendering got
+    wrong (RE2 saw escaped-backslash + literal letters, so real
+    whitespace leaked into the punctuation-run branch)."""
+    from pyspark.sql import functions as F
+
+    import duckdb
+
+    from hackmd_data_pipeline_spark.plans.textops import _BPE_RE, _BPE_RE_SQL
+
+    texts = ["x \ty", "a\nb", "it's a\ttest", "back\\slash", "a\x0bb",
+             "plain words here", "12,34\t!?"]
+    df = spark.createDataFrame(list(enumerate(texts)), "i long, t string")
+    got = {r["i"]: r["n"] for r in df.select(
+        "i", F.size(F.regexp_extract_all("t", F.lit(_BPE_RE), 0)).alias("n")
+    ).collect()}
+    con = duckdb.connect()
+    # DuckDB standard strings keep backslashes literal — only quotes
+    # need escaping, in the data AND in the pattern
+    vals = ", ".join("(%d, '%s')" % (i, t.replace("'", "''"))
+                     for i, t in enumerate(texts))
+    want = dict(con.sql(
+        f"SELECT i, len(regexp_extract_all(t, '{_BPE_RE_SQL}')) "
+        f"FROM (VALUES {vals}) v(i, t) ORDER BY i").fetchall())
+    assert got == want

@@ -76,3 +76,29 @@ def test_oracle_schema_is_canonicalizer_safe(duck_smoke, name):
             f"oracle {name!r} column {col!r} has type {t}, outside the "
             f"driver-canonicalizer-proven allowlist {_ALLOWED_TYPES} — "
             f"CAST it in the oracle SQL")
+
+
+def test_oracle_tokenizer_class_uniform():
+    """Whitespace-tokenizer drift guard (the r04 dialect-sweep class):
+    every regexp_split_to_array pattern in every registered oracle
+    must be exactly the canonical WS_CLASS — Java's \\s includes \\x0B
+    while RE2's does not, so any site quietly reverting to '\\s+' (or
+    typo'ing the class) reopens a silent cross-engine divergence."""
+    import re
+
+    from hackmd_data_pipeline_spark.functions.scalars import WS_CLASS
+    from hackmd_data_pipeline_spark.plans import REGISTRY
+
+    n_checked = 0
+    for name, q in REGISTRY.items():
+        if q.oracle is None:
+            continue
+        for pat in re.findall(
+                r"regexp_split_to_array\([^,]+,\s*'([^']+)'", q.oracle):
+            assert pat == WS_CLASS, (
+                f"{name}'s oracle tokenizes with {pat!r}, not the "
+                f"canonical {WS_CLASS!r}")
+            n_checked += 1
+        assert r"'\s+'" not in q.oracle, (
+            f"{name}'s oracle still uses the divergent \\s+ split")
+    assert n_checked >= 25  # the tokenizer family really is covered

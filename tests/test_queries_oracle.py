@@ -216,7 +216,7 @@ def test_curation_decisions_histogram_equals_funnel(spark):
 
     from hackmd_data_pipeline_spark.plans import REGISTRY
 
-    sf = "/root/testdata/sf0.01"
+    sf = SF_CORRECT
     dec = {r["verdict"]: r["n"] for r in
            REGISTRY["docs_curation_decisions"].builder(spark, sf)
            .groupBy("verdict").agg(F.count("*").alias("n")).collect()}

@@ -157,3 +157,28 @@ def test_scrub_matches_python_re_model(spark):
     }
     for i, t in rows:
         assert got[i] == model(t), (t, got[i], model(t))
+
+
+def test_bounded_core_edge_contract():
+    """The review's divergence case: a bounded core starting with a
+    non-word char renders to OPPOSITE boundary semantics in java vs
+    re2 — the static screen rejects it outright."""
+    from hackmd_data_pipeline_spark.operators.redaction import (
+        validate_battery,
+    )
+
+    with pytest.raises(ValueError, match="non-word edge"):
+        render_pattern(r"#[0-9]{4}", True, "java")
+    # the default battery passes both the static screen and the
+    # empirical cross-engine probe on hostile boundary texts
+    probes = ["x#1234", "ékey", "café123-45-6789", "a 1.2.3.4é b",
+              "key keys customer", ""]
+    validate_battery(REDACTION_PATTERNS, probes)
+    # and validate_battery's empirical probe CATCHES a divergent core
+    # the static screen cannot judge: the alternation's first/last
+    # chars are word chars (passes the screen) but the '#2' branch
+    # matches from a non-word edge
+    sneaky = (("bad", r"a1|#2", "<B>", True),)
+    render_pattern(r"a1|#2", True, "java")  # screen passes it
+    with pytest.raises(ValueError, match="diverges across engines"):
+        validate_battery(sneaky, ["x#2 y"])
