@@ -108,11 +108,10 @@ _ROWS_ONLY_PRIORITY = [
 # re-enter the driver's sample window even though an artifact row
 # exists. Prune entries once the corresponding round's artifact lands.
 _FORCE_REGATE = frozenset({
-    "dedup_keep_best",        # r04: struct max_by + CTE oracle
-    "dedup_editdistance",     # r04: bounded normalized-prefix blocking
-    "dedup_cc_clusters",      # r04: same edge-rule rework
-    "graph_triangle_stats",   # r04: same edge-rule rework + wedge=0 fix
-    "fn_json_map_suite",      # r04: n_keys via map<string,string>
+    # (r04 entries pruned — CORRECTNESS_r04.json records green hash
+    # rows for all five new forms.)
+    "docs_rebalance_langs",   # r05: null-safe lang join, both sides
+    "dedup_lsh_recall_eval",  # r05: degenerate-corpus guard, both sides
 })
 
 _GATE_COVERED = (_covered_from_artifacts() - _FORCE_REGATE) or _R01_COVERED

@@ -76,15 +76,36 @@ def _frozen_range_partitioned(df: DataFrame,
         if hit is not None:
             _FROZEN_CACHE.pop(key, None)
 
+    # Snapshot the persistent-RDD registry around the checkpoint so we
+    # hold the ids of the blocks localCheckpoint ACTUALLY persisted.
+    # (`df._jdf.rdd()` wraps the internal RDD in a fresh deserializing
+    # RDD — unpersisting that wrapper never frees the checkpoint
+    # blocks; round-4 ADVICE.)
+    jsc = df.sparkSession.sparkContext._jsc
+    try:
+        before = set(jsc.getPersistentRDDs().keySet().toArray())
+    except Exception:
+        before = None
     pc = (df.repartitionByRange(nparts, *order_cols)
           .withColumn("_pid", F.spark_partition_id())
           .localCheckpoint())
+    rdd_ids: tuple = ()
+    if before is not None:
+        try:
+            rdd_ids = tuple(i for i in jsc.getPersistentRDDs().keySet()
+                            .toArray() if i not in before)
+        except Exception:
+            rdd_ids = ()
     if key is not None:
-        _FROZEN_CACHE[key] = (df.sparkSession, pc)
+        _FROZEN_CACHE[key] = (df.sparkSession, pc, rdd_ids)
         while len(_FROZEN_CACHE) > _FROZEN_CACHE_MAX:
-            _, (_, old) = _FROZEN_CACHE.popitem(last=False)
+            _, (sess, _old, old_ids) = _FROZEN_CACHE.popitem(last=False)
             try:
-                old._jdf.rdd().unpersist(False)
+                jmap = sess.sparkContext._jsc.getPersistentRDDs()
+                for rid in old_ids:
+                    jr = jmap.get(rid)
+                    if jr is not None:
+                        jr.unpersist(False)
             except Exception:
                 pass  # owning session already stopped
     return pc

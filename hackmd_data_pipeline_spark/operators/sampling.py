@@ -83,13 +83,15 @@ def stratified_downsample(df: DataFrame, class_col: str, key_col: str,
     keep_frac = {cls: min(1.0, cap / n) for cls, n in counts.items()}
 
     spark = df.sparkSession
+    # Null-safe class join (round-4 ADVICE): a NULL class is a real
+    # group with its own keep-fraction, not silently dropped rows.
     frac_df = F.broadcast(spark.createDataFrame(
         [(cls, f) for cls, f in keep_frac.items()],
-        f"{class_col} string, _keep_frac double"))
+        "_cls string, _keep_frac double"))
     bucket = F.pmod(F.xxhash64(F.col(key_col), F.lit(seed)),
                     F.lit(GRANULARITY))
     return (
-        df.join(frac_df, class_col)
+        df.join(frac_df, F.col(class_col).eqNullSafe(F.col("_cls")))
         .filter(bucket < (F.col("_keep_frac") * GRANULARITY).cast("long"))
-        .drop("_keep_frac")
+        .drop("_cls", "_keep_frac")
     )

@@ -692,9 +692,9 @@ SELECT k.lang AS lang,
        CAST(SUM(CASE WHEN f.bucket <
                      CAST(TRUNC(k.keep_frac * 10000) AS BIGINT)
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_after
-FROM kf k JOIN final f ON f.lang = k.lang
+FROM kf k JOIN final f ON f.lang IS NOT DISTINCT FROM k.lang
 GROUP BY k.lang, k.n_before
-ORDER BY lang
+ORDER BY lang NULLS FIRST
 """
 
 
@@ -713,10 +713,13 @@ def docs_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     kept = stratified_downsample(d, "lang", "doc_id", 0.30)
     before = d.groupBy("lang").agg(F.count("*").alias("n_before"))
-    after = kept.groupBy("lang").agg(F.count("*").alias("n_after"))
+    after = (kept.groupBy("lang").agg(F.count("*").alias("n_after"))
+             .withColumnRenamed("lang", "_lang"))
+    # Null-safe group join (round-4 ADVICE): a NULL-lang group must
+    # survive to the report on both engines, not diverge the gate.
     return (
-        before.join(after, "lang", "left")
+        before.join(after, F.col("lang").eqNullSafe(F.col("_lang")), "left")
         .select("lang", "n_before",
                 F.coalesce("n_after", F.lit(0)).alias("n_after"))
-        .orderBy("lang")
+        .orderBy(F.col("lang").asc_nulls_first())
     )

@@ -360,10 +360,11 @@ def dedup_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     (VERDICT r03 "Next round" item 1): identical shared shingle table,
     identical exact-Jaccard verify arithmetic, exact-recall candidates
     (a pair is missed only if EVERY shared shingle is boilerplate,
-    df > 20 — a jaccard>=0.3 pair shares >=23% of its combined
-    distinct shingles, so real near-dups always carry rare ones). LSH output is asserted to be a subset of this in
-    tests/test_properties.py, closing the loop on the rows-only
-    dedup_minhash_lsh entry."""
+    df > 12 — a jaccard>=0.3 pair shares >=23% of its combined
+    distinct shingles, so real near-dups always carry rare ones). LSH
+    output is asserted to be a subset of this in tests/
+    test_similarity.py::test_lsh_pairs_subset_of_exact_jaccard,
+    closing the loop on the rows-only dedup_minhash_lsh entry."""
     from ..operators.dedup import jaccard_pairs_exact
     d = load_table(spark, sf_dir, "documents")
     return jaccard_pairs_exact(d, jaccard_threshold=0.3, max_df=12)
@@ -450,8 +451,10 @@ def _lsh_recall_oracle() -> str:
                                          AS n_common
     )
     SELECT n_exact, n_lsh, n_common,
-           ROUND(CAST(n_common AS DOUBLE) / n_exact, 4) AS lsh_recall,
-           ROUND(CAST(n_common AS DOUBLE) / n_lsh, 4)   AS exact_coverage
+           ROUND(CAST(n_common AS DOUBLE) / NULLIF(n_exact, 0), 4)
+               AS lsh_recall,
+           ROUND(CAST(n_common AS DOUBLE) / NULLIF(n_lsh, 0), 4)
+               AS exact_coverage
     FROM m
     """
 
@@ -480,13 +483,21 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = (minhash_lsh_pairs(d, jaccard_threshold=0.3, sort=False)
          .select("id_a", "id_b", F.lit(1).alias("in_l")))
     j = e.join(l, ["id_a", "id_b"], "full_outer")
+    # Degenerate-corpus guard (round-4 ADVICE): with zero exact pairs
+    # the sums over the empty join are NULL and the ratios divide by
+    # zero — coalesce the counts to 0 and null the ratios on both
+    # sides (the oracle mirrors with NULLIF) so the engines agree.
     return j.agg(
-        F.sum("in_e").alias("n_exact"),
-        F.sum("in_l").alias("n_lsh"),
+        F.coalesce(F.sum("in_e"), F.lit(0)).alias("n_exact"),
+        F.coalesce(F.sum("in_l"), F.lit(0)).alias("n_lsh"),
         F.count(F.when(F.col("in_e").isNotNull()
                        & F.col("in_l").isNotNull(), 1)).alias("n_common"),
     ).select(
         "n_exact", "n_lsh", "n_common",
-        F.round(F.col("n_common") / F.col("n_exact"), 4).alias("lsh_recall"),
-        F.round(F.col("n_common") / F.col("n_lsh"), 4).alias("exact_coverage"),
+        F.round(F.col("n_common")
+                / F.nullif(F.col("n_exact"), F.lit(0)), 4)
+         .alias("lsh_recall"),
+        F.round(F.col("n_common")
+                / F.nullif(F.col("n_lsh"), F.lit(0)), 4)
+         .alias("exact_coverage"),
     )

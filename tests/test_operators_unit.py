@@ -310,6 +310,37 @@ def test_attach_running_total_matches_reference_and_deterministic(spark):
         assert tot == total and cnt == len(rows)
 
 
+def test_frozen_cache_eviction_releases_checkpoint_blocks(spark):
+    """LRU eviction must unpersist the RDD localCheckpoint ACTUALLY
+    persisted (round-4 ADVICE: `df._jdf.rdd()` wraps the internal RDD
+    in a fresh deserializing RDD, so unpersisting the wrapper never
+    freed the blocks). Freeze distinct inputs past the cache capacity
+    and assert the evicted entries' recorded RDD ids have left the
+    JVM persistent-RDD registry."""
+    from hackmd_data_pipeline_spark.operators import prefix as P
+
+    P._FROZEN_CACHE.clear()
+    frozen_ids = []
+    for i in range(P._FROZEN_CACHE_MAX + 2):
+        df = spark.range(50 + i).withColumnRenamed("id", "v")
+        P._frozen_range_partitioned(df, [F.col("v")]).count()
+        _, _, rdd_ids = next(reversed(P._FROZEN_CACHE.values()))
+        assert rdd_ids, "freeze did not record any persisted RDD id"
+        frozen_ids.append(rdd_ids)
+
+    live = set(spark.sparkContext._jsc.getPersistentRDDs()
+               .keySet().toArray())
+    evicted = frozen_ids[:2]          # capacity 4, 6 freezes → first 2 out
+    retained = frozen_ids[2:]
+    for ids in evicted:
+        assert not (set(ids) & live), (
+            f"evicted checkpoint blocks still persisted: {ids}")
+    for ids in retained:
+        assert set(ids) <= live, (
+            f"retained entry's blocks were dropped: {ids}")
+    P._FROZEN_CACHE.clear()
+
+
 def test_attach_running_total_empty_and_single_row(spark):
     """Degenerate inputs: an EMPTY frame yields an empty result (the
     broadcast totals row vanishes with it, no null poisoning), and a

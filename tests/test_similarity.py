@@ -240,3 +240,70 @@ def test_partial_overlap_lsh_subset_of_inverted(spark):
                d, jaccard_threshold=0.8, method="lsh").collect()}
     assert set(lsh) <= set(inv), f"LSH-only pairs: {set(lsh) - set(inv)}"
     assert all(inv[k] >= v for k, v in lsh.items())
+
+
+def test_recall_eval_degenerate_zero_pair_corpus(spark, tmp_path):
+    """Round-4 ADVICE: on a corpus with ZERO exact pairs the Spark
+    builder used to emit NULL n_exact (sum over an empty join) while
+    the oracle's COUNT(*) emitted 0 with a divide-by-zero ratio. Both
+    sides now agree: counts coalesce to 0, ratios are NULL."""
+    import duckdb
+
+    from hackmd_data_pipeline_spark.plans import REGISTRY
+
+    rows = [(i, f"utterly unique prose number {i} " * 20 + str(i * 37),
+             "en", "unit", 400) for i in range(6)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    d.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+
+    q = REGISTRY["dedup_lsh_recall_eval"]
+    got = q.builder(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_exact, r.n_lsh, r.n_common) == (0, 0, 0)
+    assert r.lsh_recall is None and r.exact_coverage is None
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'")
+    orows = con.sql(q.oracle).fetchall()
+    con.close()
+    assert orows == [(0, 0, 0, None, None)]
+
+
+def test_rebalance_null_lang_group_matches_oracle(spark, tmp_path):
+    """Round-4 ADVICE: a NULL-lang group must survive to the report on
+    BOTH engines (Spark used to emit it, the oracle's inner equi-join
+    used to drop it). Build a corpus with a NULL-lang stratum and
+    assert builder == oracle row-for-row."""
+    import duckdb
+
+    from hackmd_data_pipeline_spark.plans import REGISTRY
+
+    rows = ([(i, f"text {i}", "en", "unit", 10) for i in range(40)]
+            + [(100 + i, f"null-lang text {i}", None, "unit", 10)
+               for i in range(15)]
+            + [(200 + i, f"de text {i}", "de", "unit", 10)
+               for i in range(5)])
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    d.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet"))
+
+    q = REGISTRY["docs_rebalance_langs"]
+    got = [(r.lang, r.n_before, r.n_after)
+           for r in q.builder(spark, str(tmp_path)).collect()]
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'")
+    orows = con.sql(q.oracle).fetchall()
+    con.close()
+    assert got == orows, (got, orows)
+    langs = [g[0] for g in got]
+    assert None in langs, "NULL-lang group must be reported"
+    null_row = next(g for g in got if g[0] is None)
+    assert null_row[1] == 15 and 0 < null_row[2] <= 15
