@@ -1,0 +1,294 @@
+"""The composed corpus pipeline: collect → ingest → curate → resolve
+→ split/pack as ONE restartable state machine.
+
+This is the repo's analogue of the reference's end-to-end ETL chain —
+a self-invoking Lambda that claims pending work, transforms, sinks,
+flips status, and re-invokes itself, surviving death between any two
+steps (reference src/etl/arxiv_etl.py:181-204 claim → transform →
+sink → status-flip loop over the raw_batches state machine;
+src/extract/arxiv_collector.py:211-330 the collector's half). Every
+link was already built and tested in isolation; this module chains
+them over ONE stage ledger (a ControlTable state machine, the
+pending/processing/finished lifecycle of O-24/O-25) and makes the
+whole chain idempotent under a kill anywhere:
+
+  * collect — Collector.drain(): raw JSONL, per-category progress
+    control rows; a replayed category re-fetches but the id-history
+    anti-join (O-22) writes nothing twice.
+  * ingest — run_ingest_stream(): Structured Streaming availableNow
+    drain; the checkpoint claims files exactly-once, and a crash
+    INSIDE a micro-batch (sinks written, checkpoint uncommitted)
+    replays into anti-joins that drop every already-written row.
+  * build_documents / curate / resolve / finalize — deterministic
+    transforms (pinned lineage timestamp, hash-derived ids,
+    hash-bucket splits, hash-partitioned packing) written with
+    overwrite: a re-run after a crash rewrites byte-identical
+    content, so "at-least-once execution + deterministic overwrite"
+    composes to exactly-once output.
+
+The stage ledger commits AFTER the stage's sinks — the crash window
+between sink and commit (the Lambda-death window) therefore re-runs
+the stage, which the properties above make harmless. The whole
+contract is proven in tests/test_etl_e2e.py: a fault script kills the
+driver loop at every stage boundary (plus mid-micro-batch), the
+pipeline restarts from the ledger, and the final canonical + history
++ corpus + control outputs are compared row-for-row with an
+uninterrupted run.
+
+Scale posture: stage boundaries are parquet directories (the lake),
+control state is tiny generation-flipped parquet (streaming/
+control.py), and every stage's plan is the same oracled operator the
+registry serves — no driver-side data paths beyond the bounded
+control reads.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .collector import Collector, FetchFn
+from .functions.scalars import WS_CLASS
+from .streaming.control import ControlTable
+from .streaming.pipeline import run_ingest_stream
+
+STAGE_LEDGER_SCHEMA = T.StructType([
+    T.StructField("stage", T.StringType(), False),
+    T.StructField("status", T.StringType()),      # pending|processing|finished
+    T.StructField("attempt", T.IntegerType()),
+    T.StructField("updated_at", T.TimestampType()),
+])
+
+
+class SimulatedCrash(RuntimeError):
+    """Raised by an injected fault hook to simulate driver death."""
+
+
+FaultHook = Callable[[str, str], None]   # (point, stage) -> may raise
+
+
+class CorpusPipeline:
+    """Restartable collect→pack corpus build over a stage ledger.
+
+    ``run()`` resumes at the first non-finished stage; construct a
+    fresh instance over the same ``root`` to model a process restart
+    (all state lives on disk). ``fault_hook(point, stage)`` is called
+    at ``claimed`` (status flipped to processing, work not started),
+    ``done`` (sinks written, ledger not yet flipped — the hardest
+    window), and ``batch`` (inside an ingest micro-batch, sinks
+    written, checkpoint uncommitted); a hook that raises simulates a
+    kill at exactly that boundary.
+    """
+
+    STAGES = ("collect", "ingest", "build_documents", "curate",
+              "resolve", "finalize")
+
+    def __init__(self, spark: SparkSession, root: str, fetch: FetchFn,
+                 categories: list[str], *,
+                 etl_timestamp: str = "2026-01-01 00:00:00",
+                 split_fractions: dict[str, float] | None = None,
+                 pack_budget: int = 512,
+                 lsh_threshold: float = 0.5,
+                 fault_hook: FaultHook | None = None):
+        self.spark = spark
+        self.root = root
+        self.fetch = fetch
+        self.categories = categories
+        self.etl_timestamp = etl_timestamp
+        self.split_fractions = split_fractions or {
+            "train": 0.8, "val": 0.1, "test": 0.1}
+        self.pack_budget = pack_budget
+        self.lsh_threshold = lsh_threshold
+        self.fault_hook = fault_hook
+        self.ledger = ControlTable(spark, f"{root}/control/stage_ledger",
+                                   STAGE_LEDGER_SCHEMA)
+
+    # ------------------------------------------------------------ ledger ops
+
+    def _statuses(self) -> dict[str, tuple[str, int]]:
+        return {r.stage: (r.status, r.attempt or 0)
+                for r in self.ledger.read().collect()}
+
+    def _mark(self, stage: str, status: str, attempt: int) -> None:
+        rows = self._statuses()
+        rows[stage] = (status, attempt)
+        self.ledger.write(self.spark.createDataFrame(
+            [(s, st, at, None) for s, (st, at) in sorted(rows.items())],
+            STAGE_LEDGER_SCHEMA
+        ).withColumn("updated_at", F.current_timestamp()))
+
+    def _fault(self, point: str, stage: str) -> None:
+        if self.fault_hook is not None:
+            self.fault_hook(point, stage)
+
+    # --------------------------------------------------------------- driving
+
+    def run(self) -> dict:
+        """Resume-safe drive loop: claim → work → commit per stage."""
+        summary: dict = {}
+        for stage in self.STAGES:
+            status, attempt = self._statuses().get(stage, ("pending", 0))
+            if status == "finished":
+                summary[stage] = "skipped(finished)"
+                continue
+            self._mark(stage, "processing", attempt + 1)
+            self._fault("claimed", stage)
+            summary[stage] = getattr(self, f"_stage_{stage}")()
+            self._fault("done", stage)
+            self._mark(stage, "finished", attempt + 1)
+        return summary
+
+    # ---------------------------------------------------------------- stages
+
+    def _stage_collect(self) -> dict:
+        c = Collector(self.spark, self.root, self.fetch, self.categories)
+        runs = c.drain()
+        return {"runs": runs}
+
+    def _stage_ingest(self) -> dict:
+        from pyspark.errors import StreamingQueryException
+        try:
+            return run_ingest_stream(
+                self.spark, f"{self.root}/raw", f"{self.root}/store",
+                f"{self.root}/checkpoints/ingest",
+                # reprocessing posture: the pinned lineage timestamp may
+                # be far in the past, so the replay-dedup window must
+                # cover it — a bounded-but-wide lookback, not the
+                # incremental-ingest default
+                lookback="3650 days",
+                etl_timestamp=F.lit(self.etl_timestamp).cast("timestamp"),
+                max_files_per_trigger=2,
+                batch_hook=lambda epoch: self._fault("batch", f"ingest:{epoch}"),
+            )
+        except StreamingQueryException as e:
+            # a fault-hook kill inside foreachBatch surfaces as a failed
+            # streaming query — re-raise as the crash it simulates
+            if "SimulatedCrash" in str(e):
+                raise SimulatedCrash(str(e)) from e
+            raise
+
+    def _stage_build_documents(self) -> dict:
+        """Canonical papers → the documents shape every curation/dedup
+        operator consumes. Deterministic surrogate id (xxhash64 of the
+        natural key) so a rebuild reproduces ids bit-for-bit."""
+        papers = self.spark.read.parquet(f"{self.root}/store/papers")
+        text = F.concat_ws("\n\n", F.col("title"), F.col("summary"))
+        docs = papers.select(
+            F.xxhash64("entry_id").alias("doc_id"),
+            F.col("entry_id"),
+            text.alias("text"),
+            F.lit("en").alias("lang"),
+            F.col("primary_category").alias("source"),
+            F.length(text).alias("n_chars"),
+        )
+        docs.write.mode("overwrite").parquet(
+            f"{self.root}/corpus/documents.parquet")
+        return {"documents": self.spark.read.parquet(
+            f"{self.root}/corpus/documents.parquet").count()}
+
+    def _stage_curate(self) -> dict:
+        """Per-document verdicts (the oracled docs_curation_decisions
+        operator) + the kept stratum, both materialized."""
+        from .plans.textops import curation_decision_table
+        docs = self.spark.read.parquet(f"{self.root}/corpus/documents.parquet")
+        decisions = curation_decision_table(docs)
+        decisions.write.mode("overwrite").parquet(
+            f"{self.root}/corpus/decisions.parquet")
+        kept = docs.join(
+            self.spark.read.parquet(f"{self.root}/corpus/decisions.parquet")
+            .filter("kept").select("doc_id"), "doc_id", "left_semi")
+        kept.write.mode("overwrite").parquet(
+            f"{self.root}/corpus/kept_documents.parquet")
+        return {"kept": self.spark.read.parquet(
+            f"{self.root}/corpus/kept_documents.parquet").count()}
+
+    def _stage_resolve(self) -> dict:
+        """Near-dup resolution over the kept stratum: MinHash-LSH
+        pairs → connected components → keep each cluster's min-id
+        canonical (the oracled dedup_cluster_resolve chain)."""
+        from .operators.dedup import dedup_clusters, minhash_lsh_pairs
+        kept = self.spark.read.parquet(
+            f"{self.root}/corpus/kept_documents.parquet")
+        pairs = minhash_lsh_pairs(kept, jaccard_threshold=self.lsh_threshold,
+                                  sort=False)
+        clusters = dedup_clusters(pairs).select(
+            F.col("id").alias("doc_id"), "cluster_id")
+        clusters.write.mode("overwrite").parquet(
+            f"{self.root}/corpus/clusters.parquet")
+        dropped = (self.spark.read.parquet(
+            f"{self.root}/corpus/clusters.parquet")
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select("doc_id"))
+        resolved = kept.join(dropped, "doc_id", "left_anti")
+        resolved.write.mode("overwrite").parquet(
+            f"{self.root}/corpus/resolved_documents.parquet")
+        return {"resolved": self.spark.read.parquet(
+            f"{self.root}/corpus/resolved_documents.parquet").count()}
+
+    def _stage_finalize(self) -> dict:
+        """Deterministic split + greedy packing, written as the final
+        training corpus (partition-pruned by split) + pack manifest.
+        Packing is order-sensitive, so the input is pinned to a
+        deterministic hash-partitioning + in-partition sort — a rerun
+        reproduces seq_ids exactly."""
+        from .operators.packing import pack_sequences
+        from .operators.sampling import deterministic_split
+        resolved = self.spark.read.parquet(
+            f"{self.root}/corpus/resolved_documents.parquet")
+        split = deterministic_split(resolved, "doc_id", self.split_fractions)
+        (split.write.mode("overwrite").partitionBy("split")
+         .parquet(f"{self.root}/out/corpus"))
+        with_tokens = (
+            split.withColumn(
+                "n_tokens", F.size(F.split(F.trim(F.col("text")), WS_CLASS)))
+            .repartition(4, "doc_id")
+            .sortWithinPartitions("doc_id"))
+        packed = pack_sequences(with_tokens, self.pack_budget)
+        packed.write.mode("overwrite").parquet(
+            f"{self.root}/out/packed.parquet")
+        out = self.spark.read.parquet(f"{self.root}/out/corpus")
+        return {"final_docs": out.count(),
+                "sequences": self.spark.read.parquet(
+                    f"{self.root}/out/packed.parquet")
+                .select("seq_id").distinct().count()}
+
+    # --------------------------------------------------------------- outputs
+
+    def progress_table(self) -> ControlTable:
+        """The collector's per-category progress control table."""
+        from .schemas import CATEGORY_PROGRESS_SCHEMA
+        return ControlTable(self.spark, f"{self.root}/category_progress",
+                            CATEGORY_PROGRESS_SCHEMA)
+
+    def outputs(self) -> dict[str, str]:
+        return {
+            "canonical": f"{self.root}/store/papers",
+            "history": f"{self.root}/store/papers_history",
+            "quarantine": f"{self.root}/store/quarantine",
+            "documents": f"{self.root}/corpus/documents.parquet",
+            "decisions": f"{self.root}/corpus/decisions.parquet",
+            "clusters": f"{self.root}/corpus/clusters.parquet",
+            "resolved": f"{self.root}/corpus/resolved_documents.parquet",
+            "corpus": f"{self.root}/out/corpus",
+            "packed": f"{self.root}/out/packed.parquet",
+        }
+
+
+def run_with_restarts(make_pipeline: Callable[[], CorpusPipeline],
+                      max_restarts: int = 32) -> tuple[dict, int]:
+    """Drive a pipeline to completion through any number of simulated
+    crashes: each SimulatedCrash discards the in-process object (the
+    'dead Lambda') and constructs a FRESH pipeline over the same root,
+    which resumes from the on-disk ledger. Returns (final summary,
+    number of crashes survived)."""
+    crashes = 0
+    while True:
+        try:
+            return make_pipeline().run(), crashes
+        except SimulatedCrash:
+            crashes += 1
+            if crashes > max_restarts:
+                raise

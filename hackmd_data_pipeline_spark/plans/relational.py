@@ -126,15 +126,43 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct", oracle=None)
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT COUNT(DISTINCT l_partkey)  AS exact_parts,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS parts_within_tol,
+           TRUE AS orders_within_tol
+    FROM lineitem
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the scale path for 100 TB
-    id-cardinality questions (no oracle: sketch results are
-    engine-specific; driver records rows-only)."""
+    id-cardinality questions.
+
+    PROMOTED rows-only -> driver oracle in r05 (VERDICT r04 item 2) via
+    the exact+tolerance pattern: the sketch estimate itself is
+    engine-specific, so the emitted row carries the EXACT cardinalities
+    (SQL-restatable) plus booleans asserting the deterministic HLL++
+    estimate (rsd=0.02) landed within 10%+2 of exact — DuckDB restates
+    the exact columns and literal TRUE, making the sketch-accuracy gate
+    driver-visible instead of pytest-only."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    agg = li.agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ao"),
+    )
+
+    def ok(est, exact):
+        return (F.abs(F.col(est) - F.col(exact))
+                <= 0.1 * F.col(exact) + F.lit(2))
+
+    return agg.select(
+        "exact_parts", "exact_orders",
+        ok("ap", "exact_parts").alias("parts_within_tol"),
+        ok("ao", "exact_orders").alias("orders_within_tol"),
     )
 
 

@@ -289,54 +289,115 @@ def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_percentiles", oracle=None)
+@query(
+    "agg_approx_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.25), 2) AS p25,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.50), 2) AS p50,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.75), 2) AS p75,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.95), 2) AS p95,
+           TRUE AS p25_in_band, TRUE AS p50_in_band,
+           TRUE AS p75_in_band, TRUE AS p95_in_band
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles per group — the 100 TB path for
     agg_exact_percentiles: ``approx_percentile`` builds a bounded-size
     mergeable sketch per partition (map-side combine, fixed memory per
     group regardless of group cardinality). accuracy=1000 bounds rank
-    error at 1/1000 of the group. Sketch internals differ per engine
-    -> rows-only; accuracy vs the exact query is asserted in
-    tests/test_queries_oracle.py::test_approx_percentiles_close."""
+    error at 1/1000 of the group.
+
+    PROMOTED rows-only -> driver oracle in r05 (VERDICT r04 item 2):
+    sketch values are engine-specific, so the row emits the EXACT
+    percentiles plus rank-band booleans — each sketch estimate must lie
+    between the exact values at p±2% rank (20x the guaranteed 1/1000
+    rank error; rank bands, not value deltas, because on a heavy tail a
+    tiny rank slip is a large value delta). DuckDB restates the exact
+    columns and literal TRUE."""
     o = load_table(spark, sf_dir, "orders")
-    pcts = F.array(*(F.lit(p) for p in (0.25, 0.50, 0.75, 0.95)))
+    ps = (0.25, 0.50, 0.75, 0.95)
+    est = F.approx_percentile(
+        "o_totalprice", F.array(*(F.lit(p) for p in ps)), F.lit(1000))
+    lo = F.percentile("o_totalprice", F.array(*(F.lit(p - 0.02) for p in ps)))
+    hi = F.percentile("o_totalprice", F.array(*(F.lit(min(p + 0.02, 1.0)) for p in ps)))
+    exact = F.percentile("o_totalprice", F.array(*(F.lit(p) for p in ps)))
+    agg = o.groupBy("o_orderpriority").agg(
+        est.alias("est"), lo.alias("lo"), hi.alias("hi"), exact.alias("ex"))
+
+    def band(i: int, name: str):
+        return ((F.col("est")[i] >= F.col("lo")[i] - 1e-6)
+                & (F.col("est")[i] <= F.col("hi")[i] + 1e-6)).alias(name)
+
     return (
-        o.groupBy("o_orderpriority")
-        .agg(F.approx_percentile("o_totalprice", pcts, F.lit(1000)).alias("pcts"))
-        .select(
+        agg.select(
             "o_orderpriority",
-            F.round(F.col("pcts")[0], 2).alias("p25"),
-            F.round(F.col("pcts")[1], 2).alias("p50"),
-            F.round(F.col("pcts")[2], 2).alias("p75"),
-            F.round(F.col("pcts")[3], 2).alias("p95"),
+            F.round(F.col("ex")[0], 2).alias("p25"),
+            F.round(F.col("ex")[1], 2).alias("p50"),
+            F.round(F.col("ex")[2], 2).alias("p75"),
+            F.round(F.col("ex")[3], 2).alias("p95"),
+            band(0, "p25_in_band"), band(1, "p50_in_band"),
+            band(2, "p75_in_band"), band(3, "p95_in_band"),
         )
         .orderBy("o_orderpriority")
     )
 
 
-@query("agg_hll_mergeable", oracle=None)
+@query(
+    "agg_hll_mergeable",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_orderpriority,
+               COUNT(DISTINCT o_custkey) AS exact_uniques,
+               COUNT(*)                  AS n_rows,
+               TRUE                      AS est_within_tol
+        FROM orders GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'ALL', COUNT(DISTINCT o_custkey),
+               CAST(NULL AS BIGINT), TRUE
+        FROM orders
+    ) ORDER BY o_orderpriority
+    """,
+)
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches (Apache DataSketches HLL via
     hll_sketch_agg / hll_union_agg): per-priority customer-uniques
     sketches UNIONED into a global estimate without touching raw data
     again — the rollup pattern that lets a 100 TB store answer
     daily->monthly->all-time uniques by merging kilobyte sketches
-    instead of rescanning. Sketch bytes are engine-specific ->
-    rows-only; estimate accuracy vs exact is asserted in
-    tests/test_queries_oracle.py::test_hll_estimates_close."""
+    instead of rescanning.
+
+    PROMOTED rows-only -> driver oracle in r05 (VERDICT r04 item 2):
+    sketch bytes are engine-specific, so each row emits the EXACT
+    uniques plus a boolean asserting the deterministic HLL(lgK=12)
+    estimate — INCLUDING the merged global one, so the union-merge path
+    is inside the gate — landed within 3%+3 of exact. DuckDB restates
+    the exact columns and literal TRUE."""
     o = load_table(spark, sf_dir, "orders")
     per_group = o.groupBy("o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey", F.lit(12)).alias("sketch"),
+        F.countDistinct("o_custkey").alias("exact_uniques"),
         F.count("*").alias("n_rows"))
-    per_group_est = per_group.select(
-        "o_orderpriority",
-        F.hll_sketch_estimate("sketch").alias("est_uniques"), "n_rows")
-    global_est = (per_group
+    ok = (F.abs(F.hll_sketch_estimate("sketch") - F.col("exact_uniques"))
+          <= 0.03 * F.col("exact_uniques") + F.lit(3))
+    per_group_row = per_group.select(
+        "o_orderpriority", "exact_uniques", "n_rows",
+        ok.alias("est_within_tol"))
+    exact_all = o.agg(F.countDistinct("o_custkey").alias("exact_uniques"))
+    global_row = (per_group
                   .agg(F.hll_union_agg("sketch").alias("merged"))
+                  .crossJoin(F.broadcast(exact_all))
                   .select(F.lit("ALL").alias("o_orderpriority"),
-                          F.hll_sketch_estimate("merged").alias("est_uniques"),
-                          F.lit(None).cast("long").alias("n_rows")))
-    return per_group_est.unionByName(global_est).orderBy("o_orderpriority")
+                          "exact_uniques",
+                          F.lit(None).cast("long").alias("n_rows"),
+                          (F.abs(F.hll_sketch_estimate("merged")
+                                 - F.col("exact_uniques"))
+                           <= 0.03 * F.col("exact_uniques") + F.lit(3))
+                          .alias("est_within_tol")))
+    return per_group_row.unionByName(global_row).orderBy("o_orderpriority")
 
 
 @query(
@@ -1267,43 +1328,97 @@ def subq_q21_waiting_sole_late_supplier(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
-@query("agg_kll_quantiles", oracle=None)
+@query(
+    "agg_kll_quantiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(QUANTILE_CONT(value, 0.50), 2) AS p50,
+           ROUND(QUANTILE_CONT(value, 0.90), 2) AS p90,
+           ROUND(QUANTILE_CONT(value, 0.99), 2) AS p99,
+           COUNT(*) AS n_rows,
+           TRUE AS p50_in_band, TRUE AS p90_in_band, TRUE AS p99_in_band
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def agg_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketches (Apache DataSketches KLL via
     kll_sketch_agg_double): per-event-type p50/p90/p99 of ``value``
     from a bounded-memory sketch instead of an exact sort — the
     rollup-friendly quantile path at 100 TB (kilobyte sketches merge
     with kll_sketch_merge_double; an exact percentile would buffer
-    the whole group). Sketch internals are engine-specific ->
-    rows-only; estimate-vs-exact closeness is asserted in
-    tests/test_queries_oracle.py::test_kll_quantiles_close."""
+    the whole group).
+
+    PROMOTED rows-only -> driver oracle in r05 (VERDICT r04 item 2),
+    minding the randomized-sketch exemption: KLL compaction flips real
+    random bits, so the gate is a WIDE rank band — each sketch quantile
+    must lie between the exact values at p±5% rank (the default k=200
+    guarantees ~1.65% at 99.7% confidence; a 5% band's violation odds
+    are astronomically small, making the boolean deterministic in
+    practice). The emitted quantile columns are the EXACT ones; DuckDB
+    restates them (QUANTILE_CONT matches Spark percentile
+    interpolation, proven by agg_exact_percentiles) plus literal TRUE."""
     ev = load_table(spark, sf_dir, "events")
-    qs = F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    ps, eps = (0.50, 0.90, 0.99), 0.05
     sk = ev.groupBy("event_type").agg(
         F.expr("kll_sketch_agg_double(value)").alias("sketch"),
+        F.percentile("value", F.array(*(F.lit(p) for p in ps))).alias("ex"),
+        F.percentile("value", F.array(*(F.lit(p - eps) for p in ps))).alias("lo"),
+        F.percentile("value", F.array(*(F.lit(min(p + eps, 1.0)) for p in ps))).alias("hi"),
         F.count("*").alias("n_rows"))
-    est = F.expr("kll_sketch_get_quantile_double(sketch, array(0.5D, 0.9D, 0.99D))")
+    est = F.expr(
+        "kll_sketch_get_quantile_double(sketch, array(0.5D, 0.9D, 0.99D))")
+    sk = sk.withColumn("est", est)
+
+    def band(i: int, name: str):
+        return ((F.col("est")[i] >= F.col("lo")[i] - 1e-6)
+                & (F.col("est")[i] <= F.col("hi")[i] + 1e-6)).alias(name)
+
     return (sk.select(
         "event_type",
-        F.round(est[0], 2).alias("p50"),
-        F.round(est[1], 2).alias("p90"),
-        F.round(est[2], 2).alias("p99"),
-        "n_rows")
+        F.round(F.col("ex")[0], 2).alias("p50"),
+        F.round(F.col("ex")[1], 2).alias("p90"),
+        F.round(F.col("ex")[2], 2).alias("p99"),
+        "n_rows",
+        band(0, "p50_in_band"), band(1, "p90_in_band"),
+        band(2, "p99_in_band"))
         .orderBy("event_type"))
 
 
-@query("agg_approx_topk_terms", oracle=None)
+@query(
+    "agg_approx_topk_terms",
+    oracle="""
+    WITH toks AS (
+        SELECT UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+    )
+    SELECT term, COUNT(*) AS exact_count,
+           TRUE AS tracked, TRUE AS count_close
+    FROM toks WHERE LENGTH(term) > 0
+    GROUP BY term
+    ORDER BY exact_count DESC, term
+    LIMIT 10
+    """,
+)
 def agg_approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable frequent-items sketches (approx_top_k_accumulate /
     _combine / _estimate): per-source term sketches COMBINED into the
-    global top-20 without re-touching the raw token stream — the
+    global top-k without re-touching the raw token stream — the
     two-level rollup posture for 'top queries/terms/entities' over a
     100 TB corpus where an exact global count would shuffle the full
-    vocabulary. Counts are exact below the tracked-items bound; the
-    deliberately-small sketch makes the approximation path real.
-    Rows-only (sketch tie order is engine-specific); containment and
-    count accuracy vs the exact top-k are asserted in
-    tests/test_queries_oracle.py::test_topk_sketch_close."""
+    vocabulary. The deliberately-small sketch (256 tracked items) makes
+    the approximation path real.
+
+    PROMOTED rows-only -> driver oracle in r05 (VERDICT r04 item 2):
+    sketch tie order is engine-specific, so the emitted rows are the
+    EXACT global top-10 (count DESC, term tie-break — SQL-restatable)
+    with two booleans per term: ``tracked`` (the true heavy hitter
+    survived the per-source accumulate + combine) and ``count_close``
+    (its sketch estimate is within 5% of exact — the frequent-items
+    guarantee on a corpus with clear margins, the same bound
+    tests/test_queries_oracle.py::test_topk_sketch_close asserts).
+    DuckDB restates the exact top-10 and literal TRUE."""
     d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     terms = (d.select("source",
                       F.explode(F.split(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+"))
@@ -1311,28 +1426,59 @@ def agg_approx_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.length("term") > 0))
     per_source = terms.groupBy("source").agg(
         F.expr("approx_top_k_accumulate(term, 256)").alias("sk"))
-    merged = per_source.agg(
-        F.expr("approx_top_k_estimate(approx_top_k_combine(sk, 256), 20)").alias("top"))
-    return (merged.select(F.explode("top").alias("e"))
-            .select(F.col("e.item").alias("term"),
-                    F.col("e.count").alias("est_count"))
-            .orderBy(F.desc("est_count"), "term"))
+    sketch_top = (per_source.agg(
+        F.expr("approx_top_k_estimate(approx_top_k_combine(sk, 256), 40)").alias("top"))
+        .select(F.explode("top").alias("e"))
+        .select(F.col("e.item").alias("term"),
+                F.col("e.count").alias("est_count")))
+    exact_top = (terms.groupBy("term").agg(F.count("*").alias("exact_count"))
+                 .orderBy(F.desc("exact_count"), "term").limit(10))
+    return (
+        exact_top.join(F.broadcast(sketch_top), "term", "left")
+        .select(
+            "term", "exact_count",
+            F.col("est_count").isNotNull().alias("tracked"),
+            (F.col("est_count").isNotNull()
+             & (F.abs(F.col("est_count") - F.col("exact_count"))
+                <= 0.05 * F.col("exact_count"))).alias("count_close"))
+        .orderBy(F.desc("exact_count"), "term")
+    )
 
 
-@query("agg_theta_sketch_distinct", oracle=None)
+@query(
+    "agg_theta_sketch_distinct",
+    oracle="""
+    SELECT source,
+           COUNT(DISTINCT doc_id) AS exact_distinct_docs,
+           COUNT(*)               AS n_rows,
+           TRUE                   AS est_within_tol
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
 def agg_theta_sketch_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theta sketches (theta_sketch_agg/theta_sketch_estimate):
     per-source distinct-doc estimates. Theta is the set-operation
     sketch family (union/intersection/difference over sketches), the
     complement of HLL's pure-union counting — at 100 TB it answers
-    'uniques in A but not B' from kilobytes. Rows-only; accuracy vs
-    exact countDistinct asserted in
-    tests/test_queries_oracle.py::test_theta_estimates_close."""
+    'uniques in A but not B' from kilobytes.
+
+    PROMOTED rows-only -> driver oracle in r05 (VERDICT r04 item 2):
+    each row emits the EXACT per-source distinct count plus a boolean
+    asserting the theta estimate (fixed hash — deterministic given the
+    input set) landed within 5%+2 of exact. DuckDB restates the exact
+    columns and literal TRUE."""
     d = load_table(spark, sf_dir, "documents")
     return (d.groupBy("source")
             .agg(F.expr("theta_sketch_estimate(theta_sketch_agg(doc_id))")
-                 .alias("est_distinct_docs"),
+                 .alias("est"),
+                 F.countDistinct("doc_id").alias("exact_distinct_docs"),
                  F.count("*").alias("n_rows"))
+            .select("source", "exact_distinct_docs", "n_rows",
+                    (F.abs(F.col("est") - F.col("exact_distinct_docs"))
+                     <= 0.05 * F.col("exact_distinct_docs") + F.lit(2))
+                    .alias("est_within_tol"))
             .orderBy("source"))
 
 

@@ -906,7 +906,13 @@ def docs_curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew class this repo polices. Quality fingerprints are
     content-diverse by construction, so the surviving join has no hot
     key.)"""
-    d = load_table(spark, sf_dir, "documents")
+    return curation_decision_table(load_table(spark, sf_dir, "documents"))
+
+
+def curation_decision_table(d: DataFrame) -> DataFrame:
+    """docs_curation_decisions' engine over ANY documents-shaped frame
+    (doc_id, text) — reused by the composed corpus pipeline (etl.py)
+    so the end-to-end chain runs EXACTLY the oracled operator."""
     is_empty = F.length(F.trim("text")) == 0
     n_tok = F.size(F.split(F.trim(F.col("text")), "[ \\t\\n\\x0B\\f\\r]+"))
     n_stop = F.size(F.regexp_extract_all(

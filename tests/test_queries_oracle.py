@@ -65,105 +65,70 @@ def test_rows_only_runs(spark, name):
     assert len(df.columns) > 0
 
 
-def test_approx_percentiles_close(spark):
-    """The sketch path must land within ~1% of the exact percentiles
-    (rank error 1/accuracy on a smooth-ish distribution)."""
-    exact = {r.o_orderpriority: (r.p25, r.p50, r.p75, r.p95)
-             for r in REGISTRY["agg_exact_percentiles"]
-             .builder(spark, SF_CORRECT).collect()}
-    approx = {r.o_orderpriority: (r.p25, r.p50, r.p75, r.p95)
-              for r in REGISTRY["agg_approx_percentiles"]
-              .builder(spark, SF_CORRECT).collect()}
-    assert set(exact) == set(approx)
-    for k in exact:
-        for e, a in zip(exact[k], approx[k]):
-            assert abs(e - a) <= 0.02 * abs(e) + 1e-9, (k, e, a)
+# ------------------------------------------ sketch accuracy gates
+# r05: the six sketch queries were PROMOTED to driver oracles via the
+# exact+tolerance pattern (VERDICT r04 item 2) — each emits EXACT
+# values plus booleans asserting the sketch estimate landed inside its
+# tolerance/rank band, and the DuckDB oracle restates exact + TRUE.
+# The pytest side therefore asserts the booleans directly (the
+# estimate columns no longer appear in the output) at BOTH sf0.01 and
+# sf0.001, plus one independent spot check per family so a
+# trivially-TRUE boolean bug cannot hide.
+
+SKETCH_BOOL_COLS = {
+    "agg_approx_distinct": ["parts_within_tol", "orders_within_tol"],
+    "agg_approx_percentiles": ["p25_in_band", "p50_in_band",
+                               "p75_in_band", "p95_in_band"],
+    "agg_hll_mergeable": ["est_within_tol"],
+    "agg_kll_quantiles": ["p50_in_band", "p90_in_band", "p99_in_band"],
+    "agg_approx_topk_terms": ["tracked", "count_close"],
+    "agg_theta_sketch_distinct": ["est_within_tol"],
+}
 
 
-def test_hll_estimates_close(spark):
-    """HLL(lgK=12) estimates must land within 2% of exact uniques,
-    including the merged (union) global estimate."""
+@pytest.mark.parametrize("name", sorted(SKETCH_BOOL_COLS))
+@pytest.mark.parametrize("sf", [SF_CORRECT, "/root/testdata/sf0.001"])
+def test_sketch_tolerance_booleans(spark, name, sf):
+    rows = REGISTRY[name].builder(spark, sf).collect()
+    assert rows, name
+    for r in rows:
+        for c in SKETCH_BOOL_COLS[name]:
+            assert r[c] is True, (name, sf, c, r)
+
+
+def test_hll_mergeable_global_row_is_true_union(spark):
+    """Independent spot check: the ALL row's exact_uniques must equal
+    countDistinct over the whole table (the union-merge path cannot
+    silently degenerate to a per-group copy)."""
     from pyspark.sql import functions as F
 
     from hackmd_data_pipeline_spark.tables import load_table
-    got = {r.o_orderpriority: r.est_uniques
-           for r in REGISTRY["agg_hll_mergeable"]
-           .builder(spark, SF_CORRECT).collect()}
+    rows = {r.o_orderpriority: r for r in
+            REGISTRY["agg_hll_mergeable"].builder(spark, SF_CORRECT).collect()}
     o = load_table(spark, SF_CORRECT, "orders")
-    exact = {r.o_orderpriority: r.n for r in
-             o.groupBy("o_orderpriority")
-             .agg(F.countDistinct("o_custkey").alias("n")).collect()}
-    exact["ALL"] = o.select("o_custkey").distinct().count()
-    assert set(got) == set(exact)
-    for k in exact:
-        assert abs(got[k] - exact[k]) <= 0.02 * exact[k] + 2, (
-            k, got[k], exact[k])
+    assert rows["ALL"].exact_uniques == o.select("o_custkey").distinct().count()
+    assert rows["ALL"].n_rows is None
+    per_group_sum = sum(r.exact_uniques for k, r in rows.items() if k != "ALL")
+    assert rows["ALL"].exact_uniques <= per_group_sum  # union <= sum
 
 
-def test_kll_quantiles_close(spark):
-    """KLL guarantees RANK error (~1.7% at default k), not value
-    error — on a heavy tail a 1% rank slip is a large value delta. So
-    the assertion is rank-band containment: each sketch quantile must
-    lie between the exact values at p±3% rank."""
+def test_topk_terms_are_true_heavy_hitters(spark):
+    """Independent spot check: the emitted terms must be the exact
+    global top-10 by direct recount (not whatever the sketch tracked)."""
     from pyspark.sql import functions as F
 
     from hackmd_data_pipeline_spark.tables import load_table
-    got = {r.event_type: (r.p50, r.p90, r.p99)
-           for r in REGISTRY["agg_kll_quantiles"]
-           .builder(spark, SF_CORRECT).collect()}
-    ev = load_table(spark, SF_CORRECT, "events")
-    bands = [(0.47, 0.53), (0.87, 0.93), (0.96, 1.0)]
-    lo_hi = {r.event_type: list(zip(r.lo, r.hi)) for r in
-             ev.groupBy("event_type")
-             .agg(F.percentile("value", F.array(
-                 *[F.lit(b[0]) for b in bands])).alias("lo"),
-                  F.percentile("value", F.array(
-                      *[F.lit(b[1]) for b in bands])).alias("hi")).collect()}
-    assert set(got) == set(lo_hi)
-    for k, qs in got.items():
-        for g, (lo, hi) in zip(qs, lo_hi[k]):
-            assert lo - 1e-6 <= g <= hi + 1e-6, (k, g, lo, hi)
-
-
-def test_topk_sketch_close(spark):
-    """The combined top-k sketch must contain the true heavy hitters
-    with exact-or-near counts (the synthetic corpus has clear margins)."""
-    from pyspark.sql import functions as F
-
-    from hackmd_data_pipeline_spark.tables import load_table
-    got = {r.term: r.est_count
-           for r in REGISTRY["agg_approx_topk_terms"]
-           .builder(spark, SF_CORRECT).collect()}
-    assert len(got) == 20
+    got = [(r.term, r.exact_count) for r in
+           REGISTRY["agg_approx_topk_terms"].builder(spark, SF_CORRECT).collect()]
     d = load_table(spark, SF_CORRECT, "documents").filter(
         F.length(F.trim("text")) > 0)
-    exact = (d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
-                      .alias("term"))
-             .filter(F.length("term") > 0)
-             .groupBy("term").count()
-             .orderBy(F.desc("count"), "term").limit(10).collect())
-    for r in exact:  # true top-10 must all be tracked, counts within 5%
-        assert r.term in got, f"missing heavy hitter {r.term}"
-        assert abs(got[r.term] - r['count']) <= 0.05 * r['count'], (
-            r.term, got[r.term], r['count'])
-
-
-def test_theta_estimates_close(spark):
-    """Theta sketch distinct estimates within 5% of exact."""
-    from pyspark.sql import functions as F
-
-    from hackmd_data_pipeline_spark.tables import load_table
-    got = {r.source: r.est_distinct_docs
-           for r in REGISTRY["agg_theta_sketch_distinct"]
-           .builder(spark, SF_CORRECT).collect()}
-    d = load_table(spark, SF_CORRECT, "documents")
-    exact = {r.source: r.n for r in
-             d.groupBy("source")
-             .agg(F.countDistinct("doc_id").alias("n")).collect()}
-    assert set(got) == set(exact)
-    for k in exact:
-        assert abs(got[k] - exact[k]) <= 0.05 * exact[k] + 2, (
-            k, got[k], exact[k])
+    exact = [(r.term, r.n) for r in
+             (d.select(F.explode(F.split(F.lower(F.trim(F.col("text"))),
+                                         r"[ \t\n\x0B\f\r]+")).alias("term"))
+              .filter(F.length("term") > 0)
+              .groupBy("term").agg(F.count("*").alias("n"))
+              .orderBy(F.desc("n"), "term").limit(10).collect())]
+    assert got == exact
 
 
 # --------------------------------------------- small-n estimator sweep
