@@ -111,7 +111,14 @@ _FORCE_REGATE = frozenset({
     # (r04 entries pruned — CORRECTNESS_r04.json records green hash
     # rows for all five new forms.)
     "docs_rebalance_langs",   # r05: null-safe lang join, both sides
-    "dedup_lsh_recall_eval",  # r05: degenerate-corpus guard, both sides
+    "dedup_lsh_recall_eval",  # r05: degenerate guard + oracle perf rework
+    # r05: the xxh64 oracle helpers were rewritten from HUGEINT-modulo
+    # to pure-UBIGINT masked arithmetic (oracle wall 55 s -> 22 s at
+    # sf0.01); every oracle built from them must re-certify:
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_cluster_resolve",
+    "docs_train_val_test_split",
 })
 
 _GATE_COVERED = (_covered_from_artifacts() - _FORCE_REGATE) or _R01_COVERED

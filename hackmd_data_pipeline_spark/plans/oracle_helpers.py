@@ -35,22 +35,56 @@ _P3 = "1609587929392839161"
 _P4 = "9650029242287828579"
 _P5 = 2870177450012600261
 
+_M32 = "4294967295::UBIGINT"
+
+
+def _u(c: int) -> str:
+    return f"{c}::UBIGINT"
+
 
 def _mulmod(a: str, b: str | int) -> str:
-    """(a*b) mod 2**64 without overflowing INT128: split a into 32-bit
-    halves so each partial product is <= 2**96."""
-    ah = f"(CAST({a} AS HUGEINT) // 4294967296)"
-    al = f"(CAST({a} AS HUGEINT) % 4294967296)"
-    return (f"CAST((({al} * {b}) % {_M} + "
-            f"(({ah} * {b}) % 4294967296) * 4294967296) % {_M} AS UBIGINT)")
+    """(a*b) mod 2**64 in PURE UBIGINT — no INT128, no division.
+
+    r05 perf rework (VERDICT r04 "What's wrong" 3): the original form
+    computed every product in HUGEINT and reduced with ``% 2**64`` —
+    128-bit division per step, which profiled as ~85% of the 17 s
+    minhash-oracle wall (the remix stage alone burned ~20 s CPU).
+    Schoolbook 32-bit split instead: every partial stays < 2**64
+    (al,ah,bl,bh < 2**32), the carry chain is masked, and DuckDB's
+    overflow-checked UBIGINT ops never trip. ``b`` must be a constant
+    (true for every call site — xxh64 multiplies by fixed primes)."""
+    b = int(str(b))
+    assert 0 <= b < (1 << 64)
+    bl, bh = b & 0xFFFFFFFF, b >> 32
+    al, ah = f"(({a}) & {_M32})", f"(({a}) >> 32)"
+    lo = f"({al} * {_u(bl)})" if bl else "CAST(0 AS UBIGINT)"
+    cross_terms = []
+    if bh:
+        cross_terms.append(f"(({al} * {_u(bh)}) & {_M32})")
+    if bl:
+        cross_terms.append(f"(({ah} * {_u(bl)}) & {_M32})")
+    cross = ("((" + " + ".join(cross_terms) + f") & {_M32})"
+             if cross_terms else "CAST(0 AS UBIGINT)")
+    hi = f"(((({lo}) >> 32) + {cross}) & {_M32})"
+    # NB: `hi << 32` would be the natural spelling, but DuckDB 1.0's
+    # UBIGINT left-shift bound-checks against the SIGNED range and
+    # raises on any bit-63 result; checked multiply by 2**32 is exact
+    # (hi < 2**32 so the product < 2**64) and equally cheap.
+    return f"((({hi}) * {_u(1 << 32)}) | (({lo}) & {_M32}))"
 
 
 def _addmod(a: str, b: str | int) -> str:
-    return f"CAST((CAST({a} AS HUGEINT) + {b}) % {_M} AS UBIGINT)"
+    """(a+b) mod 2**64 in pure UBIGINT: 32-bit halves + masked carry."""
+    if isinstance(b, int):
+        b = _u(b % (1 << 64))
+    lo = f"((({a}) & {_M32}) + (({b}) & {_M32}))"
+    hi = f"((((({a}) >> 32) + (({b}) >> 32)) + (({lo}) >> 32)) & {_M32})"
+    return f"((({hi}) * {_u(1 << 32)}) | (({lo}) & {_M32}))"
 
 
 def _rotl(x: str, r: int) -> str:
-    return f"({_mulmod(x, 2 ** r)} | ({x} >> {64 - r}))"
+    mask = _u((1 << (64 - r)) - 1)
+    return f"(((({x}) & {mask}) * {_u(1 << r)}) | (({x}) >> {64 - r}))"
 
 
 def _xor(a: str, b: str) -> str:
@@ -149,23 +183,35 @@ def _round0(v: str) -> str:
     return _mulmod(_rotl(_mulmod(v, _P2), 31), _P1)
 
 
+def _round0_pre(x2: str) -> str:
+    """round0 of a word PRE-MULTIPLIED by P2 (see xxh64_string_ctes)."""
+    return _mulmod(_rotl(x2, 31), _P1)
+
+
 def hashlong_steps(prefix: str, x_col: str, seed: str | int,
-                   src: str) -> tuple[list[str], str]:
+                   src: str, keep: str = "*") -> tuple[list[str], str]:
     """CTE steps computing XXH64.hashLong(x_col, seed) — x_col is a
     UBIGINT bit-pattern column, seed a constant or UBIGINT column.
     Returns (steps, final_column_name); steps chain from ``src`` and
-    each subsequent step reads the previous one (caller stitches)."""
+    each subsequent step reads the previous one (caller stitches).
+
+    ``keep`` prunes the carried column list (r05: a 48-step chain with
+    ``SELECT *`` accumulates every dead temp column; the binder cost of
+    re-resolving the ever-growing lists dominated the minhash oracle's
+    wall time once execution itself was cheap). The consumed x/seed
+    columns may be absent from ``keep`` — they are referenced only in
+    the first step."""
     if isinstance(seed, int):
         init = f"CAST({(seed + _P5 + 8) % (1 << 64)} AS UBIGINT)"
     else:
         init = _addmod(seed, _P5 + 8)
     k = _mulmod(_rotl(_mulmod(x_col, _P2), 31), _P1)
     steps = [
-        f"{prefix}a AS (SELECT *, {_xor(init, k)} AS {prefix}_t FROM {src})",
-        f"{prefix}b AS (SELECT *, "
+        f"{prefix}a AS (SELECT {keep}, {_xor(init, k)} AS {prefix}_t FROM {src})",
+        f"{prefix}b AS (SELECT {keep}, "
         f"{_addmod(_mulmod(_rotl(f'{prefix}_t', 27), _P1), _P4)} "
         f"AS {prefix}_u FROM {prefix}a)",
-        f"{prefix}c AS (SELECT *, {_fmix_inline(f'{prefix}_u')} "
+        f"{prefix}c AS (SELECT {keep}, {_fmix_inline(f'{prefix}_u')} "
         f"AS {prefix}_h FROM {prefix}b)",
     ]
     return steps, f"{prefix}_h"
@@ -201,39 +247,44 @@ def xxh64_string_ctes(src: str, carry: str, str_col: str,
     V2 = (seed + int(_P2)) % (1 << 64)
     V3 = seed
     V4 = (seed - int(_P1)) % (1 << 64)
+    # bytes and words stay UBIGINT end-to-end (r05: the old HUGEINT
+    # lists forced a 128-bit ``% 2**64`` per fold element — pure
+    # division cost, since every value is < 2**64 by construction)
     byte_expr = ("[ CAST(16 * (strpos('0123456789abcdef', hx[2*j-1]) - 1)"
-                 " + (strpos('0123456789abcdef', hx[2*j]) - 1) AS HUGEINT)"
+                 " + (strpos('0123456789abcdef', hx[2*j]) - 1) AS UBIGINT)"
                  " FOR j IN range(1, len(hx) // 2 + 1) ]")
-    word_expr = ("[ " + " + ".join(f"b[8*(j-1)+{t + 1}] * {2 ** (8 * t)}"
-                                   for t in range(8))
+    # ``w`` stores each 8-byte word PRE-MULTIPLIED by P2 (mod 2**64):
+    # both consumers — the stripe accumulators' xxh round and the tail
+    # words' round0 — use a word only as ``x*P2``, and hoisting the
+    # multiply out of the fold lambdas cuts the per-lambda expression
+    # tree ~5x (r05: front-end binding of the generated SQL, not
+    # execution, had become the oracle cost).
+    raw_word = ("(" + " + ".join(f"b[8*(j-1)+{t + 1}] * {_u(2 ** (8 * t))}"
+                                 for t in range(8)) + ")")
+    word_expr = ("[ " + _mulmod(raw_word, _P2)
                  + " FOR j IN range(1, len(b) // 8 + 1) ]")
 
     def vfold(i: int, init: int) -> str:
         lst = f"[ w[4*t + {i + 1}] FOR t IN range(0, ns) ]"
         return (f"list_reduce(list_prepend(CAST({init} AS UBIGINT), "
-                f"list_transform({lst}, x -> CAST(x % {_M} AS UBIGINT))), "
-                f"(acc, x) -> {_xxh_round('acc', 'x')})")
+                f"{lst}), "
+                f"(acc, x) -> {_mulmod(_rotl(_addmod('acc', 'x'), 31), _P1)})")
 
     hmerge = _addmod(_addmod(_rotl("v1", 1), _rotl("v2", 7)),
                      _addmod(_rotl("v3", 12), _rotl("v4", 18)))
 
-    def merge_round(h: str, v: str) -> str:
-        return _addmod(_mulmod(_xor(h, _round0(v)), _P1), _P4)
-
-    tail_words = (f"[ CAST(w[j] % {_M} AS UBIGINT) "
-                  f"FOR j IN range(4*ns + 1, len(w) + 1) ]")
-    word_step = _addmod(_mulmod(_rotl(_xor("acc", _round0("x")), 27), _P1),
-                        _P4)
-    u32 = " + ".join(f"b[8*(nb//8)+{t + 1}] * {2 ** (8 * t)}"
+    u32 = " + ".join(f"b[8*(nb//8)+{t + 1}] * {_u(2 ** (8 * t))}"
                      for t in range(4))
-    u32_step = _addmod(_mulmod(_rotl(
-        _xor("h3", _mulmod(f"CAST(({u32}) AS UBIGINT)", _P1)), 23), _P2),
-        _P3)
     tail_bytes = ("[ CAST(b[j] AS UBIGINT) FOR j IN range("
                   "8*(nb//8) + CASE WHEN nb % 8 >= 4 THEN 4 ELSE 0 END + 1, "
                   "nb + 1) ]")
     byte_step = _mulmod(_rotl(_xor("acc", _mulmod("x", _P5)), 11), _P1)
 
+    # The four merge rounds run STEPWISE over short column refs — the
+    # nested form merge_round(merge_round(...)) duplicates its argument
+    # ~12x per level, which with the r05 branchier UBIGINT helpers
+    # compounds to hundreds of MB of SQL text. Rounds are computed for
+    # every row (harmless garbage when nb < 32) and gated in {p}h0.
     frag = f"""{p}bts AS (
     SELECT {carry}, LOWER(hex(encode({str_col}))) AS hx FROM {src}
 ), {p}byt AS (
@@ -246,23 +297,65 @@ def xxh64_string_ctes(src: str, carry: str, str_col: str,
            {vfold(0, V1)} AS v1, {vfold(1, V2)} AS v2,
            {vfold(2, V3)} AS v3, {vfold(3, V4)} AS v4
     FROM {p}wrd
+), {p}mr0 AS (
+    SELECT {carry}, b, nb, ns, w, {hmerge} AS hm,
+           {_round0('v1')} AS r1, {_round0('v2')} AS r2,
+           {_round0('v3')} AS r3, {_round0('v4')} AS r4
+    FROM {p}acc
+), {p}mr1 AS (
+    SELECT {carry}, b, nb, ns, w, r2, r3, r4,
+           {_addmod(_mulmod(_xor('hm', 'r1'), _P1), _P4)} AS m1 FROM {p}mr0
+), {p}mr2 AS (
+    SELECT {carry}, b, nb, ns, w, r3, r4,
+           {_addmod(_mulmod(_xor('m1', 'r2'), _P1), _P4)} AS m2 FROM {p}mr1
+), {p}mr3 AS (
+    SELECT {carry}, b, nb, ns, w, r4,
+           {_addmod(_mulmod(_xor('m2', 'r3'), _P1), _P4)} AS m3 FROM {p}mr2
 ), {p}h0 AS (
     SELECT {carry}, b, nb, ns, w,
            CASE WHEN nb >= 32 THEN
-               {merge_round(merge_round(merge_round(merge_round(hmerge, 'v1'), 'v2'), 'v3'), 'v4')}
+               {_addmod(_mulmod(_xor('m3', 'r4'), _P1), _P4)}
            ELSE CAST({(seed + _P5) % (1 << 64)} AS UBIGINT) END AS h
-    FROM {p}acc
+    FROM {p}mr3
 ), {p}h1 AS (
-    SELECT {carry}, b, nb, ns, w, {_addmod('h', 'nb')} AS h FROM {p}h0
+    SELECT {carry}, b, nb, ns, w, {_addmod('h', 'CAST(nb AS UBIGINT)')} AS h FROM {p}h0
+), {p}t1g AS (
+    SELECT {carry}, b, nb, ns, w, h,
+           {_xor('h', _round0_pre('w[4*ns + 1]'))} AS g FROM {p}h1
+), {p}t1 AS (
+    SELECT {carry}, b, nb, ns, w,
+           CASE WHEN len(w) >= 4*ns + 1
+                THEN {_addmod(_mulmod(_rotl('g', 27), _P1), _P4)}
+                ELSE h END AS h
+    FROM {p}t1g
+), {p}t2g AS (
+    SELECT {carry}, b, nb, ns, w, h,
+           {_xor('h', _round0_pre('w[4*ns + 2]'))} AS g FROM {p}t1
+), {p}t2 AS (
+    SELECT {carry}, b, nb, ns, w,
+           CASE WHEN len(w) >= 4*ns + 2
+                THEN {_addmod(_mulmod(_rotl('g', 27), _P1), _P4)}
+                ELSE h END AS h
+    FROM {p}t2g
+), {p}t3g AS (
+    SELECT {carry}, b, nb, ns, w, h,
+           {_xor('h', _round0_pre('w[4*ns + 3]'))} AS g FROM {p}t2
 ), {p}h2 AS (
-    SELECT {carry}, b, nb, ns,
-           list_reduce(list_prepend(h, {tail_words}),
-                       (acc, x) -> {word_step}) AS h3
-    FROM {p}h1
+    SELECT {carry}, b, nb,
+           CASE WHEN len(w) >= 4*ns + 3
+                THEN {_addmod(_mulmod(_rotl('g', 27), _P1), _P4)}
+                ELSE h END AS h3
+    FROM {p}t3g
+), {p}h4g AS (
+    SELECT {carry}, b, nb, h3,
+           {_xor('h3', _mulmod(f'CAST(({u32}) AS UBIGINT)', _P1))} AS g
+    FROM {p}h2
 ), {p}h4 AS (
     SELECT {carry}, b, nb,
-           CASE WHEN nb % 8 >= 4 THEN {u32_step} ELSE h3 END AS h
-    FROM {p}h2
+           CASE WHEN nb % 8 >= 4
+                THEN {_addmod(_mulmod(_rotl('g', 23), _P2), _P3)}
+                ELSE h3 END AS h
+    FROM {p}h4g
 ), {p}h5 AS (
     SELECT {carry},
            list_reduce(list_prepend(h, {tail_bytes}),
@@ -308,8 +401,17 @@ def minhash_pairs_ctes(shingle_n: int = 3, num_hashes: int = 16,
         for r in range(rows):
             pfx = f"bh{b}x{r}"
             seed_arg = 42 if r == 0 else f"bh{b}x{r - 1}_h"
+            # prune the carry to what downstream still reads: the
+            # not-yet-consumed sigs and the completed band keys (the
+            # consumed sig + seed columns drop here — binder cost over
+            # 48 chained steps was the minhash oracle's residual
+            # hotspot once execution went cheap)
+            keep = ", ".join(
+                ["doc_id"]
+                + [f"s{i}" for i in range(rows * b + r + 1, num_hashes)]
+                + band_cols)
             steps, _ = hashlong_steps(pfx, _unsigned(f"s{rows * b + r}"),
-                                      seed_arg, prev_cte)
+                                      seed_arg, prev_cte, keep=keep)
             band_steps.extend(steps)
             prev_cte = f"{pfx}c"
         band_cols.append(f"bh{b}x{rows - 1}_h")
@@ -381,7 +483,8 @@ def simhash_oracle(max_hamming: int = 3) -> str:
     sums = ",\n               ".join(
         f"SUM(CAST((h >> {i}) & 1 AS BIGINT)) AS s{i}" for i in range(64))
     sig = " + ".join(
-        f"CASE WHEN 2*s{i} > n THEN CAST({1 << i} AS HUGEINT) ELSE 0 END"
+        f"CASE WHEN 2*s{i} > n THEN CAST({1 << i} AS UBIGINT) "
+        f"ELSE CAST(0 AS UBIGINT) END"
         for i in range(64))
     blocks = " UNION ALL ".join(
         f"SELECT doc_id, {k} AS blk, "
@@ -404,7 +507,7 @@ def simhash_oracle(max_hamming: int = 3) -> str:
                {sums}
         FROM th GROUP BY doc_id
     ), sigs AS (
-        SELECT doc_id, CAST(({sig}) % {_M} AS UBIGINT) AS sig
+        SELECT doc_id, ({sig}) AS sig
         FROM votes
     ), bb AS MATERIALIZED ({blocks})
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
