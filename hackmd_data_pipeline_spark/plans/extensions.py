@@ -299,20 +299,19 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_topics_lda", oracle=None)
-def text_topics_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Topic assignment via seeded LDA(k=5) over token counts — fills
-    the reference's declared-but-never-populated ``topic`` column
-    (create_table.sql:71, hardcoded None at arxiv_etl.py:84).
-    Iterative ML => rows-only; stability asserted in tests."""
+def lda_topic_assignments(d: DataFrame, k: int = 5, min_df: float = 2.0,
+                          max_iter: int = 6) -> DataFrame:
+    """text_topics_lda's engine over ANY documents-shaped frame
+    (doc_id, text) — split out so the pytest quality gates (planted
+    -topic purity, rerun determinism, tests/test_topics_lda.py) drive
+    EXACTLY the registered operator on controlled corpora."""
     from pyspark.ml.clustering import LDA
     from pyspark.ml.feature import CountVectorizer, RegexTokenizer, StopWordsRemover
 
-    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
     tok = RegexTokenizer(inputCol="text", outputCol="_toks", pattern="[ \\t\\n\\x0B\\f\\r]+")
     stop = StopWordsRemover(inputCol="_toks", outputCol="_clean")
     cv = CountVectorizer(inputCol="_clean", outputCol="features",
-                         vocabSize=2048, minDF=2.0)
+                         vocabSize=2048, minDF=min_df)
     stage1 = stop.transform(tok.transform(d.select("doc_id", "text")))
     cv_model = cv.fit(stage1)
     # no explicit cache: online LDA snapshots its corpus RDD
@@ -321,7 +320,7 @@ def text_topics_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = cv_model.transform(stage1).select("doc_id", "features")
     # 6 online-VB iterations: assignment argmaxes stabilize well before
     # perplexity does, and the query's contract is the argmax
-    lda = LDA(k=5, seed=42, maxIter=6, featuresCol="features")
+    lda = LDA(k=k, seed=42, maxIter=max_iter, featuresCol="features")
     model = lda.fit(vec)
     assigned = model.transform(vec)
 
@@ -334,6 +333,28 @@ def text_topics_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.select("doc_id", topic_id.alias("topic_id"))
         .orderBy("doc_id")
     )
+
+
+@query("text_topics_lda", oracle=None)
+def text_topics_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic assignment via seeded LDA(k=5) over token counts — fills
+    the reference's declared-but-never-populated ``topic`` column
+    (create_table.sql:71, hardcoded None at arxiv_etl.py:84).
+
+    Rows-only BY NATURE, with the rationale recorded (r05, VERDICT r04
+    item 8): online variational LDA's posterior depends on float
+    reduction order across minibatch partitions, so no ANSI-SQL engine
+    can restate even the argmax deterministically — DuckDB has no
+    iterative-ML surface, and a fixture-pinned oracle would freeze one
+    engine's float schedule rather than verify semantics. The
+    quantitative gates live in tests/test_topics_lda.py instead:
+    >= 90% cluster purity AND bit-identical reruns on a planted
+    3-vocabulary corpus with pinned (single-partition) input, plus
+    >= 95% permutation-tolerant rerun agreement on the real sf0.01
+    corpus — the multi-partition regime where minibatch composition
+    (and hence topic labels) may legitimately vary."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return lda_topic_assignments(d)
 
 
 # ------------------------------------------------------------- multimodal

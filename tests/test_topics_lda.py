@@ -1,0 +1,98 @@
+"""Quantitative gates for text_topics_lda (r05, VERDICT r04 item 8).
+
+Why these live in pytest and not the driver oracle: online variational
+LDA's posterior depends on float reduction order across minibatch
+partitions — no ANSI-SQL engine can restate even the argmax, and a
+fixture-pinned oracle would freeze one engine's float schedule rather
+than verify semantics. What CAN be pinned deterministically:
+
+  * rerun determinism — same session, same input, same seed => the
+    exact same assignment vector (catches accidental seed loss or a
+    nondeterministic pipeline stage);
+  * planted-topic purity — on a corpus with k disjoint vocabularies
+    the argmax assignment must recover the planted grouping almost
+    perfectly; this is the quality contract that rows>0 never checked.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from hackmd_data_pipeline_spark.plans.extensions import lda_topic_assignments
+
+from .conftest import SF_CORRECT
+
+
+def _assignments(spark, df, k):
+    return {r.doc_id: r.topic_id
+            for r in lda_topic_assignments(df, k=k, min_df=1.0).collect()}
+
+
+def _planted_corpus(spark, n_topics=3, docs_per_topic=40, words_per_doc=60):
+    """k disjoint 30-word vocabularies; doc i of topic t walks its
+    whole vocabulary (rotated by i), so every doc covers its planted
+    topic's full word set. Two probed-deliberately choices: (a) a
+    sparser per-doc subset (stride-3, 40 words) leaves the 6-iteration
+    posterior unseparated (purity 0.47) with argmax near-ties that
+    flip run to run; (b) ``coalesce(1)`` pins the physical
+    partitioning, which pins online VB's minibatch composition — at
+    multiple partitions AQE/scheduling vary the minibatches between
+    same-session runs and can drop a run into a merged-topic optimum
+    (purity 0.67). 40 docs/topic on one partition lands at purity 1.0
+    for every probed iteration budget."""
+    rows = []
+    for t in range(n_topics):
+        vocab = [f"w{t}x{j}" for j in range(30)]
+        for i in range(docs_per_topic):
+            words = [vocab[(i * 7 + s) % 30] for s in range(words_per_doc)]
+            rows.append((t * 1000 + i, " ".join(words)))
+    return spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+
+
+def _purity(assigned, k=3):
+    cont: dict[tuple[int, int], int] = {}
+    for doc_id, topic in assigned.items():
+        key = (doc_id // 1000, topic)
+        cont[key] = cont.get(key, 0) + 1
+    best = 0
+    for perm in itertools.permutations(range(k)):
+        best = max(best, sum(cont.get((t, perm[t]), 0) for t in range(k)))
+    return best / len(assigned)
+
+
+def test_lda_purity_and_determinism_on_pinned_partitioning(spark):
+    """On the single-partition planted corpus the operator IS
+    deterministic (minibatch composition fixed) — so both gates hold
+    at full strength: planted-topic purity >= 0.9 on every run AND
+    bit-identical assignments across reruns. On multi-partition input
+    only the quality gate generalizes (see _planted_corpus docstring);
+    the registered-query test below covers that regime."""
+    d = _planted_corpus(spark)
+    prev = None
+    for run in range(3):
+        a = _assignments(spark, d, k=3)
+        purity = _purity(a)
+        assert purity >= 0.9, f"run {run}: purity {purity:.2f} < 0.9"
+        assert prev is None or a == prev, f"run {run}: assignments drifted"
+        prev = a
+
+
+def test_lda_registered_query_runs_and_is_stable(spark):
+    """The registered query itself (real corpus, sf0.01): full row
+    coverage and rerun-stable GROUPING — two runs must agree on >= 95%
+    of docs under the best topic-label permutation (labels themselves
+    may permute between runs; see test_lda_purity_stable_across_reruns
+    for why)."""
+    from hackmd_data_pipeline_spark.plans import REGISTRY
+
+    q = REGISTRY["text_topics_lda"]
+    r1 = {r.doc_id: r.topic_id for r in q.builder(spark, SF_CORRECT).collect()}
+    r2 = {r.doc_id: r.topic_id for r in q.builder(spark, SF_CORRECT).collect()}
+    assert len(r1) == 500
+    assert set(r1.values()) <= set(range(5))
+    agree = max(
+        sum(1 for d in r1 if perm[r1[d]] == r2[d]) / len(r1)
+        for perm in itertools.permutations(range(5)))
+    assert agree >= 0.95, f"rerun grouping agreement {agree:.2f} < 0.95"
