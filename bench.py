@@ -49,6 +49,20 @@ def main() -> None:
     # single-shot numbers on a shared host fold in unrelated load
     # (observed ±50% swings — BASELINE.md), min-of-2 is stable
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+
+    # settle guard (r05, VERDICT r04 "What's wrong" 2: the official
+    # r04 driver artifact was taken at loadavg ~4.6 with test-suite
+    # residue, inflating join-family numbers ~2x vs the settled-host
+    # run of the SAME code). If the 1-min loadavg still carries
+    # foreign load, wait — bounded — for it to drain before timing.
+    settle_max = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_SEC", "180"))
+    settle_threshold = max(2.0, 0.125 * (os.cpu_count() or 8))
+    settled_wait = 0.0
+    while (os.getloadavg()[0] > settle_threshold
+           and settled_wait < settle_max):
+        time.sleep(5)
+        settled_wait += 5
+
     load_before = os.getloadavg()
     t_run0 = time.perf_counter()
     timings: dict[str, float] = {}
@@ -79,6 +93,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "env": {
             "iters": iters,
+            "settle_waited_sec": settled_wait,
             "loadavg_before": [round(x, 2) for x in load_before],
             "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             "uptime_sec": uptime,
