@@ -630,21 +630,75 @@ def docs_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("docs_pack_sequences", oracle=None)
+_PACK_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT)                  AS n_docs_packed,
+       CAST(COALESCE(SUM(n_tok), 0) AS BIGINT)   AS total_tokens,
+       CAST(COALESCE(SUM(CASE WHEN n_tok > 1024 THEN 1 ELSE 0 END), 0)
+            AS BIGINT)                           AS n_overflow_docs,
+       TRUE AS budget_respected,
+       TRUE AS overflow_isolated,
+       TRUE AS seqs_within_bound
+FROM (SELECT len(regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_tok
+      FROM documents WHERE LENGTH(TRIM(text)) > 0)
+"""
+
+
+@query("docs_pack_sequences", oracle=_PACK_ORACLE)
 def docs_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sequence packing (operators/packing.py): documents
     greedily packed per partition into <=1024-token training
-    sequences; reports per-sequence fill stats. Budget-respect,
-    no-doc-lost, and overflow flagging are unit-tested; per-partition
-    ids make the pack embarrassingly parallel (zero shuffle before
-    the stats agg)."""
+    sequences; per-partition ids make the pack embarrassingly
+    parallel (zero shuffle before the stats agg).
+
+    PROMOTED rows-only -> driver oracle in r05 via the
+    exact+invariant pattern (same recipe as the sketch queries): the
+    partition-dependent artifacts (seq ids, per-sequence fill) fold
+    into Spark-verified booleans, while the partition-INDEPENDENT
+    exact outputs (doc count, token total, overflow-doc count) are
+    restated by DuckDB from the raw documents table. A packing bug
+    that loses/duplicates a doc or mangles token counts shifts an
+    exact column (gate mismatch); one that overfills a sequence,
+    packs an overflow doc with neighbours, or explodes the sequence
+    count flips a boolean off TRUE (gate mismatch). Bounds: each
+    non-overflow sequence holds <= 1024 tokens so n_seqs >=
+    ceil(tokens/1024); per-partition greedy next-fit closes a
+    sequence only when the next doc cannot fit, giving n_seqs <=
+    2*tokens/1024 + 2*parts + n_overflow + 2 (pairing argument, with
+    slack for the last bin per partition and overflow resets)."""
     from ..operators.packing import pack_sequences, packing_stats
     d = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0)
     with_counts = d.select(
         "doc_id", F.size(F.split(F.trim("text"), "[ \\t\\n\\x0B\\f\\r]+")).alias("n_tokens"))
     packed = pack_sequences(with_counts, max_tokens=1024)
-    return packing_stats(packed, 1024).orderBy("seq_id")
+    seq = packing_stats(packed, 1024)  # seq_id | n_docs | seq_tokens | has_overflow
+    nonover_tokens = F.sum(F.when(~F.col("has_overflow"),
+                                  F.col("seq_tokens")).otherwise(0))
+    nonover_seqs = F.sum(F.when(~F.col("has_overflow"), 1).otherwise(0))
+    n_overflow = F.sum(F.when(F.col("has_overflow"),
+                              F.col("n_docs")).otherwise(0))
+    n_parts = F.countDistinct(F.shiftright("seq_id", 40))
+    return seq.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long")
+        .alias("n_docs_packed"),
+        F.coalesce(F.sum("seq_tokens"), F.lit(0)).cast("long")
+        .alias("total_tokens"),
+        F.coalesce(n_overflow, F.lit(0)).cast("long")
+        .alias("n_overflow_docs"),
+        F.coalesce(
+            F.sum(F.when((~F.col("has_overflow"))
+                         & (F.col("seq_tokens") > 1024), 1).otherwise(0))
+            == 0, F.lit(True)).alias("budget_respected"),
+        F.coalesce(
+            F.sum(F.when(F.col("has_overflow")
+                         & (F.col("n_docs") != 1), 1).otherwise(0))
+            == 0, F.lit(True)).alias("overflow_isolated"),
+        F.coalesce(
+            (nonover_seqs >= F.ceil(nonover_tokens / F.lit(1024.0)))
+            & (nonover_seqs <= 2.0 * nonover_tokens / F.lit(1024.0)
+               + 2 * n_parts + n_overflow + F.lit(2)),
+            F.lit(True)).alias("seqs_within_bound"),
+    )
 
 
 @query(

@@ -183,6 +183,30 @@ def test_pack_sequences_budget_and_completeness(spark):
     assert by_seq[seq_of_3] == [3]
 
 
+def test_pack_audit_query_with_planted_overflow(spark, tmp_path):
+    """The registered docs_pack_sequences audit (r05 oracle form) on a
+    corpus that actually CONTAINS oversize docs — the driver corpora
+    have none, so the overflow columns/booleans are exercised here:
+    n_overflow_docs counts exactly the >1024-token docs and the
+    isolation/budget/bound invariants stay TRUE."""
+    from hackmd_data_pipeline_spark.plans.extensions import (
+        docs_pack_sequences)
+    rows = []
+    for i in range(40):
+        rows.append((i, "w " * 60 + "end", "en"))          # 61 tokens
+    rows.append((100, "big " * 2000, "en"))                # 2000 tokens
+    rows.append((101, "huge " * 1500, "en"))               # 1500 tokens
+    rows.append((102, "   ", "en"))                        # blank: filtered
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    df.coalesce(2).write.parquet(str(tmp_path / "documents.parquet"))
+    row = docs_pack_sequences(spark, str(tmp_path)).collect()[0].asDict()
+    assert row["n_docs_packed"] == 42
+    assert row["n_overflow_docs"] == 2
+    assert row["total_tokens"] == 40 * 61 + 2000 + 1500
+    assert row["budget_respected"] and row["overflow_isolated"]
+    assert row["seqs_within_bound"]
+
+
 def test_pack_sequences_parallel_partitions_unique_ids(spark):
     from hackmd_data_pipeline_spark.operators.packing import pack_sequences
     df = (spark.range(0, 5000).withColumnRenamed("id", "doc_id")

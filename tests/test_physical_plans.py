@@ -162,6 +162,9 @@ _BNLJ_OK = {
     "graph_triangle_stats",        # 1-row scalar-aggregate cross joins
     "docs_lm_perplexity",          # 1-row vocab-size scalar cross join
     "events_resample_ffill",       # 1-row hour-bounds scalar cross join
+    "agg_hll_mergeable",           # 1-row global-exact scalar cross join (r05)
+    "sim_ann_ivf_recall",          # 1-row corpus-recall scalar cross join (r05)
+    "sim_ann_lsh_recall",          # 1-row corpus-recall scalar cross join (r05)
 }
 
 
