@@ -552,3 +552,33 @@ def test_editdistance_small_blocks_pair_across_formatting(spark):
     pairs = {(r.id_a, r.id_b) for r in
              editdistance_pair_edges(df, max_dist=10).collect()}
     assert (1, 2) in pairs
+
+
+def test_derived_partsupp_is_well_defined(spark):
+    """The derived partsupp relation (plans/partsupp.py): pair-distinct
+    by construction, bounded 1..4 suppliers per part, suppkeys inside
+    [1, |supplier|], and qty/cost are pure functions of the pair (so
+    the DISTINCT that absorbs small-S formula collisions cannot pick
+    'one of several' rows). At S=10 (sf0.001) the TPC-H stride formula
+    genuinely collides — the relation must still be well-defined."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.plans.partsupp import derived_partsupp
+
+    for sf, s_cnt, exact_4p in [("sf0.001", 10, False), ("sf0.01", 100, True)]:
+        ps = derived_partsupp(spark, f"/root/testdata/{sf}")
+        rows = ps.collect()
+        pairs = [(r.ps_partkey, r.ps_suppkey) for r in rows]
+        assert len(pairs) == len(set(pairs))
+        assert all(1 <= r.ps_suppkey <= s_cnt for r in rows)
+        assert all(1 <= r.ps_availqty <= 9999 for r in rows)
+        assert all(100 <= r.ps_cost_cents < 100000 for r in rows)
+        assert all(abs(r.ps_supplycost - r.ps_cost_cents / 100.0) == 0.0
+                   for r in rows)
+        per_part = (ps.groupBy("ps_partkey").count()
+                    .agg(F.min("count"), F.max("count")).collect()[0])
+        assert 1 <= per_part[0] and per_part[1] <= 4
+        if exact_4p:
+            n_part = spark.read.parquet(
+                f"/root/testdata/{sf}/part.parquet").count()
+            assert len(rows) == 4 * n_part

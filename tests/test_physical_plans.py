@@ -165,6 +165,9 @@ _BNLJ_OK = {
     "agg_hll_mergeable",           # 1-row global-exact scalar cross join (r05)
     "sim_ann_ivf_recall",          # 1-row corpus-recall scalar cross join (r05)
     "sim_ann_lsh_recall",          # 1-row corpus-recall scalar cross join (r05)
+    "subq_q2_min_cost_supplier",   # 1-row supplier-count scalar cross join (r05)
+    "subq_q11_important_stock",    # 1-row count + 1-row total scalar cross joins
+    "subq_q20_excess_stock",       # 1-row supplier-count scalar cross join (r05)
 }
 
 
