@@ -28,6 +28,23 @@ from hackmd_data_pipeline_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # settle guard (r05, VERDICT r04 "What's wrong" 2: the official
+    # r04 driver artifact was taken at loadavg ~4.6 with test-suite
+    # residue, inflating join-family numbers ~2x vs the settled-host
+    # run of the SAME code). If the 1-min loadavg carries foreign
+    # load, wait — bounded — for it to drain before timing. This must
+    # run BEFORE the Spark session + 32-core warmup (round-5 review):
+    # after warmup the 1-min loadavg is contaminated by the bench's
+    # OWN burst and the guard would sleep on an idle host.
+    settle_max = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_SEC", "180"))
+    settle_threshold = max(2.0, 0.125 * (os.cpu_count() or 8))
+    settled_wait = 0.0
+    while (os.getloadavg()[0] > settle_threshold
+           and settled_wait < settle_max):
+        time.sleep(5)
+        settled_wait += 5
+
     spark = get_spark("bench")
 
     # warmup: JVM + parquet footer caches
@@ -49,19 +66,6 @@ def main() -> None:
     # single-shot numbers on a shared host fold in unrelated load
     # (observed ±50% swings — BASELINE.md), min-of-2 is stable
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
-
-    # settle guard (r05, VERDICT r04 "What's wrong" 2: the official
-    # r04 driver artifact was taken at loadavg ~4.6 with test-suite
-    # residue, inflating join-family numbers ~2x vs the settled-host
-    # run of the SAME code). If the 1-min loadavg still carries
-    # foreign load, wait — bounded — for it to drain before timing.
-    settle_max = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_SEC", "180"))
-    settle_threshold = max(2.0, 0.125 * (os.cpu_count() or 8))
-    settled_wait = 0.0
-    while (os.getloadavg()[0] > settle_threshold
-           and settled_wait < settle_max):
-        time.sleep(5)
-        settled_wait += 5
 
     load_before = os.getloadavg()
     t_run0 = time.perf_counter()

@@ -51,14 +51,42 @@ from pyspark.sql import functions as F
 # table (round-3 ADVICE: the per-invocation eager localCheckpoint ran
 # a Spark job at plan-build time AND left dead checkpoint blocks to
 # accumulate across bench/determinism sweeps). Repeat invocations over
-# the same input reuse ONE materialization; eviction unpersists the
-# checkpointed blocks instead of waiting for JVM GC.
+# the same input reuse ONE materialization.
+#
+# Eviction drops the cache's strong reference ONLY — it must NOT
+# unpersist (round-5 review): frozen frames ESCAPE to callers as the
+# base of returned lazy plans, localCheckpoint severed their lineage,
+# so unpersisting an evicted-but-still-held frame makes the caller's
+# later action throw (use-after-evict; proven by
+# tests/test_operators_unit.py::test_frozen_frame_survives_cache_
+# eviction). Once every holder drops its reference, Spark's weak-value
+# persistent-RDD registry + ContextCleaner reclaim the blocks after
+# GC. Deterministic unpersist is reserved for EXCLUSIVELY-owned
+# frames (operators/freeze.py ownership note; streaming/pipeline.py's
+# per-batch freeze is the example). flush_frozen_cache() exists for
+# session teardown, where the no-living-callers guarantee holds.
 _FROZEN_CACHE: OrderedDict = OrderedDict()
 _FROZEN_CACHE_MAX = 4
 
 
+def flush_frozen_cache(session=None) -> None:
+    """Unpersist every cached frozen frame (for the given session, or
+    all) and clear the cache. Callers must guarantee no returned plan
+    built on a frozen frame will run afterwards — i.e. call this only
+    at session teardown."""
+    from .freeze import unpersist_blocks
+
+    for key in list(_FROZEN_CACHE):
+        sess, _pc, ids = _FROZEN_CACHE[key]
+        if session is None or sess is session:
+            _FROZEN_CACHE.pop(key, None)
+            unpersist_blocks(sess, ids)
+
+
 def _frozen_range_partitioned(df: DataFrame,
                               order_cols: list[Column | str]) -> DataFrame:
+    from .freeze import checkpoint_with_block_ids
+
     nparts = df.sparkSession.sparkContext.defaultParallelism
     try:
         key = (id(df.sparkSession),
@@ -76,38 +104,13 @@ def _frozen_range_partitioned(df: DataFrame,
         if hit is not None:
             _FROZEN_CACHE.pop(key, None)
 
-    # Snapshot the persistent-RDD registry around the checkpoint so we
-    # hold the ids of the blocks localCheckpoint ACTUALLY persisted.
-    # (`df._jdf.rdd()` wraps the internal RDD in a fresh deserializing
-    # RDD — unpersisting that wrapper never frees the checkpoint
-    # blocks; round-4 ADVICE.)
-    jsc = df.sparkSession.sparkContext._jsc
-    try:
-        before = set(jsc.getPersistentRDDs().keySet().toArray())
-    except Exception:
-        before = None
-    pc = (df.repartitionByRange(nparts, *order_cols)
-          .withColumn("_pid", F.spark_partition_id())
-          .localCheckpoint())
-    rdd_ids: tuple = ()
-    if before is not None:
-        try:
-            rdd_ids = tuple(i for i in jsc.getPersistentRDDs().keySet()
-                            .toArray() if i not in before)
-        except Exception:
-            rdd_ids = ()
+    pc, rdd_ids = checkpoint_with_block_ids(
+        df.repartitionByRange(nparts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id()))
     if key is not None:
         _FROZEN_CACHE[key] = (df.sparkSession, pc, rdd_ids)
         while len(_FROZEN_CACHE) > _FROZEN_CACHE_MAX:
-            _, (sess, _old, old_ids) = _FROZEN_CACHE.popitem(last=False)
-            try:
-                jmap = sess.sparkContext._jsc.getPersistentRDDs()
-                for rid in old_ids:
-                    jr = jmap.get(rid)
-                    if jr is not None:
-                        jr.unpersist(False)
-            except Exception:
-                pass  # owning session already stopped
+            _FROZEN_CACHE.popitem(last=False)  # drop ref; see note above
     return pc
 
 

@@ -21,11 +21,18 @@ collapses into one Structured Streaming pipeline:
 Exactly-once across a crash INSIDE a micro-batch (sinks written,
 checkpoint not yet committed — the Lambda-death window the reference
 survives via its pending/processing state machine, arxiv_etl.py:
-181-204): on restart the batch replays, the canonical anti-join drops
-every already-written id (so canonical and history see nothing), and
-the quarantine sink anti-joins on source_path (a replayed file's bad
-rows are already recorded). Driven end-to-end with an injected
-mid-batch kill in tests/test_etl_e2e.py.
+181-204): every sink is SELF-idempotent — canonical and history each
+anti-join the incoming batch against their OWN store's entry_ids
+(bounded lookback), and quarantine anti-joins on source_path. A crash
+between any two sink writes therefore repairs on replay: the
+already-committed sinks drop everything, the missed sinks still see
+their rows as new. (Round-5 review: deriving history from the
+canonical anti-join's survivors shared one dedup authority across
+both sinks, so a crash BETWEEN the canonical and history writes lost
+the batch's history rows forever — the replay found the ids already
+in canonical and wrote nothing anywhere.) Driven end-to-end with
+injected kills both after-all-sinks and between-sinks in
+tests/test_etl_e2e.py.
 """
 
 from __future__ import annotations
@@ -36,7 +43,8 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.ingest import completeness_filter, idempotent_new_rows, to_canonical, to_history
+from ..operators.freeze import checkpoint_with_block_ids, unpersist_blocks
+from ..plans.ingest import completeness_filter, to_canonical, to_history
 from ..schemas import RAW_RECORD_SCHEMA
 from ..sources.writers import write_partitioned_parquet
 
@@ -86,92 +94,85 @@ def run_ingest_stream(spark: SparkSession, raw_path: str, out_root: str,
     )
 
     counts = {"canonical": 0, "history": 0, "quarantine": 0}
+    history_path = f"{out_root}/papers_history"
 
-    def _freeze(df: DataFrame) -> tuple[DataFrame, tuple]:
-        """Eagerly materialize ``df`` via localCheckpoint, returning the
-        ids of the blocks the checkpoint ACTUALLY persisted so the batch
-        can free them when done (``df.rdd`` wraps the internal RDD in a
-        fresh deserializer — unpersisting that wrapper frees nothing).
-
-        Why not ``.persist()``: the canonical plan reads the canonical
-        parquet path (the O-22 anti-join build side), and appending to
-        that path triggers ``refreshByPath``, which BOTH drops the cache
-        entry AND re-lists the file index — so the subsequent history
-        write would recompute the batch against a store that now
-        contains the batch's own rows and silently produce zero history
-        rows. The checkpoint severs the lineage before any sink write.
-        """
-        jsc = spark.sparkContext._jsc
+    def _store_ids(path: str) -> DataFrame | None:
+        """The O-22/O-37 bounded dedup build side for one sink: the
+        store's entry_ids within the lookback window (the reference's
+        6-month in-memory id set, arxiv_collector.py:123-134) —
+        bounded, so it broadcasts at scale. None if the store does
+        not exist yet (first batch)."""
         try:
-            before = set(jsc.getPersistentRDDs().keySet().toArray())
-        except Exception:
-            before = None
-        frozen = df.localCheckpoint()
-        ids: tuple = ()
-        if before is not None:
-            try:
-                ids = tuple(i for i in jsc.getPersistentRDDs().keySet()
-                            .toArray() if i not in before)
-            except Exception:
-                ids = ()
-        return frozen, ids
-
-    def _release(ids: tuple) -> None:
-        try:
-            jmap = spark.sparkContext._jsc.getPersistentRDDs()
-            for rid in ids:
-                jr = jmap.get(rid)
-                if jr is not None:
-                    jr.unpersist(False)
-        except Exception:
-            pass
+            return (
+                spark.read.parquet(path)
+                .filter(F.col("etl_timestamp")
+                        >= F.current_timestamp() - F.expr(f"INTERVAL {lookback}"))
+                .select("entry_id")
+            )
+        except AnalysisException:
+            return None
 
     def handle_batch(batch: DataFrame, epoch_id: int) -> None:
         bad = batch.filter(F.col("_corrupt_record").isNotNull())
         good = batch.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
         good = completeness_filter(good)
         if dedup:
-            # O-23 within-batch first-wins + O-22 cross-batch anti-join
-            # against the canonical store, bounded by the lookback so
-            # the id set broadcasts (first batch: no store yet)
-            try:
-                existing = (
-                    spark.read.parquet(canonical_path)
-                    .filter(F.col("etl_timestamp")
-                            >= F.current_timestamp() - F.expr(f"INTERVAL {lookback}"))
-                    .select("entry_id")
-                )
-                good = idempotent_new_rows(good, F.broadcast(existing))
-            except AnalysisException:  # canonical table not created yet
-                good = good.dropDuplicates(["entry_id"])
-        canonical, frozen_ids = _freeze(
+            # O-23 within-batch first-wins; the cross-batch anti-join
+            # is applied PER SINK below so each sink stays
+            # independently idempotent
+            good = good.dropDuplicates(["entry_id"])
+        # Eagerly materialize the batch via localCheckpoint before any
+        # sink write. Why not ``.persist()``: the anti-join build sides
+        # below read the very parquet paths the sinks append to, and
+        # appending triggers ``refreshByPath``, which BOTH drops the
+        # cache entry AND re-lists the file index — a later sink would
+        # recompute the batch against a store that now contains the
+        # batch's own rows and silently produce zero rows. The
+        # checkpoint severs the lineage first. The batch exclusively
+        # owns the frozen frame, so the deterministic unpersist in the
+        # finally block is safe (operators/freeze.py ownership note).
+        incoming, frozen_ids = checkpoint_with_block_ids(
             to_canonical(good, etl_timestamp=etl_timestamp))
-        history = to_history(canonical)
-
-        counts["canonical"] += canonical.count()
-        counts["history"] += history.count()
-
-        write_partitioned_parquet(canonical, canonical_path,
-                                  partition_cols=("primary_category",))
-        write_partitioned_parquet(history, f"{out_root}/papers_history",
-                                  partition_cols=(), sort_col=None)
-        # Quarantine exactly-once: a batch replayed after a crash
-        # re-presents the SAME whole files, so anti-joining on the
-        # file path drops exactly the already-recorded rows (the
-        # canonical/history sinks get the same property from the
-        # entry_id anti-join above).
-        bad = bad.select("source_path", "_corrupt_record")
         try:
-            seen = (spark.read.parquet(quarantine_path)
-                    .select("source_path").distinct())
-            bad = bad.join(F.broadcast(seen), "source_path", "left_anti")
-        except AnalysisException:
-            pass  # quarantine table not created yet
-        nbad = bad.count()
-        counts["quarantine"] += nbad
-        if nbad:
-            bad.write.mode("append").parquet(quarantine_path)
-        _release(frozen_ids)
+            canonical, history_src = incoming, incoming
+            if dedup:
+                c_ids = _store_ids(canonical_path)
+                if c_ids is not None:
+                    canonical = incoming.join(F.broadcast(c_ids),
+                                              "entry_id", "left_anti")
+                h_ids = _store_ids(history_path)
+                if h_ids is not None:
+                    history_src = incoming.join(F.broadcast(h_ids),
+                                                "entry_id", "left_anti")
+            history = to_history(history_src)
+
+            counts["canonical"] += canonical.count()
+            counts["history"] += history.count()
+
+            write_partitioned_parquet(canonical, canonical_path,
+                                      partition_cols=("primary_category",))
+            write_partitioned_parquet(history, history_path,
+                                      partition_cols=(), sort_col=None)
+            # Quarantine exactly-once: a batch replayed after a crash
+            # re-presents the SAME whole files, so anti-joining on the
+            # file path drops exactly the already-recorded rows (the
+            # canonical/history sinks get the same property from their
+            # own entry_id anti-joins above).
+            bad = bad.select("source_path", "_corrupt_record")
+            try:
+                seen = (spark.read.parquet(quarantine_path)
+                        .select("source_path").distinct())
+                bad = bad.join(F.broadcast(seen), "source_path", "left_anti")
+            except AnalysisException:
+                pass  # quarantine table not created yet
+            nbad = bad.count()
+            counts["quarantine"] += nbad
+            if nbad:
+                bad.write.mode("append").parquet(quarantine_path)
+        finally:
+            # release even when a sink throws — a retried/failed batch
+            # must not leak its checkpoint blocks
+            unpersist_blocks(spark, frozen_ids)
         if batch_hook is not None:
             batch_hook(epoch_id)
 

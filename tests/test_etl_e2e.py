@@ -86,7 +86,7 @@ FIXTURE = {
     ],
 }
 
-# 14 fetched records, minus 1 cross-category dup, minus 1 incomplete:
+# 15 fetched records, minus 1 cross-category dup, minus 1 incomplete:
 N_CANONICAL = 13
 # exact-dup pair loses 1 (curate), near-dup trio loses 2 (resolve),
 # short + lowstop lose 2 (curate):

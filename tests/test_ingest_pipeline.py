@@ -170,6 +170,56 @@ def test_streaming_ingest_exactly_once(spark, raw_dir, tmp_path):
     assert spark.read.parquet(f"{out}/papers").count() == 10
 
 
+def test_streaming_ingest_crash_between_sinks(spark, tmp_path, monkeypatch):
+    """Round-5 review fix: a crash BETWEEN the canonical write and the
+    history write must repair on replay. The old form derived history
+    from the canonical anti-join's survivors, so the replay found the
+    ids already in canonical and wrote history NOWHERE — the audit
+    rows were lost forever. Each sink now anti-joins its OWN store;
+    here the history write is made to crash after canonical committed,
+    and the restarted stream must backfill exactly the missing history
+    rows (no canonical dups, no history dups, no gaps)."""
+    import gzip
+
+    from hackmd_data_pipeline_spark.streaming import pipeline as P
+
+    raw = tmp_path / "raw_bs"
+    raw.mkdir()
+    out, ckpt = str(tmp_path / "out_bs"), str(tmp_path / "ckpt_bs")
+    with gzip.open(raw / "file_a.jsonl.gz", "wt", encoding="utf-8") as f:
+        f.write("\n".join(json.dumps(_record(i)) for i in range(6)) + "\n")
+
+    real_write = P.write_partitioned_parquet
+
+    def crash_on_history(df, path, **kw):
+        if path.endswith("papers_history"):
+            raise RuntimeError("simulated crash before history commit")
+        return real_write(df, path, **kw)
+
+    monkeypatch.setattr(P, "write_partitioned_parquet", crash_on_history)
+    try:
+        run_ingest_stream(spark, str(raw), out, ckpt)
+    except Exception:
+        pass  # the injected crash propagates out of the stream
+    # canonical committed, history did not, checkpoint not advanced
+    assert spark.read.parquet(f"{out}/papers").count() == 6
+    with pytest.raises(Exception):
+        spark.read.parquet(f"{out}/papers_history").count()
+
+    monkeypatch.setattr(P, "write_partitioned_parquet", real_write)
+    counts = run_ingest_stream(spark, str(raw), out, ckpt)
+    # replay: canonical self-anti-join drops all 6, history backfills
+    assert counts["canonical"] == 0
+    assert counts["history"] == 6
+    papers = spark.read.parquet(f"{out}/papers")
+    hist = spark.read.parquet(f"{out}/papers_history")
+    assert papers.count() == 6 and hist.count() == 6
+    assert papers.select("entry_id").distinct().count() == 6
+    assert hist.select("entry_id").distinct().count() == 6
+    assert (papers.select("entry_id")
+            .exceptAll(hist.select("entry_id")).count()) == 0
+
+
 def test_streaming_ingest_cross_batch_dedup(spark, tmp_path):
     """A duplicate entry_id arriving in a LATER raw file (a new
     micro-batch) must not be appended again — the reference's ON

@@ -334,35 +334,53 @@ def test_attach_running_total_matches_reference_and_deterministic(spark):
         assert tot == total and cnt == len(rows)
 
 
-def test_frozen_cache_eviction_releases_checkpoint_blocks(spark):
-    """LRU eviction must unpersist the RDD localCheckpoint ACTUALLY
-    persisted (round-4 ADVICE: `df._jdf.rdd()` wraps the internal RDD
-    in a fresh deserializing RDD, so unpersisting the wrapper never
-    freed the blocks). Freeze distinct inputs past the cache capacity
-    and assert the evicted entries' recorded RDD ids have left the
-    JVM persistent-RDD registry."""
+def test_frozen_frame_survives_cache_eviction(spark):
+    """Eviction must NOT unpersist (round-5 review): frozen frames
+    escape to callers as the base of returned lazy plans and
+    localCheckpoint severed their lineage, so an unpersist-on-evict
+    makes a caller's later action throw. Hold the FIRST frozen frame,
+    force it out of the LRU with _FROZEN_CACHE_MAX+1 fresh freezes,
+    then execute the held frame — it must still produce its rows."""
+    from hackmd_data_pipeline_spark.operators import prefix as P
+
+    P._FROZEN_CACHE.clear()
+    held = P._frozen_range_partitioned(
+        spark.range(50).withColumnRenamed("id", "v"), [F.col("v")])
+    for i in range(P._FROZEN_CACHE_MAX + 1):
+        df = spark.range(60 + i).withColumnRenamed("id", "v")
+        P._frozen_range_partitioned(df, [F.col("v")]).count()
+    assert len(P._FROZEN_CACHE) == P._FROZEN_CACHE_MAX
+    # the held frame was evicted from the cache but must still run
+    assert held.count() == 50
+    P._FROZEN_CACHE.clear()
+
+
+def test_flush_frozen_cache_releases_checkpoint_blocks(spark):
+    """Deterministic block release lives in flush_frozen_cache()
+    (session-teardown scope, where no caller can still hold a frozen
+    frame): after the flush the recorded RDD ids have left the JVM
+    persistent-RDD registry. (Round-4 ADVICE follow-up: the snapshot
+    helper records the ids localCheckpoint ACTUALLY persisted —
+    `df._jdf.rdd()` wraps the internal RDD in a fresh deserializing
+    RDD, so unpersisting the wrapper never freed anything.)"""
     from hackmd_data_pipeline_spark.operators import prefix as P
 
     P._FROZEN_CACHE.clear()
     frozen_ids = []
-    for i in range(P._FROZEN_CACHE_MAX + 2):
+    for i in range(3):
         df = spark.range(50 + i).withColumnRenamed("id", "v")
         P._frozen_range_partitioned(df, [F.col("v")]).count()
         _, _, rdd_ids = next(reversed(P._FROZEN_CACHE.values()))
         assert rdd_ids, "freeze did not record any persisted RDD id"
         frozen_ids.append(rdd_ids)
 
+    P.flush_frozen_cache(spark)
+    assert not P._FROZEN_CACHE
     live = set(spark.sparkContext._jsc.getPersistentRDDs()
                .keySet().toArray())
-    evicted = frozen_ids[:2]          # capacity 4, 6 freezes → first 2 out
-    retained = frozen_ids[2:]
-    for ids in evicted:
+    for ids in frozen_ids:
         assert not (set(ids) & live), (
-            f"evicted checkpoint blocks still persisted: {ids}")
-    for ids in retained:
-        assert set(ids) <= live, (
-            f"retained entry's blocks were dropped: {ids}")
-    P._FROZEN_CACHE.clear()
+            f"flushed checkpoint blocks still persisted: {ids}")
 
 
 def test_attach_running_total_empty_and_single_row(spark):

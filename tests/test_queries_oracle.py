@@ -72,8 +72,9 @@ def test_rows_only_runs(spark, name):
 # tolerance/rank band, and the DuckDB oracle restates exact + TRUE.
 # The pytest side therefore asserts the booleans directly (the
 # estimate columns no longer appear in the output) at BOTH sf0.01 and
-# sf0.001, plus one independent spot check per family so a
-# trivially-TRUE boolean bug cannot hide.
+# sf0.001, plus one independent spot check per QUERY (all six) that
+# recomputes estimate + exact + tolerance with test-local expressions,
+# so a trivially-TRUE boolean bug cannot hide.
 
 SKETCH_BOOL_COLS = {
     "agg_approx_distinct": ["parts_within_tol", "orders_within_tol"],
@@ -110,6 +111,108 @@ def test_hll_mergeable_global_row_is_true_union(spark):
     assert rows["ALL"].n_rows is None
     per_group_sum = sum(r.exact_uniques for k, r in rows.items() if k != "ALL")
     assert rows["ALL"].exact_uniques <= per_group_sum  # union <= sum
+
+
+def test_approx_distinct_tolerance_holds_independently(spark):
+    """Independent spot check: recompute the HLL++ estimate AND the
+    exact cardinalities straight off lineitem with test-local
+    expressions and assert the 10%+2 tolerance the query's booleans
+    encode actually holds — a builder bug that makes the booleans
+    trivially TRUE (e.g. comparing a column to itself) cannot pass."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.tables import load_table
+    row = REGISTRY["agg_approx_distinct"].builder(spark, SF_CORRECT).collect()[0]
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    ind = li.agg(
+        F.countDistinct("l_partkey").alias("xp"),
+        F.countDistinct("l_orderkey").alias("xo"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("ap"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("ao")).collect()[0]
+    assert row.exact_parts == ind.xp and row.exact_orders == ind.xo
+    assert abs(ind.ap - ind.xp) <= 0.1 * ind.xp + 2
+    assert abs(ind.ao - ind.xo) <= 0.1 * ind.xo + 2
+
+
+def test_approx_percentiles_band_holds_independently(spark):
+    """Independent spot check: recompute the sketch estimates and the
+    exact p±2% rank band per group with test-local expressions; every
+    estimate must genuinely sit inside its band, and the query's
+    emitted exact percentiles must match the direct recompute."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.tables import load_table
+    got = {r.o_orderpriority: r for r in
+           REGISTRY["agg_approx_percentiles"].builder(spark, SF_CORRECT).collect()}
+    o = load_table(spark, SF_CORRECT, "orders")
+    ps = (0.25, 0.50, 0.75, 0.95)
+    ind = o.groupBy("o_orderpriority").agg(
+        F.approx_percentile("o_totalprice",
+                            F.array(*(F.lit(p) for p in ps)),
+                            F.lit(1000)).alias("est"),
+        F.percentile("o_totalprice",
+                     F.array(*(F.lit(p) for p in ps))).alias("ex"),
+        F.percentile("o_totalprice",
+                     F.array(*(F.lit(p - 0.02) for p in ps))).alias("lo"),
+        F.percentile("o_totalprice",
+                     F.array(*(F.lit(min(p + 0.02, 1.0)) for p in ps)))
+        .alias("hi")).collect()
+    assert {r.o_orderpriority for r in ind} == set(got)
+    for r in ind:
+        for i, alias in enumerate(("p25", "p50", "p75", "p95")):
+            assert r.lo[i] - 1e-6 <= r.est[i] <= r.hi[i] + 1e-6, (
+                r.o_orderpriority, alias, r.est[i], r.lo[i], r.hi[i])
+            assert got[r.o_orderpriority][alias] == round(r.ex[i], 2)
+
+
+def test_kll_quantiles_band_holds_independently(spark):
+    """Independent spot check (randomized-sketch exemption: the ±5%
+    rank band makes a violation astronomically unlikely even though
+    KLL compaction flips real random bits): a fresh test-local KLL
+    build must land inside the exact p±5% rank band per event type,
+    and the query's exact quantiles must match the direct recompute."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.tables import load_table
+    got = {r.event_type: r for r in
+           REGISTRY["agg_kll_quantiles"].builder(spark, SF_CORRECT).collect()}
+    ev = load_table(spark, SF_CORRECT, "events")
+    ps, eps = (0.50, 0.90, 0.99), 0.05
+    ind = ev.groupBy("event_type").agg(
+        F.expr("kll_sketch_get_quantile_double("
+               "kll_sketch_agg_double(value), array(0.5D, 0.9D, 0.99D))")
+        .alias("est"),
+        F.percentile("value", F.array(*(F.lit(p) for p in ps))).alias("ex"),
+        F.percentile("value",
+                     F.array(*(F.lit(p - eps) for p in ps))).alias("lo"),
+        F.percentile("value",
+                     F.array(*(F.lit(min(p + eps, 1.0)) for p in ps)))
+        .alias("hi")).collect()
+    assert {r.event_type for r in ind} == set(got)
+    for r in ind:
+        for i, alias in enumerate(("p50", "p90", "p99")):
+            assert r.lo[i] - 1e-6 <= r.est[i] <= r.hi[i] + 1e-6, (
+                r.event_type, alias, r.est[i], r.lo[i], r.hi[i])
+            assert got[r.event_type][alias] == round(r.ex[i], 2)
+
+
+def test_theta_sketch_tolerance_holds_independently(spark):
+    """Independent spot check: recompute the theta estimate and exact
+    per-source distinct docs with test-local expressions and assert
+    the 5%+2 tolerance genuinely holds."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.tables import load_table
+    got = {r.source: r for r in
+           REGISTRY["agg_theta_sketch_distinct"].builder(spark, SF_CORRECT).collect()}
+    d = load_table(spark, SF_CORRECT, "documents")
+    ind = d.groupBy("source").agg(
+        F.expr("theta_sketch_estimate(theta_sketch_agg(doc_id))").alias("est"),
+        F.countDistinct("doc_id").alias("exact")).collect()
+    assert {r.source for r in ind} == set(got)
+    for r in ind:
+        assert got[r.source].exact_distinct_docs == r.exact
+        assert abs(r.est - r.exact) <= 0.05 * r.exact + 2, (r.source, r.est)
 
 
 def test_topk_terms_are_true_heavy_hitters(spark):
