@@ -9,5 +9,6 @@ from . import extensions  # noqa: E402,F401
 from . import subqueries  # noqa: E402,F401
 from . import partsupp  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
+from . import membership  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

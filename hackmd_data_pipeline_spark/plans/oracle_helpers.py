@@ -556,3 +556,16 @@ def minhash_cluster_oracle(threshold: float = 0.5) -> str:
            (MIN(r) = id) AS is_canonical
     FROM reach GROUP BY id ORDER BY doc_id
     """)
+
+
+def km_pos_expr(h_col: str, i_expr: str, num_slots: int) -> str:
+    """Kirsch-Mitzenmacher probe position ``(h1 + i*h2) % num_slots``
+    over a UBIGINT hash column — the SQL twin of
+    operators/membership.py::km_positions (h1 = high 32 bits, h2 = low
+    32 bits forced odd). All operands stay < 2^36, so plain UBIGINT
+    arithmetic restates Spark's signed-long form exactly (both sides
+    operate on non-negative values; pinned by
+    tests/test_membership.py::test_km_positions_sql_parity)."""
+    return (f"CAST((({h_col} >> 32) + CAST({i_expr} AS UBIGINT) * "
+            f"(({h_col} & CAST(4294967295 AS UBIGINT)) | CAST(1 AS UBIGINT))) "
+            f"% CAST({num_slots} AS UBIGINT) AS BIGINT)")
