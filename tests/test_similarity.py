@@ -307,3 +307,83 @@ def test_rebalance_null_lang_group_matches_oracle(spark, tmp_path):
     assert None in langs, "NULL-lang group must be reported"
     null_row = next(g for g in got if g[0] is None)
     assert null_row[1] == 15 and 0 < null_row[2] <= 15
+
+
+def test_ivfpq_recall_and_refined_scores(spark):
+    """IVF-PQ with the default (16,6,refine=4) geometry must match
+    plain IVF's recall (quantization costs nothing after the exact
+    refine), and every returned cosine must equal the exact value —
+    refinement rescoring reads the TRUE vectors."""
+    from hackmd_data_pipeline_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = brute_force_topk(emb, queries, k=10)
+    approx = ivfpq_topk(emb, queries, k=10)
+
+    exact_set = {(r.query_id, r.vec_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF-PQ recall {recall:.2f} below contract"
+
+    joined = (approx.withColumnRenamed("cosine", "c_approx")
+              .join(exact.withColumnRenamed("cosine", "c_exact"),
+                    ["query_id", "vec_id"]))
+    assert joined.filter(
+        F.abs(F.col("c_approx") - F.col("c_exact")) > 1e-9).count() == 0
+
+
+def test_ivfpq_adc_mode_and_code_compression(spark):
+    """refine=0 returns the raw ADC ranking (approx_cosine), whose
+    candidate scan never touches the float column; codebooks are
+    seed-deterministic and codes fit ``nbits`` bits."""
+    import numpy as np
+
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        _bounded_sample,
+        _train_pq_books,
+        _train_quantizer,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    adc = ivfpq_topk(emb, queries, k=10, refine=0)
+    assert "approx_cosine" in adc.columns
+    rows = adc.collect()
+    assert len(rows) == 30 and all(r["rank"] <= 10 for r in rows)
+
+    sample = _bounded_sample(emb, "embedding")
+    cents = _train_quantizer(emb, 16, "embedding", sample=sample)
+    b1 = _train_pq_books(sample, cents, 16, 6, seed=42)
+    b2 = _train_pq_books(sample, cents, 16, 6, seed=42)
+    assert all(np.array_equal(x, y) for x, y in zip(b1, b2))
+    assert all(b.shape == (64, 4) for b in b1)  # 2^6 codewords, dim/16
+
+
+def test_ivfpq_finds_planted_neighbors(spark):
+    """Planted near-duplicates (cosine > 0.99) must surface as the top
+    hit through the full code path: encode -> probe -> ADC -> refine."""
+    import numpy as np
+
+    from hackmd_data_pipeline_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    base = emb.limit(3).collect()
+    rng = np.random.default_rng(7)
+    qrows = [(int(r.vec_id) + 5_000_000,
+              [float(x) + float(e) for x, e in
+               zip(r.embedding, rng.normal(0, 1e-3, len(r.embedding)))])
+             for r in base]
+    queries = spark.createDataFrame(
+        qrows, "query_id long, embedding array<double>")
+    hits = ivfpq_topk(emb, queries, k=10)
+    top1 = {r.query_id: (r.vec_id, r.cosine)
+            for r in hits.collect() if r["rank"] == 1}
+    for r in base:
+        planted = int(r.vec_id) + 5_000_000
+        assert planted in top1
+        assert top1[planted][0] == r.vec_id
+        assert top1[planted][1] > 0.99
