@@ -326,14 +326,11 @@ def append_rollup_delta(batch: DataFrame, dest: str, epoch_id: int,
     delta.write.mode("overwrite").parquet(f"{dest}/deltas/epoch={epoch_id}")
 
 
-def read_rollup(spark: SparkSession, dest: str, kind: str = "plain",
-                key_cols: Sequence[str] = ("event_type",)) -> DataFrame:
-    """Merged view over (active generation) + (pending deltas).
-
-    Read cost grows with the number of un-compacted deltas — run
-    ``compact_rollup`` periodically (its absence never affects
-    correctness, only read amplification)."""
-    assert kind in _ROLLUP_KINDS
+def _store_parts(spark: SparkSession, dest: str) -> list[DataFrame]:
+    """(active generation data) + (pending delta frames) of any
+    delta-epoch store using this layout — the raw parts a store's
+    merge fn folds. Layout-generic: also backs the streaming Bloom
+    membership store (streaming/membership.py)."""
     from ..sources.fs import fs_exists
 
     gen = _active_gen(spark, dest)
@@ -345,6 +342,19 @@ def read_rollup(spark: SparkSession, dest: str, kind: str = "plain",
         parts.append(spark.read.parquet(f"{dest}/gen-{gen}/data"))
     parts.extend(spark.read.parquet(f"{dest}/deltas/epoch={e}")
                  for e in pending)
+    return parts
+
+
+def read_rollup(spark: SparkSession, dest: str, kind: str = "plain",
+                key_cols: Sequence[str] = ("event_type",)) -> DataFrame:
+    """Merged view over (active generation) + (pending deltas).
+
+    Read cost grows with the number of un-compacted deltas — run
+    ``compact_rollup`` periodically (its absence never affects
+    correctness, only read amplification)."""
+    assert kind in _ROLLUP_KINDS
+
+    parts = _store_parts(spark, dest)
     if not parts:
         raise ValueError(f"empty rollup store at {dest}")
     df = parts[0]
@@ -353,13 +363,12 @@ def read_rollup(spark: SparkSession, dest: str, kind: str = "plain",
     return _rollup_merge(df, kind, key_cols)
 
 
-def compact_rollup(spark: SparkSession, dest: str, kind: str = "plain",
-                   key_cols: Sequence[str] = ("event_type",)) -> dict:
-    """Fold pending deltas into a new generation and flip the pointer.
-
-    Safe to crash anywhere (see layout comment) and safe to re-run;
-    returns {'gen': new_gen, 'absorbed': n_epochs_total}."""
-    assert kind in _ROLLUP_KINDS
+def _compact_generic(spark: SparkSession, dest: str, read_fn) -> dict:
+    """Generation-flip compaction core, shared by every delta-epoch
+    store: fold the merged view (``read_fn()``) into gen-<k+1>, write
+    the absorbed-epoch ledger, flip the ``_current`` pointer, clean
+    stale dirs. Crash-safe at every boundary (see layout comment) and
+    idempotent to re-runs."""
     from ..sources.fs import fs_write_text
 
     gen = _active_gen(spark, dest)
@@ -369,7 +378,7 @@ def compact_rollup(spark: SparkSession, dest: str, kind: str = "plain",
         _cleanup_rollup(spark, dest, gen, absorbed)
         return {"gen": gen, "absorbed": len(absorbed)}
 
-    merged = read_rollup(spark, dest, kind, key_cols).localCheckpoint(
+    merged = read_fn().localCheckpoint(
         eager=True)  # materialize BEFORE touching directories
     new_gen = gen + 1
     merged.write.mode("overwrite").parquet(f"{dest}/gen-{new_gen}/data")
@@ -380,6 +389,17 @@ def compact_rollup(spark: SparkSession, dest: str, kind: str = "plain",
     fs_write_text(spark, dest + "/_current", f"gen-{new_gen}")
     _cleanup_rollup(spark, dest, new_gen, set(all_epochs))
     return {"gen": new_gen, "absorbed": len(all_epochs)}
+
+
+def compact_rollup(spark: SparkSession, dest: str, kind: str = "plain",
+                   key_cols: Sequence[str] = ("event_type",)) -> dict:
+    """Fold pending deltas into a new generation and flip the pointer.
+
+    Safe to crash anywhere (see layout comment) and safe to re-run;
+    returns {'gen': new_gen, 'absorbed': n_epochs_total}."""
+    assert kind in _ROLLUP_KINDS
+    return _compact_generic(
+        spark, dest, lambda: read_rollup(spark, dest, kind, key_cols))
 
 
 def _cleanup_rollup(spark: SparkSession, dest: str, active_gen: int,
