@@ -628,14 +628,36 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     (16,6) to 0.60 — the nprobe ceiling (plain IVF measures the same
     0.60 here), so quantization costs no recall after refinement.
     """
-    import numpy as np
-    import pandas as pd
-
     sample = _bounded_sample(corpus, vec_col)
     cents = _train_quantizer(corpus, nlist, vec_col, seed=seed, sample=sample)
     books = _train_pq_books(sample, cents, m_sub, nbits, seed=seed)
-    dim = cents.shape[1]
-    dsub = dim // m_sub
+
+    encoded = _pq_encoded(corpus, cents, books, id_col, vec_col)
+    cent_df = _centroid_df(corpus.sparkSession, cents)
+    probe = _pq_probe(queries, cent_df, nprobe, query_id_col, vec_col)
+    cand = (encoded.join(F.broadcast(probe), "cell")
+            .filter(F.col(id_col) != F.col(query_id_col))
+            .select(query_id_col, "_qvec", id_col, "cell", "codes"))
+    scored = _adc_scores(cand, cents, books, query_id_col, id_col)
+    return _pq_finish(scored, corpus, queries, k, refine, id_col, vec_col,
+                      query_id_col)
+
+
+def _centroid_df(spark: SparkSession, cents) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(i), [float(v) for v in c]) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>")
+
+
+def _pq_encoded(corpus: DataFrame, cents, books, id_col: str,
+                vec_col: str) -> DataFrame:
+    """One vectorized encode pass: ``id | cell | codes`` (m_sub int
+    codes per row — the entire stored representation)."""
+    import numpy as np
+    import pandas as pd
+
+    m_sub = len(books)
+    dsub = cents.shape[1] // m_sub
 
     def encode(batches):
         for pdf in batches:
@@ -657,27 +679,36 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 "codes": list(codes),
             })
 
-    encoded = corpus.select(id_col, vec_col).mapInPandas(
+    return corpus.select(id_col, vec_col).mapInPandas(
         encode, schema=f"{id_col} long, cell int, codes array<int>")
 
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
-        [(int(i), [float(v) for v in c]) for i, c in enumerate(cents)],
-        "cell int, centroid array<double>")
+
+def _pq_probe(queries: DataFrame, cent_df: DataFrame, nprobe: int,
+              query_id_col: str, vec_col: str) -> DataFrame:
+    """nprobe nearest cells per query: ``query_id | _qvec | cell``."""
     qc = (
         queries.crossJoin(F.broadcast(cent_df))
         .select(query_id_col, F.col(vec_col).alias("_qvec"), "cell",
                 cosine(F.col("_qvec"), F.col("centroid")).alias("_ccos"))
     )
     wq = W.partitionBy(query_id_col).orderBy(F.col("_ccos").desc(), F.col("cell"))
-    probe = (
+    return (
         qc.withColumn("_r", F.row_number().over(wq)).filter(F.col("_r") <= nprobe)
         .select(query_id_col, _as_double(F.col("_qvec")).alias("_qvec"), "cell")
     )
 
-    cand = (encoded.join(F.broadcast(probe), "cell")
-            .filter(F.col(id_col) != F.col(query_id_col))
-            .select(query_id_col, "_qvec", id_col, "cell", "codes"))
+
+def _adc_scores(cand: DataFrame, cents, books, query_id_col: str,
+                id_col: str) -> DataFrame:
+    """Asymmetric distance computation over candidate code rows: per
+    query the kernel builds the (m_sub x ncode) subvector-dot lookup
+    table ONCE, then each candidate's approximate cosine is one table
+    gather + sum — the float vectors are never touched."""
+    import numpy as np
+    import pandas as pd
+
+    m_sub = len(books)
+    dsub = cents.shape[1] // m_sub
 
     def adc_score(batches):
         luts: dict = {}  # query_id -> (LUT, per-cell centroid dots)
@@ -708,8 +739,17 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 "_score": np.concatenate(out_s),
             })
 
-    scored = cand.mapInPandas(
+    return cand.mapInPandas(
         adc_score, schema=f"{query_id_col} long, {id_col} long, _score double")
+
+
+def _pq_finish(scored: DataFrame, corpus: DataFrame, queries: DataFrame,
+               k: int, refine: int, id_col: str, vec_col: str,
+               query_id_col: str) -> DataFrame:
+    """Top-k off the ADC ranking; with ``refine`` the top k*refine are
+    exactly re-ranked against their true vectors (the float column is
+    read for shortlist rows only, via a broadcast semi-join — never
+    materialized corpus-wide)."""
     w = W.partitionBy(query_id_col).orderBy(F.col("_score").desc(), F.col(id_col))
     if not refine:
         return (
@@ -720,10 +760,6 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .orderBy(query_id_col, "rank")
         )
 
-    # exact re-rank of the ADC shortlist: k*refine ids per query is a
-    # tiny frame — broadcast it INTO the corpus scan so the float
-    # vectors are read for shortlist rows only (semi-join pushdown),
-    # never materialized corpus-wide
     shortlist = (scored.withColumn("_r", F.row_number().over(w))
                  .filter(F.col("_r") <= k * refine)
                  .select(query_id_col, id_col))
@@ -745,3 +781,80 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 F.round(F.col("_cos"), 6).alias("cosine"), "rank")
         .orderBy(query_id_col, "rank")
     )
+
+
+def build_ivfpq_index(corpus: DataFrame, dest: str, nlist: int = 16,
+                      m_sub: int = 16, nbits: int = 6,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      seed: int = 42) -> None:
+    """Persist an IVF-PQ index: the COMPRESSED form of
+    ``build_ivf_index`` — ``dest/data/cell=<c>/`` holds only
+    ``id | codes`` rows (m_sub ints instead of the float vector: the
+    on-disk index shrinks ~16x at dim=64, the difference between an
+    index that fits cluster RAM and one that doesn't), with
+    ``dest/centroids`` and ``dest/codebooks`` carrying the kilobytes
+    of trained state. Partition pruning on ``cell`` is still the
+    index lookup; refinement reads the SOURCE table for shortlist ids
+    (faiss RefineFlat posture: the index never duplicates the
+    corpus)."""
+    sample = _bounded_sample(corpus, vec_col)
+    cents = _train_quantizer(corpus, nlist, vec_col, seed=seed, sample=sample)
+    books = _train_pq_books(sample, cents, m_sub, nbits, seed=seed)
+
+    (_pq_encoded(corpus, cents, books, id_col, vec_col)
+     .write.partitionBy("cell").mode("overwrite").parquet(dest + "/data"))
+
+    spark = corpus.sparkSession
+    _centroid_df(spark, cents).coalesce(1).write.mode("overwrite").parquet(
+        dest + "/centroids")
+    spark.createDataFrame(
+        [(j, int(c), [float(v) for v in books[j][c]])
+         for j in range(len(books)) for c in range(len(books[j]))],
+        "j int, code int, vec array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(dest + "/codebooks")
+
+
+def _load_codebooks(spark: SparkSession, index_path: str):
+    import numpy as np
+
+    rows = spark.read.parquet(index_path + "/codebooks").collect()
+    m_sub = 1 + max(r.j for r in rows)
+    books = []
+    for j in range(m_sub):
+        entries = sorted((r for r in rows if r.j == j), key=lambda r: r.code)
+        books.append(np.asarray([e.vec for e in entries], dtype=np.float64))
+    return books
+
+
+def ivfpq_search_index(spark: SparkSession, index_path: str,
+                       queries: DataFrame, corpus: DataFrame | None = None,
+                       k: int = 10, nprobe: int = 4, refine: int = 4,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       query_id_col: str = "query_id") -> DataFrame:
+    """Top-k search against a persisted IVF-PQ index. Probed cells
+    become an IN-list on the partition column (partition pruning reads
+    nprobe directories of CODE rows); ADC ranks them; with ``refine``
+    the shortlist is exactly re-ranked against ``corpus`` (the source
+    table — required when refine > 0, since the index stores no float
+    vectors)."""
+    import numpy as np
+
+    if refine and corpus is None:
+        raise ValueError("refine > 0 needs the source corpus to re-rank "
+                         "against (the PQ index stores codes only)")
+    cent_df = spark.read.parquet(index_path + "/centroids")
+    cents = np.asarray(
+        [r.centroid for r in sorted(cent_df.collect(), key=lambda r: r.cell)],
+        dtype=np.float64)
+    books = _load_codebooks(spark, index_path)
+
+    probe = _pq_probe(queries, cent_df, nprobe, query_id_col, vec_col)
+    cells = [int(r.cell) for r in probe.select("cell").distinct().collect()]
+    data = (spark.read.parquet(index_path + "/data")
+            .filter(F.col("cell").isin(cells)))   # -> partition pruning
+    cand = (data.join(F.broadcast(probe), "cell")
+            .filter(F.col(id_col) != F.col(query_id_col))
+            .select(query_id_col, "_qvec", id_col, "cell", "codes"))
+    scored = _adc_scores(cand, cents, books, query_id_col, id_col)
+    return _pq_finish(scored, corpus, queries, k, refine, id_col, vec_col,
+                      query_id_col)

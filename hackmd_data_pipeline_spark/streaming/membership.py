@@ -92,3 +92,54 @@ def maintain_bloom_stream(stream: DataFrame, dest: str, checkpoint: str,
             b, dest, e, F.col(key_col), num_bits, num_hashes))
         .start()
     )
+
+
+# ---------------------------------------------------------------- #
+# Count-min frequency store — the second mergeable ingest sketch.   #
+# Unlike the Bloom bits, the cellwise-SUM merge is NOT idempotent,  #
+# so replay safety rests entirely on the epoch-keyed overwrite (the #
+# same argument as rollup kind='plain'): a retried epoch rewrites   #
+# its own delta directory, and the ledger keeps an epoch from being #
+# double-absorbed across compactions.                               #
+# ---------------------------------------------------------------- #
+
+def append_cms_delta(batch: DataFrame, dest: str, epoch_id: int,
+                     key: Column, weight: Column, depth: int,
+                     width: int) -> None:
+    """Write one micro-batch's count-min counter table (j | pos | cnt,
+    <= depth x width rows) as an epoch-keyed delta."""
+    from ..operators.membership import cms_build
+
+    ctr = cms_build(batch, key, weight, depth, width)
+    ctr.write.mode("overwrite").parquet(f"{dest}/deltas/epoch={epoch_id}")
+
+
+def read_cms_counters(spark: SparkSession, dest: str) -> DataFrame:
+    """Merged counter table over (active generation) + (pending
+    deltas): cellwise sum, <= depth x width rows at any history."""
+    parts = _store_parts(spark, dest)
+    if not parts:
+        raise ValueError(f"empty cms store at {dest}")
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df.groupBy("j", "pos").agg(F.sum("cnt").alias("cnt"))
+
+
+def compact_cms(spark: SparkSession, dest: str) -> dict:
+    """Fold pending counter deltas into a new generation (same
+    crash-window guarantees as compact_rollup — shared core)."""
+    return _compact_generic(spark, dest,
+                            lambda: read_cms_counters(spark, dest))
+
+
+def cms_estimate_batch(keys: DataFrame, dest: str, key: Column,
+                       depth: int, width: int,
+                       out_col: str = "cms_est") -> DataFrame:
+    """All-time frequency estimates for ``keys`` against the persisted
+    store — one broadcast of the merged counter table, no raw-history
+    read."""
+    from ..operators.membership import cms_estimate
+
+    counters = read_cms_counters(keys.sparkSession, dest)
+    return cms_estimate(keys, counters, key, depth, width, out_col)

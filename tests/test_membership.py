@@ -269,3 +269,44 @@ def test_bloom_store_from_stream(spark, tmp_path):
     expect = _bits_set(bloom_build(_keys_df(spark, range(150)),
                                    F.col("k"), m, k))
     assert _bits_set(read_bloom_bits(spark, dest)) == expect
+
+
+def test_cms_store_equals_single_pass_and_replay_safe(spark, tmp_path):
+    """Epoch CMS deltas merged by the store == one sketch over the
+    concatenated batches; an epoch replay (non-idempotent SUM merge!)
+    is absorbed by the epoch-keyed overwrite; compaction + a
+    post-compact delta keep estimates exact for absorbed keys."""
+    from hackmd_data_pipeline_spark.streaming.membership import (
+        append_cms_delta,
+        cms_estimate_batch,
+        compact_cms,
+        read_cms_counters,
+    )
+
+    d, w = 4, 256
+    dest = str(tmp_path / "cms")
+    a = _keys_df(spark, range(100)).select("k", F.lit(2).alias("w"))
+    b = _keys_df(spark, range(50, 150)).select("k", F.lit(3).alias("w"))
+
+    append_cms_delta(a, dest, 0, F.col("k"), F.col("w"), d, w)
+    append_cms_delta(b, dest, 1, F.col("k"), F.col("w"), d, w)
+    append_cms_delta(b, dest, 1, F.col("k"), F.col("w"), d, w)  # replay
+    whole = cms_build(a.unionByName(b), F.col("k"), F.col("w"), d, w)
+    key = lambda r: (r.j, r.pos, r.cnt)  # noqa: E731
+    assert (sorted(map(key, read_cms_counters(spark, dest).collect()))
+            == sorted(map(key, whole.collect())))
+
+    info = compact_cms(spark, dest)
+    assert info["gen"] == 1 and info["absorbed"] == 2
+    append_cms_delta(a, dest, 2, F.col("k"), F.col("w"), d, w)
+
+    # true per-key totals after epochs {a, b, a}: 2+2 on [0,50),
+    # 2+3+2 on [50,100), 3 on [100,150) — estimates never below truth,
+    # and exact when width is collision-free enough to check equality
+    est = cms_estimate_batch(
+        _keys_df(spark, range(150)).select(
+            "k",
+            (F.when(F.col("k") < 50, 4)
+             .when(F.col("k") < 100, 7).otherwise(3)).alias("truth")),
+        dest, F.col("k"), d, w)
+    assert est.filter(F.col("cms_est") < F.col("truth")).count() == 0

@@ -387,3 +387,39 @@ def test_ivfpq_finds_planted_neighbors(spark):
         assert planted in top1
         assert top1[planted][0] == r.vec_id
         assert top1[planted][1] > 0.99
+
+
+def test_ivfpq_persisted_index_prunes_and_matches(spark, tmp_path):
+    """The persisted PQ index: (1) search results == the in-session
+    ivfpq_topk (same seed -> same quantizer/codebooks/decisions);
+    (2) the data scan is partition-pruned to the probed cells;
+    (3) the index stores codes only (no float vector column);
+    (4) refine demands the source corpus."""
+    import pytest as _pytest
+
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        build_ivfpq_index,
+        ivfpq_search_index,
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    dest = str(tmp_path / "pqidx")
+    build_ivfpq_index(emb, dest)
+
+    got = ivfpq_search_index(spark, dest, queries, corpus=emb, k=10)
+    want = ivfpq_topk(emb, queries, k=10)
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+
+    data_cols = spark.read.parquet(dest + "/data").columns
+    assert "embedding" not in data_cols and "codes" in data_cols
+
+    import re
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*cell[^\]]*)\]", plan)
+    assert m, f"no partition filter on cell in scan:\n{plan}"
+
+    with _pytest.raises(ValueError, match="refine"):
+        ivfpq_search_index(spark, dest, queries, corpus=None, k=10)
