@@ -194,3 +194,72 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("within_bound"))
         .orderBy(F.desc("exact_cnt"), "term")
     )
+
+
+# 64 buckets keeps the demo vectors inspectable; the operator is the
+# hashing trick itself, whose whole point is that dim is a free
+# parameter (no vocabulary pass, no model state, collisions absorbed
+# by the signed sum).
+_FH_DIM = 64
+
+_FH_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           UNNEST(regexp_split_to_array(LOWER(TRIM(text)), '[ \\t\\n\\x0B\\f\\r]+')) AS term
+    FROM documents WHERE LENGTH(TRIM(text)) > 0
+), occ AS MATERIALIZED (
+    SELECT doc_id, term AS s FROM toks WHERE LENGTH(term) > 0
+), tc AS MATERIALIZED (
+    SELECT DISTINCT s FROM occ
+), {{frag}},
+hashed AS (
+    SELECT s, CAST(h % 64 AS BIGINT) AS bucket,
+           CASE WHEN (h >> 63) = 1 THEN -1 ELSE 1 END AS sign
+    FROM {{out}}
+)
+SELECT o.doc_id, hd.bucket, CAST(SUM(hd.sign) AS BIGINT) AS weight
+FROM occ o JOIN hashed hd ON hd.s = o.s
+GROUP BY o.doc_id, hd.bucket
+HAVING SUM(hd.sign) <> 0
+ORDER BY doc_id, bucket
+"""
+_fh_frag, _fh_out = xxh64_string_ctes("tc", "s", "s", prefix="fh")
+_FH_ORACLE = _FH_ORACLE.format(frag=_fh_frag, out=_fh_out)
+
+
+@query("text_feature_hashing", oracle=_FH_ORACLE)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al. 2009,
+    arXiv:0902.2206): each document becomes a signed fixed-dim sparse
+    bag-of-words vector with NO vocabulary pass and NO model state —
+    bucket = xxhash64(term) mod dim, sign = the hash's top bit, weight
+    = signed occurrence sum. The vocabulary-free featurizer a 100 TB
+    corpus can afford: one codegen'd projection over the token stream
+    plus ONE map-side-combinable shuffle on (doc, bucket); output is
+    <= dim rows per document regardless of vocabulary size, and the
+    signed sum keeps collision noise zero-mean.
+
+    Emitted as exploded sparse rows ``doc_id | bucket | weight``
+    (weight <> 0). Fully value-oracled: DuckDB rebuilds the same
+    buckets and signs through the pinned xxh64 restatement — bucket =
+    low 6 hash bits (power-of-two mod == two's-complement-safe), sign
+    = bit 63."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = (
+        d.select("doc_id", F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), "[ \\t\\n\\x0B\\f\\r]+")
+        ).alias("term"))
+        .filter(F.length("term") > 0)
+    )
+    h = F.xxhash64("term")
+    return (
+        toks.select(
+            "doc_id",
+            F.pmod(h, F.lit(_FH_DIM)).alias("bucket"),
+            F.when(F.shiftrightunsigned(h, 63) == 1, F.lit(-1))
+            .otherwise(F.lit(1)).alias("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").alias("weight"))
+        .filter(F.col("weight") != 0)
+        .orderBy("doc_id", "bucket")
+    )

@@ -310,3 +310,33 @@ def test_cms_store_equals_single_pass_and_replay_safe(spark, tmp_path):
              .when(F.col("k") < 100, 7).otherwise(3)).alias("truth")),
         dest, F.col("k"), d, w)
     assert est.filter(F.col("cms_est") < F.col("truth")).count() == 0
+
+
+def test_feature_hashing_invariants(spark):
+    """Hashing-trick contracts the value gate can't state: per-doc L1
+    mass is bounded by the doc's token count (each token contributes
+    exactly one +-1), buckets stay in [0, 64), and the featurization
+    is a pure function of text (same text -> identical sparse rows)."""
+    from hackmd_data_pipeline_spark.plans import REGISTRY
+    from hackmd_data_pipeline_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    fh = REGISTRY["text_feature_hashing"].builder(spark, sf)
+    docs = load_table(spark, sf, "documents").filter(
+        F.length(F.trim("text")) > 0)
+    ntok = (docs.select(
+        "doc_id",
+        F.size(F.filter(
+            F.split(F.lower(F.trim("text")), "[ \\t\\n\\x0B\\f\\r]+"),
+            lambda t: F.length(t) > 0)).alias("n_tokens")))
+    joined = (fh.groupBy("doc_id")
+              .agg(F.sum(F.abs("weight")).alias("l1"),
+                   F.min("bucket").alias("bmin"), F.max("bucket").alias("bmax"))
+              .join(ntok, "doc_id"))
+    assert joined.filter(F.col("l1") > F.col("n_tokens")).count() == 0
+    assert joined.filter((F.col("bmin") < 0) | (F.col("bmax") > 63)).count() == 0
+
+    a = sorted(map(tuple, fh.collect()))
+    b = sorted(map(tuple, REGISTRY["text_feature_hashing"]
+                   .builder(spark, sf).collect()))
+    assert a == b
