@@ -867,6 +867,50 @@ def events_props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_props_variant",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           COUNT(json_extract_string(props, '$.k')) AS k_present,
+           BOOL_AND(json_extract_string(props, '$.nope') IS NULL) AS missing_all_null,
+           TRUE AS uniform_schema
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType twin of events_props_json_extract — the Spark 4
+    semi-structured path a 100 TB JSON column actually wants:
+    ``parse_json`` once into the binary Variant encoding, then typed
+    ``variant_get`` accesses (no per-access string re-parse, and the
+    open door to storage-level shredding). Emits the same aggregates
+    as the string-path query plus two Variant-specific contracts:
+    ``try_variant_get`` on a missing path is NULL for every row, and
+    ``schema_of_variant`` infers ONE uniform schema across the corpus
+    (folded to a boolean — the inferred schema string itself is
+    engine-specific, the exact+boolean pattern the sketch queries
+    use). DuckDB restates the aggregates via json_extract and the
+    contracts as literals."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("_k"),
+                  F.try_variant_get(v, "$.nope", "string").alias("_miss"),
+                  F.schema_of_variant(v).alias("_sch"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum("_k").cast("long").alias("k_sum"),
+             F.count("_k").alias("k_present"),
+             (F.count("_miss") == 0).alias("missing_all_null"),
+             (F.countDistinct("_sch") == 1).alias("uniform_schema"))
+        .orderBy("event_type")
+    )
+
+
+@query(
     "join_q6_forecast_revenue",
     oracle="""
     SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
