@@ -168,6 +168,9 @@ _BNLJ_OK = {
     "subq_q2_min_cost_supplier",   # 1-row supplier-count scalar cross join (r05)
     "subq_q11_important_stock",    # 1-row count + 1-row total scalar cross joins
     "subq_q20_excess_stock",       # 1-row supplier-count scalar cross join (r05)
+    "agg_cms_heavy_hitters",       # 1-row token-total scalar cross join (r05)
+    "sim_ann_ivfpq",               # bounded query x centroid cross join (r05)
+    "sim_ann_ivfpq_recall",        # bounded query x centroid cross join (r05)
 }
 
 
