@@ -854,3 +854,98 @@ def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import exact_substring_spans
     d = load_table(spark, sf_dir, "documents")
     return exact_substring_spans(d, k=32)
+
+
+# -------------------------------------------------------------------- #
+# Multilingual temperature sampling (r05 continuation)                  #
+# -------------------------------------------------------------------- #
+
+from .oracle_helpers import _unsigned, hashlong_steps  # noqa: E402
+
+_TS_SCALE = 1 << 20  # hash-bucket granularity (power of two: exact scaling)
+
+_ts_steps, _ts_h = hashlong_steps(
+    "ts", _unsigned("doc_id"), 42, "tdocs", keep="doc_id, lang")
+_TS_STEPS_SQL = ",\n".join(_ts_steps)
+
+_TEMPERATURE_ORACLE = f"""
+WITH counts AS (
+    SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+), mn AS (
+    SELECT MIN(n_docs) AS n_min, SUM(n_docs) AS n_total FROM counts
+), rates AS (
+    SELECT lang, n_docs,
+           SQRT(CAST(mn.n_min AS DOUBLE) / n_docs) AS rate,
+           CAST(FLOOR(SQRT(CAST(mn.n_min AS DOUBLE) / n_docs) * {_TS_SCALE})
+                AS BIGINT) AS thr
+    FROM counts, mn
+), tdocs AS (
+    SELECT doc_id, lang FROM documents
+), {_TS_STEPS_SQL},
+buckets AS (
+    SELECT lang, CAST({_ts_h} % {_TS_SCALE} AS BIGINT) AS bucket FROM tsc
+), kept AS (
+    SELECT b.lang, COUNT(*) FILTER (WHERE b.bucket < r.thr) AS n_kept
+    FROM buckets b JOIN rates r USING (lang) GROUP BY b.lang
+), tot AS (
+    SELECT SUM(n_kept) AS total_kept FROM kept
+)
+SELECT r.lang, r.n_docs, k.n_kept,
+       ROUND(r.rate, 6) AS rate,
+       ROUND(r.n_docs / CAST(mn.n_total AS DOUBLE), 6) AS share_before,
+       ROUND(k.n_kept / CAST(tot.total_kept AS DOUBLE), 6) AS share_after
+FROM rates r
+JOIN kept k USING (lang), mn, tot
+ORDER BY lang
+"""
+
+
+@query("docs_temperature_sample", oracle=_TEMPERATURE_ORACLE)
+def docs_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual temperature sampling (XLM, arXiv:1901.07291 §3.1;
+    the mC4 recipe): flatten the language distribution toward
+    p_l^alpha so high-resource languages stop drowning the tail. With
+    alpha = 0.5 the per-language keep rate reduces to
+    ``sqrt(n_min / n_l)`` (rarest language keeps everything), and the
+    keep DECISION is a deterministic hash threshold —
+    ``pmod(xxhash64(doc_id), 2^20) < floor(rate * 2^20)`` — so the
+    sample is reproducible, stable under reruns, and needs no
+    shuffle beyond one groupBy(lang) count (the per-doc verdict is a
+    broadcast join + codegen'd comparison; the same posture as
+    docs_split_assign).
+
+    alpha is PINNED at 0.5 deliberately: the rate then involves only
+    correctly-rounded IEEE ops (divide, sqrt, scaling by a power of
+    two), so Spark and DuckDB compute bit-identical thresholds —
+    pow() with a free exponent differs across libms in the last ulp,
+    which could flip a boundary bucket. The oracle restates the
+    whole derivation including every hash decision (hashlong
+    restatement on doc_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    mn = counts.agg(F.min("n_docs").alias("n_min"),
+                    F.sum("n_docs").alias("n_total"))
+    rates = (counts.crossJoin(F.broadcast(mn))
+             .withColumn("rate", F.sqrt(F.col("n_min").cast("double")
+                                        / F.col("n_docs")))
+             .withColumn("thr", F.floor(F.col("rate") * F.lit(float(_TS_SCALE)))))
+    docs = d.select("lang",
+                    F.pmod(F.xxhash64("doc_id"), F.lit(_TS_SCALE)).alias("bucket"))
+    kept = (docs.join(F.broadcast(rates), "lang")
+            .groupBy("lang")
+            .agg(F.first("n_docs").alias("n_docs"),
+                 F.sum(F.when(F.col("bucket") < F.col("thr"), 1)
+                       .otherwise(0)).alias("n_kept"),
+                 F.first("rate").alias("_rate"),
+                 F.first("n_total").alias("_n_total")))
+    tot = kept.agg(F.sum("n_kept").alias("_total_kept"))
+    return (
+        kept.crossJoin(F.broadcast(tot))
+        .select("lang", "n_docs", "n_kept",
+                F.round("_rate", 6).alias("rate"),
+                F.round(F.col("n_docs") / F.col("_n_total").cast("double"), 6)
+                .alias("share_before"),
+                F.round(F.col("n_kept") / F.col("_total_kept").cast("double"), 6)
+                .alias("share_after"))
+        .orderBy("lang")
+    )

@@ -171,6 +171,7 @@ _BNLJ_OK = {
     "agg_cms_heavy_hitters",       # 1-row token-total scalar cross join (r05)
     "sim_ann_ivfpq",               # bounded query x centroid cross join (r05)
     "sim_ann_ivfpq_recall",        # bounded query x centroid cross join (r05)
+    "docs_temperature_sample",     # 1-row min/total + total-kept scalar cross joins
 }
 
 

@@ -423,3 +423,22 @@ def test_ivfpq_persisted_index_prunes_and_matches(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="refine"):
         ivfpq_search_index(spark, dest, queries, corpus=None, k=10)
+
+
+def test_temperature_sample_flattens_language_skew(spark):
+    """Temperature sampling contracts beyond the value gate: the
+    rarest language keeps everything (rate 1.0), every rate is in
+    (0, 1], and the post-sample distribution is strictly FLATTER than
+    the input (max/min share ratio shrinks) while preserving rank
+    order of shares."""
+    from hackmd_data_pipeline_spark.plans import REGISTRY
+
+    rows = (REGISTRY["docs_temperature_sample"]
+            .builder(spark, SF_CORRECT).collect())
+    by_n = sorted(rows, key=lambda r: r.n_docs)
+    assert by_n[0].rate == 1.0
+    assert all(0 < r.rate <= 1.0 for r in rows)
+    assert all(r.n_kept <= r.n_docs for r in rows)
+    before = [r.share_before for r in rows]
+    after = [r.share_after for r in rows]
+    assert max(after) / min(after) < max(before) / min(before)
