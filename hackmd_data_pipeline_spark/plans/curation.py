@@ -949,3 +949,60 @@ def docs_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("share_after"))
         .orderBy("lang")
     )
+
+
+from .oracle_helpers import _signed  # noqa: E402
+
+_lss_steps, _lss_h = hashlong_steps(
+    "lss", _unsigned("cluster_id"), 42, "tdoc", keep="doc_id, cluster_id")
+_LSS_STEPS_SQL = ",\n".join(_lss_steps)
+_LSS_BUCKET = f"((({_signed(_lss_h)}) % 10 + 10) % 10)"
+
+_LEAKAGE_SAFE_ORACLE = f"""
+WITH g AS (
+    SELECT doc_id, md5(LOWER(TRIM(text))) AS fp FROM documents
+), cl AS (
+    SELECT fp, MIN(doc_id) AS cluster_id FROM g GROUP BY fp
+), tdoc AS (
+    SELECT g.doc_id, cl.cluster_id FROM g JOIN cl USING (fp)
+), {_LSS_STEPS_SQL}
+SELECT doc_id, cluster_id,
+       CASE WHEN {_LSS_BUCKET} < 8 THEN 'train'
+            WHEN {_LSS_BUCKET} = 8 THEN 'val'
+            ELSE 'test' END AS split,
+       doc_id = cluster_id AS is_cluster_rep
+FROM lssc
+ORDER BY doc_id
+"""
+
+
+@query("docs_leakage_safe_split", oracle=_LEAKAGE_SAFE_ORACLE)
+def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split by DUPLICATE
+    CLUSTER, not by document. Hashing doc ids (docs_split_assign /
+    docs_train_val_test_split) lets two copies of the same text land
+    in train AND test — the classic eval-contamination bug; here the
+    split key is the cluster representative (min doc id per exact
+    content fingerprint), so an entire duplicate group moves as one
+    unit and cross-split leakage of identical content is impossible
+    BY CONSTRUCTION, not by decontamination after the fact.
+
+    Plan: one shuffle on the md5 fingerprint to resolve clusters, one
+    fingerprint-keyed join back (at 100 TB both are the same
+    exact-dedup shuffle the corpus already pays — the split falls out
+    of artifacts the pipeline has), then a codegen'd xxhash64-mod-10
+    projection. Fully value-oracled: md5 clusters + the hashlong
+    restatement reproduce every assignment decision."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = fingerprint("text").alias("fp")
+    clusters = (d.select(fp, "doc_id")
+                .groupBy("fp").agg(F.min("doc_id").alias("cluster_id")))
+    bucket = F.pmod(F.xxhash64("cluster_id"), F.lit(10))
+    split = (F.when(bucket < 8, "train")
+             .when(bucket == 8, "val").otherwise("test"))
+    return (
+        d.select("doc_id", fp).join(clusters, "fp")
+        .select("doc_id", "cluster_id", split.alias("split"),
+                (F.col("doc_id") == F.col("cluster_id")).alias("is_cluster_rep"))
+        .orderBy("doc_id")
+    )

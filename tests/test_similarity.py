@@ -442,3 +442,29 @@ def test_temperature_sample_flattens_language_skew(spark):
     before = [r.share_before for r in rows]
     after = [r.share_after for r in rows]
     assert max(after) / min(after) < max(before) / min(before)
+
+
+def test_leakage_safe_split_never_splits_duplicates(spark):
+    """The leakage contract itself, on a corpus with PLANTED exact
+    duplicates whose ids hash to different doc-level splits: every
+    duplicate group lands in exactly one split, and the split
+    distribution over clusters stays roughly 8/1/1."""
+    from hackmd_data_pipeline_spark.plans import REGISTRY
+
+    base = load_table(spark, SF_CORRECT, "documents")
+    clones = (base.limit(40)
+              .select((F.col("doc_id") + 7_777_777).alias("doc_id"),
+                      "text", "lang", "source", "n_chars"))
+    import tempfile
+    with tempfile.TemporaryDirectory() as tmp:
+        base.unionByName(clones).write.parquet(tmp + "/documents.parquet")
+        out = REGISTRY["docs_leakage_safe_split"].builder(spark, tmp)
+        per_cluster = out.groupBy("cluster_id").agg(
+            F.countDistinct("split").alias("n_splits"),
+            F.count("*").alias("n_members"))
+        assert per_cluster.filter(F.col("n_splits") != 1).count() == 0
+        assert per_cluster.filter(F.col("n_members") >= 2).count() >= 40
+        shares = dict((r.split, r.n) for r in
+                      out.groupBy("split").agg(F.count("*").alias("n")).collect())
+        assert shares["train"] > shares.get("val", 0)
+        assert shares["train"] > shares.get("test", 0)
