@@ -1006,3 +1006,76 @@ def docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("doc_id") == F.col("cluster_id")).alias("is_cluster_rep"))
         .orderBy("doc_id")
     )
+
+
+_SOURCE_REP_ORACLE = """
+WITH base AS (
+    SELECT source, doc_id, md5(LOWER(TRIM(text))) AS fp,
+           len(regexp_split_to_array(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) AS n_tok,
+           len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b')) AS n_stop
+    FROM documents WHERE LENGTH(TRIM(text)) > 0
+), fpc AS (
+    SELECT fp, COUNT(*) AS n_copies FROM base GROUP BY fp
+), scored AS (
+    SELECT b.source,
+           CASE WHEN b.n_tok >= 20 AND CAST(b.n_stop AS DOUBLE) / b.n_tok > 0.05
+                THEN 0 ELSE 1 END AS flagged,
+           CASE WHEN f.n_copies > 1 THEN 1 ELSE 0 END AS dup,
+           b.n_tok
+    FROM base b JOIN fpc f USING (fp)
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       ROUND(AVG(CAST(flagged AS DOUBLE)), 4) AS flag_rate,
+       ROUND(AVG(CAST(dup AS DOUBLE)), 4) AS dup_rate,
+       ROUND(AVG(CAST(n_tok AS DOUBLE)), 2) AS mean_tokens,
+       CASE WHEN AVG(CAST(flagged AS DOUBLE)) > 0.5
+              OR AVG(CAST(dup AS DOUBLE)) > 0.5
+            THEN 'block' ELSE 'keep' END AS verdict
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("docs_source_reputation", oracle=_SOURCE_REP_ORACLE)
+def docs_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level reputation rollup (the data-driven form of C4/
+    RefinedWeb domain blocklists): per source, the share of docs
+    failing the quality keep-rule, the share that are exact
+    duplicates corpus-wide, and mean length — folded into a
+    keep/block verdict. At 100 TB this is how a crawl curates by
+    DOMAIN rather than document-by-document: one quality projection,
+    one fingerprint-count join (the exchange exact dedup already
+    pays), one groupBy(source) — and the resulting blocklist then
+    prunes whole partitions of future crawls at the scan."""
+    from ..functions import tokens as _tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0)
+    n_tok = F.size(_tokens("text"))
+    n_stop = F.size(F.regexp_extract_all(
+        F.col("text"), F.lit("\\b(the|a|of|and|to|in|is)\\b"), F.lit(0)))
+    stop_ratio = n_stop.cast("double") / n_tok
+    base = d.select("source", fingerprint("text").alias("fp"),
+                    n_tok.alias("n_tok"),
+                    F.when((n_tok >= 20) & (stop_ratio > 0.05), 0)
+                    .otherwise(1).alias("flagged"))
+    fpc = base.groupBy("fp").agg(F.count("*").alias("n_copies"))
+    scored = (base.join(fpc, "fp")
+              .select("source", "flagged", "n_tok",
+                      F.when(F.col("n_copies") > 1, 1).otherwise(0)
+                      .alias("dup")))
+    flag_rate = F.avg(F.col("flagged").cast("double"))
+    dup_rate = F.avg(F.col("dup").cast("double"))
+    return (
+        scored.groupBy("source")
+        .agg(F.count("*").alias("n_docs"),
+             F.round(flag_rate, 4).alias("flag_rate"),
+             F.round(dup_rate, 4).alias("dup_rate"),
+             F.round(F.avg(F.col("n_tok").cast("double")), 2)
+             .alias("mean_tokens"),
+             F.when((flag_rate > 0.5) | (dup_rate > 0.5), "block")
+             .otherwise("keep").alias("verdict"))
+        .orderBy("source")
+    )

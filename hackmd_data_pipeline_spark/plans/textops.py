@@ -943,3 +943,23 @@ def curation_decision_table(d: DataFrame) -> DataFrame:
                 (F.col("verdict") == "keep").alias("kept"))
         .orderBy("doc_id")
     )
+
+
+@query("docs_bpe_encode", oracle=None)
+def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION (the other half of
+    docs_bpe_pair_counts): train 64 merges on a bounded deterministic
+    sample driver-side (the ANN-quantizer posture, arXiv:1508.07909),
+    then encode the corpus in one Arrow-batched pass with a
+    distinct-word cache. Emits per-doc ``n_words | n_bpe_tokens``.
+    Rows-only BY NATURE: the merge algorithm is sequential (merge i
+    depends on the corpus state after merges 0..i-1), so no
+    fixed-depth SQL restatement exists — the LDA/SemDeDup rationale;
+    contracts (determinism, lossless segmentation, compression
+    monotonicity, count bounds) are pinned in tests/test_bpe.py."""
+    from ..operators.bpe import bpe_encode_stats, train_bpe_merges
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0)
+    merges = train_bpe_merges(d, n_merges=64)
+    return bpe_encode_stats(d, merges).orderBy("doc_id")

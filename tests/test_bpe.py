@@ -1,0 +1,61 @@
+"""BPE train/encode contracts (operators/bpe.py) — the rows-only
+rationale demands the quality gates live here: determinism, lossless
+segmentation, compression monotonicity, and count bounds."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hackmd_data_pipeline_spark.operators.bpe import (
+    _encode_word,
+    bpe_encode_stats,
+    train_bpe_merges,
+)
+from hackmd_data_pipeline_spark.tables import load_table
+
+from .conftest import SF_SMOKE
+
+
+def test_bpe_training_learns_frequent_pair_first(spark):
+    df = spark.createDataFrame(
+        [(i, "banana banana banana split") for i in range(3)],
+        "doc_id long, text string")
+    merges = train_bpe_merges(df, n_merges=3)
+    # 'an' and 'na' tie at 6 occurrences; the deterministic
+    # lexicographic-max tie-break picks ('n','a'), after which
+    # 'banana' collapses na->nana->nana</w>
+    assert merges == [("n", "a"), ("na", "na"), ("nana", "</w>")]
+
+
+def test_bpe_training_is_deterministic(spark):
+    d = load_table(spark, SF_SMOKE, "documents")
+    assert train_bpe_merges(d, n_merges=32) == train_bpe_merges(d, n_merges=32)
+
+
+def test_encode_word_is_lossless():
+    ranks = {("a", "n"): 0, ("an", "a"): 1, ("b", "an"): 2}
+    for w in ("banana", "bandana", "an", "x", ""):
+        syms = _encode_word(w, ranks)
+        assert "".join(syms) == w + "</w>"
+
+
+def test_bpe_compression_monotone_in_merges(spark):
+    d = load_table(spark, SF_SMOKE, "documents").filter(
+        F.length(F.trim("text")) > 0)
+    few = train_bpe_merges(d, n_merges=8)
+    many = train_bpe_merges(d, n_merges=64)
+    assert many[:len(few)] == few  # merge list is prefix-stable
+    a = {r.doc_id: r.n_bpe_tokens
+         for r in bpe_encode_stats(d, few).collect()}
+    b = {r.doc_id: r.n_bpe_tokens
+         for r in bpe_encode_stats(d, many).collect()}
+    assert all(b[k] <= a[k] for k in a)
+
+
+def test_bpe_encode_stats_bounds(spark):
+    from hackmd_data_pipeline_spark.plans import REGISTRY
+
+    out = REGISTRY["docs_bpe_encode"].builder(spark, SF_SMOKE)
+    bad = out.filter((F.col("n_bpe_tokens") < F.col("n_words"))
+                     | (F.col("n_words") < 1))
+    assert bad.count() == 0
