@@ -255,3 +255,94 @@ def test_running_total_matches_cumsum(spark, rows):
     for rid, k, v in sorted(data, key=lambda t: (t[1], t[0])):
         acc += v
         assert got[rid] == (acc, total), (rid, got[rid], acc, total)
+
+
+# ------------------------------------------------- membership sketches
+
+
+def _naive_km(h_signed: int, slots: int, probes: int) -> list[int]:
+    """Executable spec of the Kirsch-Mitzenmacher derivation, in pure
+    Python integer arithmetic over the 64-bit two's-complement
+    pattern."""
+    u = h_signed & 0xFFFFFFFFFFFFFFFF
+    h1 = u >> 32
+    h2 = (u & 0xFFFFFFFF) | 1
+    return [(h1 + i * h2) % slots for i in range(probes)]
+
+
+@SETTINGS
+@given(keys=st.lists(st.integers(-(2**63), 2**63 - 1),
+                     min_size=1, max_size=20, unique=True))
+def test_km_positions_match_pure_python_spec(spark, keys):
+    from hackmd_data_pipeline_spark.operators.membership import km_positions
+
+    m, k = 1 << 14, 5
+    rows = (spark.createDataFrame([(x,) for x in keys], "k long")
+            .select("k", F.xxhash64("k").alias("h"),
+                    km_positions(F.xxhash64("k"), m, k).alias("pos"))
+            .collect())
+    for r in rows:
+        assert list(r.pos) == _naive_km(r.h, m, k), r.k
+
+
+@SETTINGS
+@given(hist=st.lists(st.integers(-(2**62), 2**62), min_size=1,
+                     max_size=30, unique=True),
+       probes=st.lists(st.integers(-(2**62), 2**62), min_size=1,
+                       max_size=30, unique=True))
+def test_bloom_membership_matches_naive_spec(spark, hist, probes):
+    """might_contain == 'all k naive positions are in the naive union
+    of history positions' — for ANY history/probe key sets (and no
+    false negatives fall out of the spec equality for free)."""
+    from hackmd_data_pipeline_spark.operators.membership import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    m, k = 1 << 12, 5
+    hdf = spark.createDataFrame([(x,) for x in hist], "k long")
+    pdf = spark.createDataFrame([(x,) for x in probes], "k long")
+    bits = bloom_build(hdf, F.col("k"), m, k)
+    got = {r.k: r.bloom_pass
+           for r in bloom_might_contain(pdf, bits, F.col("k"), m, k).collect()}
+
+    hashes = {r.k: r.h for r in
+              spark.createDataFrame([(x,) for x in set(hist) | set(probes)],
+                                    "k long")
+              .select("k", F.xxhash64("k").alias("h")).collect()}
+    bitset = {p for x in hist for p in _naive_km(hashes[x], m, k)}
+    want = {x: all(p in bitset for p in _naive_km(hashes[x], m, k))
+            for x in probes}
+    assert got == want
+
+
+@SETTINGS
+@given(rows=st.lists(st.tuples(st.integers(-(2**62), 2**62),
+                               st.integers(1, 50)),
+                     min_size=1, max_size=25, unique_by=lambda t: t[0]))
+def test_cms_estimate_matches_naive_spec(spark, rows):
+    """cms_estimate == min over the naive d x w counter matrix — for
+    any weighted key set (the never-underestimates contract is a
+    corollary of the spec equality)."""
+    from hackmd_data_pipeline_spark.operators.membership import (
+        cms_build,
+        cms_estimate,
+    )
+
+    d, w = 4, 128
+    df = spark.createDataFrame(rows, "k long, w long")
+    ctr = cms_build(df, F.col("k"), F.col("w"), d, w)
+    got = {r.k: r.cms_est
+           for r in cms_estimate(df, ctr, F.col("k"), d, w).collect()}
+
+    hashes = {r.k: r.h for r in
+              spark.createDataFrame([(x,) for x, _ in rows], "k long")
+              .select("k", F.xxhash64("k").alias("h")).collect()}
+    cells: dict[tuple[int, int], int] = {}
+    for x, wt in rows:
+        for j, p in enumerate(_naive_km(hashes[x], w, d)):
+            cells[(j, p)] = cells.get((j, p), 0) + wt
+    want = {x: min(cells[(j, p)]
+                   for j, p in enumerate(_naive_km(hashes[x], w, d)))
+            for x, _ in rows}
+    assert got == want
