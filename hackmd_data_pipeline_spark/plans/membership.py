@@ -116,10 +116,13 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Sketch geometry: 4 x 4096 counters (128 KiB dense) — at sf0.1's
-# ~230k token occurrences the per-cell collision mass is ~N/4096 ~ 56,
-# so the emitted 2N/w bound has real headroom while collisions still
-# actually occur (the estimate is NOT trivially exact).
+# Sketch geometry: 4 x 4096 counters (128 KiB dense). Honesty note:
+# the synthetic corpus has only ~31 distinct tokens, so at this width
+# the top-20 estimates are collision-free (exact) at every SF — the
+# oracle still restates the full probe/counter derivation, and the
+# COLLIDING regime is exercised by tests/test_membership.py (w=64
+# over 200 keys) and the hypothesis spec (w=128), where estimates
+# genuinely exceed true counts and the min-over-d recovery matters.
 _CMS_D = 4
 _CMS_W = 4096
 
