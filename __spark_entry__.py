@@ -108,17 +108,8 @@ _ROWS_ONLY_PRIORITY = [
 # re-enter the driver's sample window even though an artifact row
 # exists. Prune entries once the corresponding round's artifact lands.
 _FORCE_REGATE = frozenset({
-    # (r04 entries pruned — CORRECTNESS_r04.json records green hash
-    # rows for all five new forms.)
-    "docs_rebalance_langs",   # r05: null-safe lang join, both sides
-    "dedup_lsh_recall_eval",  # r05: degenerate guard + oracle perf rework
-    # r05: the xxh64 oracle helpers were rewritten from HUGEINT-modulo
-    # to pure-UBIGINT masked arithmetic (oracle wall 55 s -> 22 s at
-    # sf0.01); every oracle built from them must re-certify:
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_cluster_resolve",
-    "docs_train_val_test_split",
+    # (r05 entries pruned — CORRECTNESS_r05.json records green hash
+    # rows for all six re-gated forms.)
 })
 
 _GATE_COVERED = (_covered_from_artifacts() - _FORCE_REGATE) or _R01_COVERED
