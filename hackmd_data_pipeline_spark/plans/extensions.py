@@ -24,6 +24,7 @@ from ..operators.joins import asof_join
 from ..operators.multimodal import attach_meta, extract_features
 from ..operators.skew import salted_agg
 from ..tables import load_table
+from .ingest import to_history
 from .registry import query
 
 _EPOCH = "1970-01-01 00:00:00"
@@ -229,6 +230,90 @@ def ingest_canonical_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("version"),
             F.lit(None).cast("string").alias("topic"),
         )
+        .orderBy("entry_id")
+    )
+
+
+@query(
+    "ingest_history_record",
+    oracle="""
+    WITH canonical AS (
+        SELECT 'http://example.org/abs/' || CAST(doc_id AS VARCHAR) AS entry_id,
+               SUBSTR(text, 1, 50) || chr(10) || 'tail' || chr(13) || 'end'
+                 AS summary,
+               TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (doc_id) MINUTE
+                 AS published,
+               doc_id % 2 = 0 AS is_insert
+        FROM documents
+    )
+    SELECT SUBSTR(md5(entry_id), 1, 8) || '-' ||
+           SUBSTR(md5(entry_id), 9, 4) || '-' ||
+           SUBSTR(md5(entry_id), 13, 4) || '-' ||
+           SUBSTR(md5(entry_id), 17, 4) || '-' ||
+           SUBSTR(md5(entry_id), 21, 12)                     AS history_id,
+           entry_id,
+           regexp_replace(summary, '[\\x00\\n\\r]', ' ', 'g') AS summary,
+           published,
+           TIMESTAMP '2024-06-01 12:00:00'                    AS etl_timestamp,
+           CAST(1717243200 AS BIGINT)                         AS version,
+           'etl'                                              AS etl_stage,
+           CASE WHEN is_insert THEN 'insert' ELSE 'update' END AS operation_type
+    FROM canonical
+    ORDER BY entry_id
+    """,
+)
+def ingest_history_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O-12 parse_history_record parity as an oracle-checked query
+    (reference arxiv_etl.py:88-111): uuid surrogate key, epoch-seconds
+    version, control-char scrub (\\x00/\\n/\\r -> space) on summary,
+    stage/op tags. The runtime nondeterminism (uuid()/now()) is pinned
+    via the injectable history_id/version parameters — history_id is a
+    deterministic UUID-shaped md5 of the entry_id, version/etl_timestamp
+    a pinned epoch — so every OTHER column exercises the real
+    ``plans/ingest.py::to_history`` projection under a driver hash gate.
+    Insert vs update rows go through separate ``to_history`` calls, the
+    reference's per-invocation op-tag shape."""
+    d = load_table(spark, sf_dir, "documents")
+    pinned_ts = F.lit("2024-06-01 12:00:00").cast("timestamp_ntz")
+    published = F.timestamp_add(
+        "MINUTE", F.col("doc_id").cast("long"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"))
+    empty_map = F.create_map().cast("map<string,string>")
+    canonical = d.select(
+        F.concat(F.lit("http://example.org/abs/"),
+                 F.col("doc_id").cast("string")).alias("entry_id"),
+        F.substring("text", 1, 40).alias("title"),
+        F.array(F.col("lang")).alias("authors"),
+        empty_map.alias("affiliations"),
+        F.concat(F.substring("text", 1, 50), F.lit("\ntail\rend")).alias("summary"),
+        F.col("lang").alias("primary_category"),
+        F.array(F.col("source")).alias("categories"),
+        published.alias("published"),
+        published.alias("updated"),
+        F.lit(None).cast("string").alias("journal_ref"),
+        F.lit(None).cast("string").alias("doi"),
+        empty_map.alias("links"),
+        pinned_ts.alias("etl_timestamp"),
+        F.array().cast("array<string>").alias("keywords"),
+        F.lit(None).cast("string").alias("topic"),
+        F.col("source").alias("s3_path"),
+        (F.col("doc_id") % 2 == 0).alias("is_insert"),
+    )
+    h = F.md5(F.col("entry_id"))
+    hid = F.concat_ws(
+        "-", F.substring(h, 1, 8), F.substring(h, 9, 4),
+        F.substring(h, 13, 4), F.substring(h, 17, 4), F.substring(h, 21, 12))
+    pinned_version = F.lit(1717243200).cast("bigint")
+
+    def _hist(frame: DataFrame, op: str) -> DataFrame:
+        return to_history(frame, etl_stage="etl", operation_type=op,
+                          history_id=hid, version=pinned_version)
+
+    hist = _hist(canonical.filter("is_insert"), "insert").unionByName(
+        _hist(canonical.filter("NOT is_insert"), "update"))
+    return (
+        hist.select("history_id", "entry_id", "summary", "published",
+                    "etl_timestamp", "version", "etl_stage", "operation_type")
         .orderBy("entry_id")
     )
 

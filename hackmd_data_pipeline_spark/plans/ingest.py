@@ -76,18 +76,29 @@ def to_canonical(raw: DataFrame, etl_timestamp: Column | None = None) -> DataFra
 
 
 def to_history(canonical: DataFrame, etl_stage: str = "etl",
-               operation_type: str = "insert") -> DataFrame:
+               operation_type: str = "insert",
+               history_id: Column | None = None,
+               version: Column | None = None) -> DataFrame:
     """O-12 parse_history_record: canonical row -> append-only audit row
     (reference arxiv_etl.py:88-111): uuid surrogate key, epoch-seconds
-    version, control-char scrub on summary, stage/op tags."""
+    version, control-char scrub on summary, stage/op tags.
+
+    ``history_id`` / ``version`` are injectable so the otherwise
+    nondeterministic uuid()/now() columns can be pinned for the
+    oracle-checked registry form (``ingest_history_record``); the
+    defaults reproduce the reference's runtime behavior.
+    """
+    hid = history_id if history_id is not None else F.expr("uuid()")
+    ver = (version if version is not None
+           else F.unix_timestamp(F.current_timestamp()))
     return canonical.select(
-        F.expr("uuid()").alias("history_id"),
+        hid.alias("history_id"),
         "entry_id", "title", "authors", "affiliations",
         scrub_text(F.col("summary")).alias("summary"),
         "primary_category", "categories", "published", "updated",
         "journal_ref", "doi", "links", "etl_timestamp",
         "keywords", "topic", "s3_path",
-        F.unix_timestamp(F.current_timestamp()).alias("version"),
+        ver.alias("version"),
         F.lit(etl_stage).alias("etl_stage"),
         F.lit(operation_type).alias("operation_type"),
     )
