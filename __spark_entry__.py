@@ -110,6 +110,9 @@ _ROWS_ONLY_PRIORITY = [
 _FORCE_REGATE = frozenset({
     # (r05 entries pruned — CORRECTNESS_r05.json records green hash
     # rows for all six re-gated forms.)
+    # r06: join rewritten eqNullSafe -> coalesce-to-sentinel broadcast
+    # (plans/extensions.py); values identical, plan changed:
+    "docs_rebalance_langs",
 })
 
 _GATE_COVERED = (_covered_from_artifacts() - _FORCE_REGATE) or _R01_COVERED

@@ -873,12 +873,20 @@ def docs_rebalance_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     kept = stratified_downsample(d, "lang", "doc_id", 0.30)
     before = d.groupBy("lang").agg(F.count("*").alias("n_before"))
-    after = (kept.groupBy("lang").agg(F.count("*").alias("n_after"))
-             .withColumnRenamed("lang", "_lang"))
     # Null-safe group join (round-4 ADVICE): a NULL-lang group must
     # survive to the report on both engines, not diverge the gate.
+    # Expressed as plain equality on coalesce-to-sentinel keys (the
+    # sentinel starts with \x00, impossible in a lang code) so the
+    # handful-of-groups aggregate side stays a BroadcastHashJoin —
+    # eqNullSafe planned a 5-row SortMergeJoin (r05 verdict item 3).
+    sentinel = "\x00<null-lang>"
+    after = (kept.groupBy("lang").agg(F.count("*").alias("n_after"))
+             .select(F.coalesce("lang", F.lit(sentinel)).alias("_lang"),
+                     "n_after"))
     return (
-        before.join(after, F.col("lang").eqNullSafe(F.col("_lang")), "left")
+        before.join(F.broadcast(after),
+                    F.coalesce(F.col("lang"), F.lit(sentinel)) == F.col("_lang"),
+                    "left")
         .select("lang", "n_before",
                 F.coalesce("n_after", F.lit(0)).alias("n_after"))
         .orderBy(F.col("lang").asc_nulls_first())
