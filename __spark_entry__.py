@@ -113,6 +113,9 @@ _FORCE_REGATE = frozenset({
     # r06: join rewritten eqNullSafe -> coalesce-to-sentinel broadcast
     # (plans/extensions.py); values identical, plan changed:
     "docs_rebalance_langs",
+    # r06: single-scan salted-window rewrite (plans/textops.py) — the
+    # 3-FileScan groupBy-join-union form the r05 verdict flagged:
+    "docs_curation_decisions",
 })
 
 _GATE_COVERED = (_covered_from_artifacts() - _FORCE_REGATE) or _R01_COVERED
