@@ -155,10 +155,10 @@ class CorpusPipeline:
                 self.spark, f"{self.root}/raw", f"{self.root}/store",
                 f"{self.root}/checkpoints/ingest",
                 # reprocessing posture: the pinned lineage timestamp may
-                # be far in the past, so the replay-dedup window must
-                # cover it — a bounded-but-wide lookback, not the
-                # incremental-ingest default
-                lookback="3650 days",
+                # be far in the past; run_ingest_stream anchors the
+                # replay-dedup lookback at the pin (streaming/pipeline.py
+                # _store_ids), so the default window covers it without a
+                # wide-lookback workaround
                 etl_timestamp=F.lit(self.etl_timestamp).cast("timestamp"),
                 max_files_per_trigger=2,
                 batch_hook=lambda epoch: self._fault("batch", f"ingest:{epoch}"),

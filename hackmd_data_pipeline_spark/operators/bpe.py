@@ -117,8 +117,12 @@ def bpe_encode_stats(df: DataFrame, merges: list[tuple[str, str]],
                     total += cache[w]
                 n_words.append(len(words))
                 n_tokens.append(total)
+            # .to_numpy(): all three columns must align POSITIONALLY —
+            # mixing an index-carrying Series with positional lists
+            # would misassign counts under a non-default batch index
+            # (r05 ADVICE; _pq_encoded defends the same way).
             yield pd.DataFrame({
-                id_col: pdf[id_col],
+                id_col: pdf[id_col].to_numpy(),
                 "n_words": pd.Series(n_words, dtype="int64"),
                 "n_bpe_tokens": pd.Series(n_tokens, dtype="int64"),
             })

@@ -102,11 +102,21 @@ def run_ingest_stream(spark: SparkSession, raw_path: str, out_root: str,
         6-month in-memory id set, arxiv_collector.py:123-134) —
         bounded, so it broadcasts at scale. None if the store does
         not exist yet (first batch)."""
+        anchor = F.current_timestamp()
+        if etl_timestamp is not None:
+            # Reprocessing posture (r05 ADVICE): a pinned-in-the-past
+            # lineage timestamp must stay inside the dedup window, so
+            # anchor the lookback at the EARLIER of wall clock and the
+            # pin — the union of both windows. Anchoring at wall clock
+            # alone silently expires every pinned-stamped id out of
+            # the anti-join once the pin falls outside lookback of
+            # now, and replays would write duplicates.
+            anchor = F.least(anchor, etl_timestamp)
         try:
             return (
                 spark.read.parquet(path)
                 .filter(F.col("etl_timestamp")
-                        >= F.current_timestamp() - F.expr(f"INTERVAL {lookback}"))
+                        >= anchor - F.expr(f"INTERVAL {lookback}"))
                 .select("entry_id")
             )
         except AnalysisException:
@@ -154,17 +164,27 @@ def run_ingest_stream(spark: SparkSession, raw_path: str, out_root: str,
             write_partitioned_parquet(history, history_path,
                                       partition_cols=(), sort_col=None)
             # Quarantine exactly-once: a batch replayed after a crash
-            # re-presents the SAME whole files, so anti-joining on the
-            # file path drops exactly the already-recorded rows (the
-            # canonical/history sinks get the same property from their
-            # own entry_id anti-joins above).
-            bad = bad.select("source_path", "_corrupt_record")
+            # re-presents the SAME whole files; anti-join on a ROW
+            # identity — (source_path, xxhash64 of the corrupt line) —
+            # not the path alone (r05 ADVICE), so a crash that left a
+            # PARTIALLY-visible quarantine append (non-job-atomic
+            # committers) still replays the file's remaining corrupt
+            # rows instead of dropping them forever. The build side
+            # stays a narrow distinct broadcast. (The canonical/history
+            # sinks get the same property from their own entry_id
+            # anti-joins above.)
+            bad = (bad.select("source_path", "_corrupt_record")
+                   .withColumn("_row_h", F.xxhash64("_corrupt_record")))
             try:
                 seen = (spark.read.parquet(quarantine_path)
-                        .select("source_path").distinct())
-                bad = bad.join(F.broadcast(seen), "source_path", "left_anti")
+                        .select("source_path",
+                                F.xxhash64("_corrupt_record").alias("_row_h"))
+                        .distinct())
+                bad = bad.join(F.broadcast(seen),
+                               ["source_path", "_row_h"], "left_anti")
             except AnalysisException:
                 pass  # quarantine table not created yet
+            bad = bad.drop("_row_h")
             nbad = bad.count()
             counts["quarantine"] += nbad
             if nbad:

@@ -252,6 +252,71 @@ def test_streaming_ingest_cross_batch_dedup(spark, tmp_path):
     assert paths == {"file_a.jsonl.gz", "file_b.jsonl.gz"}
 
 
+def test_streaming_ingest_pinned_past_timestamp_dedups(spark, tmp_path):
+    """Reprocessing posture (r05 ADVICE): when etl_timestamp is pinned
+    to a constant FAR outside the lookback window of the wall clock,
+    the dedup build side must still see the pinned-stamped store rows —
+    _store_ids anchors the lookback at LEAST(now, pin). Without the
+    anchor every stored id silently expires out of the anti-join and a
+    later duplicate re-ingests."""
+    raw = tmp_path / "raw3"
+    raw.mkdir()
+    out = str(tmp_path / "out3")
+    pin = F.lit("2020-06-01 00:00:00").cast("timestamp")  # years past
+
+    with gzip.open(raw / "file_a.jsonl.gz", "wt", encoding="utf-8") as f:
+        f.write("\n".join(json.dumps(_record(i)) for i in range(4)) + "\n")
+    first = run_ingest_stream(spark, str(raw), out, str(tmp_path / "ck3a"),
+                              lookback="180 days", etl_timestamp=pin)
+    assert first["canonical"] == 4
+
+    # duplicate id 2 arrives in a later file; a FRESH checkpoint also
+    # replays file_a — every record is already stored, stamped with a
+    # pin ~6 years outside the 180-day lookback of the wall clock, so
+    # nothing may re-ingest
+    with gzip.open(raw / "file_b.jsonl.gz", "wt", encoding="utf-8") as f:
+        f.write(json.dumps(_record(2, title="resubmitted")) + "\n")
+    second = run_ingest_stream(spark, str(raw), out, str(tmp_path / "ck3b"),
+                               lookback="180 days", etl_timestamp=pin)
+    assert second["canonical"] == 0
+    papers = spark.read.parquet(f"{out}/papers")
+    assert papers.count() == 4
+    assert papers.filter(F.col("entry_id").endswith("00002")).count() == 1
+
+
+def test_streaming_quarantine_partial_append_replays_rest(spark, tmp_path):
+    """Quarantine replay dedup keys on ROW identity, not source_path
+    alone (r05 ADVICE): if a crash left only SOME of a file's corrupt
+    rows visible in the quarantine store, the replay must append the
+    file's remaining corrupt rows instead of dropping them forever."""
+    raw = tmp_path / "raw4"
+    raw.mkdir()
+    out = str(tmp_path / "out4")
+    qpath = f"{out}/quarantine"
+
+    with gzip.open(raw / "bad.jsonl.gz", "wt", encoding="utf-8") as f:
+        f.write('{"entry_id": broken-one}\n')
+        f.write('{"entry_id": broken-two}\n')
+        f.write(json.dumps(_record(1)) + "\n")
+
+    # Simulate the partially-visible append: pre-seed the quarantine
+    # with ONE of the file's two corrupt rows, as a crashed direct
+    # committer would leave it.
+    run_ingest_stream(spark, str(raw), str(tmp_path / "probe"),
+                      str(tmp_path / "ck4probe"))
+    all_bad = spark.read.parquet(f"{tmp_path}/probe/quarantine")
+    assert all_bad.count() == 2
+    one = all_bad.orderBy("_corrupt_record").limit(1)
+    one.write.mode("overwrite").parquet(qpath)
+
+    counts = run_ingest_stream(spark, str(raw), out, str(tmp_path / "ck4"))
+    # only the MISSING corrupt row is appended on replay
+    assert counts["quarantine"] == 1
+    q = spark.read.parquet(qpath)
+    assert q.count() == 2
+    assert q.select("_corrupt_record").distinct().count() == 2
+
+
 def test_csv_source_quarantine_split(spark, tmp_path):
     """Delimited-text twin of the JSONL dead-letter split: bad rows
     (wrong arity / unparseable types) land in quarantine with lineage,
