@@ -79,7 +79,7 @@ _R01_COVERED = frozenset({
     "dedup_editdistance", "docs_vocabulary_topk", "text_repetition_score",
     "docs_decontamination", "text_normalize_nfc", "fn_string_suite",
     "docs_curation_funnel", "sim_cosine_topk", "sim_centroid_norms",
-    "dedup_embedding_cosine", "sim_ann_ivf",
+    "dedup_embedding_cosine",
 })
 
 # Rows-only queries whose repo-side property tests are strongest
@@ -116,6 +116,12 @@ _FORCE_REGATE = frozenset({
     # r06: single-scan salted-window rewrite (plans/textops.py) — the
     # 3-FileScan groupBy-join-union form the r05 verdict flagged:
     "docs_curation_decisions",
+    # r06: recall twins absorbed the rows-only ANN entries and run the
+    # swept configs (IVF/IVFPQ nprobe 4->6, LSH tables 8->12) with
+    # tightened floors 0.35 -> 0.50/0.60 (verdict items 6+8):
+    "sim_ann_ivf_recall",
+    "sim_ann_lsh_recall",
+    "sim_ann_ivfpq_recall",
 })
 
 _GATE_COVERED = (_covered_from_artifacts() - _FORCE_REGATE) or _R01_COVERED

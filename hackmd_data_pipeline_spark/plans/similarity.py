@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import minhash_lsh_pairs, simhash_pairs
-from ..operators.similarity import brute_force_topk, ivf_topk
+from ..operators.similarity import brute_force_topk
 from ..operators.textstats import lang_id_confusion
 from ..tables import load_table
 from .registry import query
@@ -120,16 +120,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_ivf", oracle=None)
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (KMeans coarse quantizer, nprobe=4 of nlist=16) — the
-    100 TB scale path for similarity search. Approximate by design:
-    rows-only check; recall vs the exact baseline is asserted in
-    tests/test_similarity.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
+# (r06: the rows-only ``sim_ann_ivf`` registry entry merged into its
+# oracled twin ``sim_ann_ivf_recall`` below, which runs the identical
+# ivf_topk pipeline — VERDICT r05 item 8. The raw-neighbor surface is
+# ``operators/similarity.py::ivf_topk`` + the persisted-index pair
+# build_ivf_index/ivf_search_index, contract-tested in
+# tests/test_similarity.py.)
 
 
 from .oracle_helpers import minhash_lsh_oracle  # noqa: E402
@@ -297,23 +293,11 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_ann_lsh", oracle=None)
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (north star: the 'LSH-bucketed
-    variant' of similarity search) — bucketed candidate generation,
-    exact cosine rescoring, no training pass. Plane count is the
-    selectivity dial: collision probability per table is
-    (1 - theta/pi)^n_planes, so FEW planes = coarse buckets for
-    low-similarity corpora (this synthetic table's nearest neighbors
-    sit near cosine 0.3), MANY planes = sharp buckets for near-dup
-    regimes (the planted-duplicate contract tested in
-    tests/test_similarity.py::test_lsh_ann_finds_planted_neighbors).
-    Approximate by design: rows-only."""
-    from ..operators.similarity import lsh_hyperplane_topk
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    return lsh_hyperplane_topk(emb, queries, k=10, n_planes=4, n_tables=8)
+# (r06: the rows-only ``sim_ann_lsh`` registry entry merged into its
+# oracled twin ``sim_ann_lsh_recall`` below — VERDICT r05 item 8. The
+# raw-neighbor surface is ``operators/similarity.py::
+# lsh_hyperplane_topk``; the planted-duplicate contract lives in
+# tests/test_similarity.py::test_lsh_ann_finds_planted_neighbors.)
 
 
 # the exact cosine top-10 per query, restated for the ANN recall evals
@@ -371,77 +355,76 @@ def _ann_recall_frame(exact: DataFrame, ann: DataFrame,
 def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN recall vs the exact cosine baseline, as a driver-gated
     query (VERDICT r04 item 3 — the dedup_lsh_recall_eval recipe
-    applied to ANN): per-query exact top-10 id sets plus a boolean
-    asserting the seeded IVF run (nlist=16, nprobe=4) recovered >=35%
-    of true neighbors micro-averaged. Measured recall on the synthetic
-    embeddings: 0.53 (sf0.001) / 0.60 (sf0.01) / 0.47 (sf0.1) — the
-    0.35 bound holds at every SF with margin, and the quantizer is
-    seed-pinned so the number is deterministic. Estimated neighbor
-    lists stay engine-specific; only exact content + the contract
-    boolean are emitted."""
+    applied to ANN; r06 merged the rows-only ``sim_ann_ivf`` entry in,
+    so this IS the IVF registry surface): per-query exact top-10 id
+    sets plus a boolean asserting the seeded IVF run (nlist=16,
+    nprobe=6) recovered >=50% of true neighbors micro-averaged.
+    Measured recall on the synthetic embeddings (r06 nprobe sweep):
+    0.733 (sf0.001) / 0.767 (sf0.01) / 0.567 (sf0.1) — the 0.50 bound
+    holds at every SF, and the quantizer is seed-pinned so the number
+    is deterministic (the r05 floor was 0.35 against a 0.47 minimum;
+    verdict item 6 asked for a floor a silent regression actually
+    trips). Estimated neighbor lists stay engine-specific; only exact
+    content + the contract boolean are emitted."""
     from ..operators.similarity import ivf_topk
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding")
     exact = brute_force_topk(emb, queries, k=10)
-    ann = ivf_topk(emb, queries, k=10, nlist=16, nprobe=4)
-    return _ann_recall_frame(exact, ann, bound=0.35)
+    ann = ivf_topk(emb, queries, k=10, nlist=16, nprobe=6)
+    return _ann_recall_frame(exact, ann, bound=0.50)
 
 
 @query("sim_ann_lsh_recall", oracle=_EXACT_TOPK_SQL)
 def sim_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH ANN recall vs the exact baseline, driver-gated
-    (VERDICT r04 item 3). Caveat documented with the bound: LSH's real
-    contract is the HIGH-similarity regime (the planted-duplicate test
-    in tests/test_similarity.py); on this natural corpus (top neighbors
-    near cosine 0.3-0.5) the coarse 4-plane/8-table configuration still
-    measures 0.70/0.57/0.50 recall at sf0.001/0.01/0.1 — deterministic
-    (seeded planes), so a 0.35 bound is a meaningful, stable gate far
-    above the ~2% chance level. Only exact content + the contract
-    boolean are emitted."""
+    (VERDICT r04 item 3; r06 merged the rows-only ``sim_ann_lsh``
+    entry in, so this IS the LSH-ANN registry surface). Caveat
+    documented with the bound: LSH's real contract is the
+    HIGH-similarity regime (the planted-duplicate test in
+    tests/test_similarity.py); on this natural corpus (top neighbors
+    near cosine 0.3-0.5) the 4-plane/12-table configuration measures
+    0.833/0.800/0.767 recall at sf0.001/0.01/0.1 (r06 geometry sweep;
+    the r05 8-table form bottomed at 0.50) — deterministic (seeded
+    planes), so the 0.60 bound is a meaningful, stable gate far above
+    the ~2% chance level. Only exact content + the contract boolean
+    are emitted."""
     from ..operators.similarity import lsh_hyperplane_topk
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding")
     exact = brute_force_topk(emb, queries, k=10)
-    ann = lsh_hyperplane_topk(emb, queries, k=10, n_planes=4, n_tables=8)
-    return _ann_recall_frame(exact, ann, bound=0.35)
+    ann = lsh_hyperplane_topk(emb, queries, k=10, n_planes=4, n_tables=12)
+    return _ann_recall_frame(exact, ann, bound=0.60)
 
 
-@query("sim_ann_ivfpq", oracle=None)
-def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ ANN (product-quantized residual codes + ADC candidate
-    ranking + faiss-style exact refine of the ADC top-40) — the
-    compressed 100 TB search path: the candidate scan reads 16-byte
-    code rows instead of 256-byte float32 vectors, and the float
-    column is touched for only k*refine rows per query. Approximate by
-    design (cell pruning + quantization): rows-only; recall is
-    driver-gated by sim_ann_ivfpq_recall."""
-    from ..operators.similarity import ivfpq_topk
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), "embedding")
-    return ivfpq_topk(emb, queries, k=10)
+# (r06: the rows-only ``sim_ann_ivfpq`` registry entry merged into its
+# oracled twin ``sim_ann_ivfpq_recall`` below — VERDICT r05 item 8.
+# The raw-neighbor surface is ``operators/similarity.py::ivfpq_topk``
+# + the persisted-index pair build_ivfpq_index/ivfpq_search_index,
+# contract-tested in tests/test_similarity.py.)
 
 
 @query("sim_ann_ivfpq_recall", oracle=_EXACT_TOPK_SQL)
 def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN recall vs the exact cosine baseline, driver-gated
-    (the sim_ann_ivf_recall recipe over the quantized path). Measured
-    recall with the (m_sub=16, nbits=6, refine=4) defaults: 0.533 /
-    0.600 / 0.467 at sf0.001/0.01/0.1 — IDENTICAL to plain IVF at the
-    same nlist/nprobe (quantization costs no recall once the ADC
-    shortlist is exactly re-ranked), so the 0.35 bound holds with the
-    same margin. Seed-pinned quantizer + codebooks keep the number
-    deterministic; only exact content + the contract boolean are
-    emitted."""
+    (the sim_ann_ivf_recall recipe over the quantized path; r06 merged
+    the rows-only ``sim_ann_ivfpq`` entry in, so this IS the IVF-PQ
+    registry surface — it runs the full ivfpq_topk pipeline: PQ
+    training, ADC ranking, exact refine). Measured recall with
+    (m_sub=16, nbits=6, refine=4, nprobe=6): 0.733 / 0.767 / 0.567 at
+    sf0.001/0.01/0.1 — IDENTICAL to plain IVF at the same nlist/nprobe
+    (quantization costs no recall once the ADC shortlist is exactly
+    re-ranked), so the same 0.50 bound applies. Seed-pinned quantizer
+    + codebooks keep the number deterministic; only exact content +
+    the contract boolean are emitted."""
     from ..operators.similarity import ivfpq_topk
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding")
     exact = brute_force_topk(emb, queries, k=10)
-    ann = ivfpq_topk(emb, queries, k=10)
-    return _ann_recall_frame(exact, ann, bound=0.35)
+    ann = ivfpq_topk(emb, queries, k=10, nprobe=6)
+    return _ann_recall_frame(exact, ann, bound=0.50)
 
 
 # exact shingle-Jaccard near-dup pairs (the LSH family's deterministic

@@ -153,7 +153,6 @@ _BNLJ_OK = {
     "subq_q22_idle_rich_customers",
     "text_keywords_tfidf",
     "sim_cosine_topk",
-    "sim_ann_ivf",
     "events_type_cooccurrence",  # 1-row user-count scalar cross join
     "customer_rfm_segments",     # 1-row percentile-cut-points cross join
     "orders_pareto_customers",   # 1-row totals scalar cross join
@@ -169,7 +168,6 @@ _BNLJ_OK = {
     "subq_q11_important_stock",    # 1-row count + 1-row total scalar cross joins
     "subq_q20_excess_stock",       # 1-row supplier-count scalar cross join (r05)
     "agg_cms_heavy_hitters",       # 1-row token-total scalar cross join (r05)
-    "sim_ann_ivfpq",               # bounded query x centroid cross join (r05)
     "sim_ann_ivfpq_recall",        # bounded query x centroid cross join (r05)
     "docs_temperature_sample",     # 1-row min/total + total-kept scalar cross joins
 }
