@@ -23,8 +23,11 @@ checkpoint not yet committed — the Lambda-death window the reference
 survives via its pending/processing state machine, arxiv_etl.py:
 181-204): every sink is SELF-idempotent — canonical and history each
 anti-join the incoming batch against their OWN store's entry_ids
-(bounded lookback), and quarantine anti-joins on source_path. A crash
-between any two sink writes therefore repairs on replay: the
+(bounded lookback), and quarantine anti-joins on a per-ROW identity
+(source_path + corrupt-line hash — r05 ADVICE: path-only keying
+silently narrowed the contract to job-atomic sinks, dropping the rest
+of a partially-visible file's corrupt rows forever). A crash between
+any two sink writes therefore repairs on replay: the
 already-committed sinks drop everything, the missed sinks still see
 their rows as new. (Round-5 review: deriving history from the
 canonical anti-join's survivors shared one dedup authority across
