@@ -335,8 +335,12 @@ def _ann_recall_frame(exact: DataFrame, ann: DataFrame,
     run's micro-averaged recall against ``bound`` — the oracle restates
     the exact columns and literal TRUE, so the ANN quality contract is
     driver-gated instead of pytest-only."""
+    # both sides are k x |queries| rows (tiny by construction) but sit
+    # atop heavy pipelines with unknown stats — broadcast the ANN side
+    # so the hit join never plans a SortMerge over two 30-row frames
     hits = exact.select("query_id", "vec_id").join(
-        ann.select("query_id", "vec_id", F.lit(1).alias("hit")),
+        F.broadcast(ann.select("query_id", "vec_id",
+                               F.lit(1).alias("hit"))),
         ["query_id", "vec_id"], "left")
     per_q = hits.groupBy("query_id").agg(
         F.expr("array_join(transform(array_sort(collect_list(vec_id)),"
