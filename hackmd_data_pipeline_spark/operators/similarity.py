@@ -477,9 +477,26 @@ def lsh_hyperplane_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def pinned_centroids(corpus: DataFrame, k: int, id_col: str = "vec_id",
+                     vec_col: str = "embedding"):
+    """Deterministic pinned quantizer: the ``k`` lowest-id vectors,
+    unit-normalized, as an (k, dim) float64 array — the injectable
+    stand-in for ``_train_quantizer`` when a run must be reproducible
+    across engines (the uuid/clock-pinning recipe of
+    ``plans/ingest.py::to_history``). Bounded collect (k rows via
+    TakeOrdered), same class as the capped k-means sample."""
+    import numpy as np
+
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    x = np.asarray([r[1] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return x
+
+
 def semdedup(corpus: DataFrame, n_clusters: int = 16,
              threshold: float = 0.95, id_col: str = "vec_id",
-             vec_col: str = "embedding", seed: int = 42) -> DataFrame:
+             vec_col: str = "embedding", seed: int = 42,
+             centroids=None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): ``id | cell | centroid_cosine | cluster_id |
     is_kept``.
@@ -499,12 +516,19 @@ def semdedup(corpus: DataFrame, n_clusters: int = 16,
     cell, the blocking contract block_cosine_pairs already imposes);
     everything else is keyed equi-joins and one window over pair
     members. No full-corpus collect — the quantizer sample is capped.
+
+    ``centroids`` (optional (k, dim) unit-norm float64 array, e.g.
+    ``pinned_centroids``) replaces the trained quantizer so the whole
+    pipeline — cell argmax, within-cell pairs, CC, keep-farthest — is
+    deterministic and SQL-restatable; the default trains k-means as
+    the paper prescribes.
     """
     import numpy as np
 
     from .dedup import dedup_clusters
 
-    cents = _train_quantizer(corpus, n_clusters, vec_col, seed=seed)
+    cents = (_train_quantizer(corpus, n_clusters, vec_col, seed=seed)
+             if centroids is None else np.asarray(centroids, dtype=np.float64))
 
     def assign_cells(batches):
         for pdf in batches:

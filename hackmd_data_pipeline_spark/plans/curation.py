@@ -5,9 +5,10 @@ dedup.
 These extend the LLM-training-data operator family (SURVEY.md §2
 extension set; the reference pipeline stops at exact-id dedup —
 reference src/extract/arxiv_collector.py:123-134). Oracle-checked
-where the semantics are ANSI-SQL-expressible; the iterative /
-clustering members are rows-only by nature with property tests in
-tests/test_graph.py and tests/test_similarity.py.
+where the semantics are ANSI-SQL-expressible — since r06 that
+includes SemDeDup via a pinned injectable quantizer; property tests
+in tests/test_graph.py and tests/test_similarity.py cover the
+k-means/iterative defaults.
 """
 
 from __future__ import annotations
@@ -201,19 +202,96 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_semantic_semdedup", oracle=None)
+# DuckDB restatement of operators.similarity dot/cosine fold
+# arithmetic (same helpers as plans/similarity.py — duplicated here
+# because the two modules register independently).
+_SD_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+)
+_SD_NORM = (
+    "sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "(acc, v) -> acc + v))"
+)
+
+
+@query(
+    "dedup_semantic_semdedup",
+    oracle=f"""
+    WITH RECURSIVE cents AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+               embedding AS cvec
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+    ), scored AS (
+        SELECT e.vec_id, c.cell,
+               {_SD_DOT.format(a='e.embedding', b='c.cvec')}
+               / ({_SD_NORM.format(a='e.embedding')} * {_SD_NORM.format(a='c.cvec')}) AS cos
+        FROM embeddings e CROSS JOIN cents c
+    ), assigned AS (
+        SELECT vec_id, cell, ROUND(cos, 6) AS centroid_cosine
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY cos DESC, cell ASC) AS rnk
+              FROM scored)
+        WHERE rnk = 1
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM assigned a
+        JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE {_SD_DOT.format(a='ea.embedding', b='eb.embedding')}
+              / ({_SD_NORM.format(a='ea.embedding')} * {_SD_NORM.format(a='eb.embedding')}) >= 0.45
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), reach(id, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    ), comp AS (
+        SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    ), member AS (
+        SELECT a.vec_id, a.cell, a.centroid_cosine,
+               CAST(COALESCE(c.cluster_id, a.vec_id) AS BIGINT) AS cluster_id
+        FROM assigned a LEFT JOIN comp c ON c.id = a.vec_id
+    )
+    SELECT vec_id, cell, centroid_cosine, cluster_id,
+           (ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY centroid_cosine ASC, vec_id ASC) = 1)
+               AS is_kept
+    FROM member
+    ORDER BY vec_id
+    """,
+)
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) semantic dedup over the embedding
-    table: k-means cells -> within-cell cosine pairs (vectorized
+    table: quantizer cells -> within-cell cosine pairs (vectorized
     per-cell kernel, never a cross-join) -> connected components ->
     keep the group member FARTHEST from its cluster centroid.
-    Clustering + iterative CC => rows-only; the keep-farthest rule and
-    planted-duplicate grouping are property-tested in
-    tests/test_similarity.py."""
-    from ..operators.similarity import semdedup
+
+    PROMOTED rows-only -> full oracle in r06 (the last clustering
+    holdout): the registry form injects a PINNED quantizer (the 16
+    lowest-id vectors, unit-normalized — the uuid/clock-pinning recipe
+    of ingest_history_record) so cell argmax, pair generation, CC and
+    the keep-farthest window are all deterministic, and DuckDB
+    restates the whole pipeline: fold-arithmetic cosine against the
+    same 16 centroids, ROW_NUMBER argmax (ties -> lowest cell, numpy
+    argmax's first-max rule), within-cell threshold pairs, recursive-
+    CTE transitive closure with MIN-label (the dedup_cc_clusters
+    pattern), and the keep-farthest window over the ROUNDED cosine.
+    The paper-faithful k-means default path stays the operator default
+    (property-tested in tests/test_similarity.py); what this entry
+    pins cross-engine is every downstream semantic given a quantizer.
+
+    Scale: pairwise work confined to cells; CC min-label propagation;
+    no full-corpus collect (pinned quantizer = bounded 16-row
+    TakeOrdered, same class as the capped k-means sample)."""
+    from ..operators.similarity import pinned_centroids, semdedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup(emb, n_clusters=16, threshold=0.45)
+    cents = pinned_centroids(emb, k=16)
+    return semdedup(emb, n_clusters=16, threshold=0.45, centroids=cents)
 
 
 @query(

@@ -203,6 +203,42 @@ def test_semdedup_groups_planted_duplicates(spark):
         assert by_id[i].is_kept
 
 
+def test_semdedup_pinned_centroids_deterministic(spark):
+    """The r06 injectable-quantizer path: pinned_centroids returns the
+    k lowest-id vectors unit-normalized in id order, and semdedup with
+    an explicit centroid array is fully deterministic — two runs give
+    row-identical output, and cell assignment is the literal argmax of
+    cosine against the injected rows (verified against numpy)."""
+    import numpy as np
+
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        pinned_centroids, semdedup)
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = pinned_centroids(emb, k=4)
+    assert cents.shape == (4, 8)
+    np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-12)
+    # row i of the array is the i-th lowest id, unit-normalized
+    for i in range(4):
+        v = np.asarray(rows[i][1])
+        np.testing.assert_allclose(cents[i], v / np.linalg.norm(v), atol=1e-12)
+
+    a = semdedup(emb, threshold=0.9, centroids=cents).collect()
+    b = semdedup(emb, threshold=0.9, centroids=cents).collect()
+    assert a == b, "pinned-centroid semdedup must be run-to-run identical"
+
+    # cell = argmax cosine against the injected centroids, exactly
+    x = np.asarray([r[1] for r in rows])
+    unit = x / np.linalg.norm(x, axis=1, keepdims=True)
+    expect = (unit @ cents.T).argmax(axis=1)
+    got = {r.vec_id: r.cell for r in a}
+    for i in range(40):
+        assert got[i] == expect[i]
+
+
 def test_lsh_pairs_subset_of_exact_jaccard(spark):
     """LSH banding is a recall-lossy candidate filter over the SAME
     verify: every pair dedup_minhash_lsh reports must appear in the
