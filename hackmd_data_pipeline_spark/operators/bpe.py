@@ -204,3 +204,33 @@ def bpe_encode_stats(df: DataFrame, merges: list[tuple[str, str]],
 
     return df.select(id_col, text_col).mapInPandas(
         encode, schema=f"{id_col} long, n_words long, n_bpe_tokens long")
+
+
+# Pinned tokenizer artifact: the merge list train_bpe_merges learns at
+# sf0.01 (bounded lowest-doc-id sample, lexicographic tie-breaks — a
+# pure function of that table), frozen as a literal so the encode
+# path can be value-oracled cross-engine (the pinned-quantizer recipe
+# of operators/similarity.py::pinned_centroids). Real pipelines ship
+# the tokenizer as exactly this kind of fixed artifact; training
+# itself stays covered by the docs_bpe_pair_counts oracle, the
+# sequential contracts in tests/test_bpe.py, and the distributed-vs-
+# driver equivalence test.
+PINNED_BPE_MERGES: list[tuple[str, str]] = [
+    ('e', 'r'), ('e', '</w>'), ('n', '</w>'), ('er', '</w>'),
+    ('w', '</w>'), ('o', 'w</w>'), ('o', 'r'), ('s', 't'),
+    ('h', '</w>'), ('a', 't'), ('l', 'u'), ('i', 'n'),
+    ('a', '</w>'), ('g', '</w>'), ('y', '</w>'), ('p', 'a'),
+    ('pa', 'r'), ('t', '</w>'), ('o', 'i'), ('oi', 'n</w>'),
+    ('j', 'oin</w>'), ('s', 'h</w>'), ('h', 'a'), ('ha', 'sh</w>'),
+    ('r', 'ow</w>'), ('c', 'h</w>'), ('b', 'at'), ('bat', 'ch</w>'),
+    ('s', 'c'), ('sc', 'a'), ('sca', 'n</w>'), ('u', 'st'),
+    ('ust', 'o'), ('usto', 'm'), ('ustom', 'er</w>'), ('o', 'lu'),
+    ('olu', 'm'), ('olum', 'n</w>'), ('c', 'ustomer</w>'),
+    ('c', 'olumn</w>'), ('t', 'er</w>'), ('l', 'ter</w>'),
+    ('i', 'lter</w>'), ('f', 'ilter</w>'), ('s', 'm'), ('sm', 'a'),
+    ('sma', 'l'), ('smal', 'l'), ('small', '</w>'), ('s', 'l'),
+    ('sl', 'ow</w>'), ('m', 'er'), ('mer', 'g'), ('merg', 'e</w>'),
+    ('v', 'e'), ('ve', 'c'), ('vec', 't'), ('vect', 'or'),
+    ('vector', '</w>'), ('or', 'd'), ('ord', 'er</w>'),
+    ('l', 'in'), ('lin', 'e</w>'), ('t', 'a'),
+]

@@ -951,21 +951,84 @@ def curation_decision_table(d: DataFrame) -> DataFrame:
     )
 
 
-@query("docs_bpe_encode", oracle=None)
+def _bpe_encode_oracle() -> str:
+    """DuckDB restatement of operators/bpe.py::_encode_word over the
+    PINNED merge artifact: a recursive CTE per DISTINCT word that, at
+    each level, ranks every adjacent symbol pair against the merge
+    list (list_position over 'a|b' literals — 1-based, so lower =
+    earlier-trained = GPT-2 application order; 0 = not a merge), picks
+    the lowest-ranked pair at its LEFTMOST position (list_position's
+    first-occurrence rule = the kernel's strict < scan), splices the
+    merge, and stops when no pair ranks. Recursion depth per word is
+    bounded by word length; state is bounded by VOCABULARY, not corpus
+    (the same reason the distributed trainer scales)."""
+    from ..operators.bpe import PINNED_BPE_MERGES
+
+    lit = "[" + ", ".join(f"'{a}|{b}'" for a, b in PINNED_BPE_MERGES) + "]"
+    return f"""
+    WITH RECURSIVE words AS (
+        SELECT doc_id, w
+        FROM (SELECT doc_id,
+                     UNNEST(regexp_split_to_array(TRIM(LOWER(text)),
+                            '[ \\t\\n\\x0B\\f\\r]+')) AS w
+              FROM documents
+              WHERE LENGTH(TRIM(text)) > 0)
+        WHERE LENGTH(w) > 0
+    ), vocab AS (
+        SELECT DISTINCT w FROM words
+    ), enc(w, syms, step) AS (
+        SELECT w, list_append(string_split(w, ''), '</w>'), 0 FROM vocab
+        UNION ALL
+        SELECT w,
+               list_slice(syms, 1, bi - 1)
+                 || [syms[bi] || syms[bi + 1]]
+                 || list_slice(syms, bi + 2, length(syms)),
+               step + 1
+        FROM (SELECT w, syms, step, list_position(rks, best) AS bi
+              FROM (SELECT w, syms, step, rks,
+                           list_min(list_filter(rks, r -> r > 0)) AS best
+                    FROM (SELECT w, syms, step,
+                                 list_transform(range(1, length(syms)),
+                                     i -> list_position({lit},
+                                              syms[i] || '|' || syms[i + 1])) AS rks
+                          FROM enc))
+              WHERE best IS NOT NULL)
+    ), final AS (
+        SELECT w, length(syms) AS n_tok
+        FROM (SELECT w, syms,
+                     ROW_NUMBER() OVER (PARTITION BY w ORDER BY step DESC) AS rn
+              FROM enc)
+        WHERE rn = 1
+    )
+    SELECT words.doc_id, COUNT(*) AS n_words,
+           CAST(SUM(f.n_tok) AS BIGINT) AS n_bpe_tokens
+    FROM words JOIN final f ON words.w = f.w
+    GROUP BY words.doc_id
+    ORDER BY words.doc_id
+    """
+
+
+@query("docs_bpe_encode", oracle=_bpe_encode_oracle())
 def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer APPLICATION (the other half of
-    docs_bpe_pair_counts): train 64 merges on a bounded deterministic
-    sample driver-side (the ANN-quantizer posture, arXiv:1508.07909),
-    then encode the corpus in one Arrow-batched pass with a
-    distinct-word cache. Emits per-doc ``n_words | n_bpe_tokens``.
-    Rows-only BY NATURE: the merge algorithm is sequential (merge i
-    depends on the corpus state after merges 0..i-1), so no
-    fixed-depth SQL restatement exists — the LDA/SemDeDup rationale;
+    docs_bpe_pair_counts): encode the corpus with the PINNED merge
+    artifact (operators/bpe.py::PINNED_BPE_MERGES — the list
+    train_bpe_merges learns at sf0.01, frozen the way real pipelines
+    freeze a tokenizer) in one Arrow-batched pass with a distinct-word
+    cache. Emits per-doc ``n_words | n_bpe_tokens``.
+
+    PROMOTED rows-only -> full oracle in r06: with the artifact pinned
+    the encode loop is a FIXED bounded iteration, and DuckDB restates
+    it exactly (recursive-CTE lowest-rank-leftmost merge splicing per
+    distinct word — see _bpe_encode_oracle). '|' as the pair-lookup
+    separator is corpus-checked collision-free. TRAINING (the
+    sequential part that motivated the old rows-only rationale) stays
+    covered by the docs_bpe_pair_counts oracle, the tests/test_bpe.py
     contracts (determinism, lossless segmentation, compression
-    monotonicity, count bounds) are pinned in tests/test_bpe.py."""
-    from ..operators.bpe import bpe_encode_stats, train_bpe_merges
+    monotonicity, count bounds), and the distributed-vs-driver merge
+    equivalence test."""
+    from ..operators.bpe import PINNED_BPE_MERGES, bpe_encode_stats
 
     d = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0)
-    merges = train_bpe_merges(d, n_merges=64)
-    return bpe_encode_stats(d, merges).orderBy("doc_id")
+    return bpe_encode_stats(d, PINNED_BPE_MERGES).orderBy("doc_id")

@@ -1,6 +1,8 @@
-"""BPE train/encode contracts (operators/bpe.py) — the rows-only
-rationale demands the quality gates live here: determinism, lossless
-segmentation, compression monotonicity, and count bounds."""
+"""BPE train/encode contracts (operators/bpe.py): determinism,
+lossless segmentation, compression monotonicity, count bounds, and
+(since r06, when the encode query was promoted to a pinned-artifact
+oracle) the provenance of the frozen merge list — TRAINING is the
+part the driver oracle doesn't cover, so its gates live here."""
 
 from __future__ import annotations
 
@@ -13,7 +15,7 @@ from hackmd_data_pipeline_spark.operators.bpe import (
 )
 from hackmd_data_pipeline_spark.tables import load_table
 
-from .conftest import SF_SMOKE
+from .conftest import SF_CORRECT, SF_SMOKE
 
 
 def test_bpe_training_learns_frequent_pair_first(spark):
@@ -59,6 +61,18 @@ def test_bpe_encode_stats_bounds(spark):
     bad = out.filter((F.col("n_bpe_tokens") < F.col("n_words"))
                      | (F.col("n_words") < 1))
     assert bad.count() == 0
+
+
+def test_pinned_merge_artifact_provenance(spark):
+    """The frozen PINNED_BPE_MERGES literal must be exactly what
+    train_bpe_merges learns at sf0.01 — if the testdata generator ever
+    changes the corpus, this trips and the artifact gets re-frozen
+    (the registry query itself stays pinned either way; this gate is
+    about honest provenance, not query semantics)."""
+    from hackmd_data_pipeline_spark.operators.bpe import PINNED_BPE_MERGES
+
+    d = load_table(spark, SF_CORRECT, "documents")
+    assert train_bpe_merges(d, n_merges=64) == PINNED_BPE_MERGES
 
 
 def test_bpe_distributed_training_equals_driver_path(spark):
