@@ -39,7 +39,16 @@ def train_bpe_merges(df: DataFrame, text_col: str = "text",
         for w in str(r[1]).lower().split():
             key = tuple(w) + (_END,)
             word_freq[key] = word_freq.get(key, 0) + 1
+    return train_merges_from_word_freq(word_freq, n_merges)
 
+
+def train_merges_from_word_freq(
+        word_freq: dict[tuple[str, ...], int],
+        n_merges: int) -> list[tuple[str, str]]:
+    """The pure sequential core of BPE training (Sennrich et al. 2016)
+    over a symbolized word-frequency table — exposed so property tests
+    can train on arbitrary generated corpora without a SparkSession."""
+    word_freq = dict(word_freq)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
         pairs: dict[tuple[str, str], int] = {}

@@ -101,3 +101,65 @@ def test_bpe_distributed_training_early_stop(spark):
 
     df = spark.createDataFrame([(0, "ab cd ef")], "doc_id long, text string")
     assert train_bpe_merges_distributed(df, n_merges=8) == []
+
+
+def test_encode_cte_oracle_equivalence_hypothesis():
+    """The r06 promotion's load-bearing claim, fuzzed beyond the
+    corpus: for ARBITRARY word sets and merge lists trained on them,
+    the DuckDB recursive-CTE restatement (the docs_bpe_encode oracle's
+    enc CTE) produces the same token count per word as the Python
+    kernel _encode_word — lowest-rank pair first, leftmost on ties."""
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from hackmd_data_pipeline_spark.operators.bpe import (
+        _END, train_merges_from_word_freq)
+
+    words_st = st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=10),
+        min_size=1, max_size=25)
+
+    @settings(max_examples=40, deadline=None)
+    @given(words=words_st, n_merges=st.integers(min_value=1, max_value=16))
+    def check(words, n_merges):
+        wf: dict[tuple[str, ...], int] = {}
+        for w in words:
+            key = tuple(w) + (_END,)
+            wf[key] = wf.get(key, 0) + 1
+        merges = train_merges_from_word_freq(wf, n_merges)
+        ranks = {p: i for i, p in enumerate(merges)}
+        expected = {w: len(_encode_word(w, ranks)) for w in set(words)}
+
+        lit = ("[" + ", ".join(f"'{a}|{b}'" for a, b in merges) + "]"
+               ) if merges else "CAST([] AS VARCHAR[])"
+        vocab_lit = ", ".join(f"('{w}')" for w in set(words))
+        got = dict(duckdb.sql(f"""
+            WITH RECURSIVE vocab(w) AS (
+                VALUES {vocab_lit}
+            ), enc(w, syms, step) AS (
+                SELECT w, list_append(string_split(w, ''), '</w>'), 0 FROM vocab
+                UNION ALL
+                SELECT w,
+                       list_slice(syms, 1, bi - 1)
+                         || [syms[bi] || syms[bi + 1]]
+                         || list_slice(syms, bi + 2, length(syms)),
+                       step + 1
+                FROM (SELECT w, syms, step, list_position(rks, best) AS bi
+                      FROM (SELECT w, syms, step, rks,
+                                   list_min(list_filter(rks, r -> r > 0)) AS best
+                            FROM (SELECT w, syms, step,
+                                         list_transform(range(1, length(syms)),
+                                             i -> list_position({lit},
+                                                      syms[i] || '|' || syms[i + 1])) AS rks
+                                  FROM enc))
+                      WHERE best IS NOT NULL)
+            )
+            SELECT w, length(syms) AS n_tok
+            FROM (SELECT w, syms,
+                         ROW_NUMBER() OVER (PARTITION BY w ORDER BY step DESC) AS rn
+                  FROM enc)
+            WHERE rn = 1
+        """).fetchall())
+        assert got == expected
+
+    check()
