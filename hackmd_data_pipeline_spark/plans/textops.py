@@ -955,8 +955,9 @@ def _bpe_encode_oracle() -> str:
     """DuckDB restatement of operators/bpe.py::_encode_word over the
     PINNED merge artifact: a recursive CTE per DISTINCT word that, at
     each level, ranks every adjacent symbol pair against the merge
-    list (list_position over 'a|b' literals — 1-based, so lower =
-    earlier-trained = GPT-2 application order; 0 = not a merge), picks
+    list (list_position over {a, b} STRUCT literals — collision-proof
+    for any token content; 1-based, so lower = earlier-trained =
+    GPT-2 application order; 0 = not a merge), picks
     the lowest-ranked pair at its LEFTMOST position (list_position's
     first-occurrence rule = the kernel's strict < scan), splices the
     merge, and stops when no pair ranks. Recursion depth per word is
@@ -964,7 +965,8 @@ def _bpe_encode_oracle() -> str:
     (the same reason the distributed trainer scales)."""
     from ..operators.bpe import PINNED_BPE_MERGES
 
-    lit = "[" + ", ".join(f"'{a}|{b}'" for a, b in PINNED_BPE_MERGES) + "]"
+    lit = "[" + ", ".join("{'a': '%s', 'b': '%s'}" % (a, b)
+                          for a, b in PINNED_BPE_MERGES) + "]"
     return f"""
     WITH RECURSIVE words AS (
         SELECT doc_id, w
@@ -990,7 +992,7 @@ def _bpe_encode_oracle() -> str:
                     FROM (SELECT w, syms, step,
                                  list_transform(range(1, length(syms)),
                                      i -> list_position({lit},
-                                              syms[i] || '|' || syms[i + 1])) AS rks
+                                              {{'a': syms[i], 'b': syms[i + 1]}})) AS rks
                           FROM enc))
               WHERE best IS NOT NULL)
     ), final AS (
@@ -1020,8 +1022,8 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     PROMOTED rows-only -> full oracle in r06: with the artifact pinned
     the encode loop is a FIXED bounded iteration, and DuckDB restates
     it exactly (recursive-CTE lowest-rank-leftmost merge splicing per
-    distinct word — see _bpe_encode_oracle). '|' as the pair-lookup
-    separator is corpus-checked collision-free. TRAINING (the
+    distinct word — see _bpe_encode_oracle; the pair lookup matches on
+    {a, b} structs, so no token content can alias a merge). TRAINING (the
     sequential part that motivated the old rows-only rationale) stays
     covered by the docs_bpe_pair_counts oracle, the tests/test_bpe.py
     contracts (determinism, lossless segmentation, compression

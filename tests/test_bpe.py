@@ -115,8 +115,11 @@ def test_encode_cte_oracle_equivalence_hypothesis():
     from hackmd_data_pipeline_spark.operators.bpe import (
         _END, train_merges_from_word_freq)
 
+    # '|' in the alphabet proves the struct pair-lookup cannot alias
+    # merges through token content (the reason the oracle matches on
+    # {a, b} structs rather than joined strings)
     words_st = st.lists(
-        st.text(alphabet="abcde", min_size=1, max_size=10),
+        st.text(alphabet="abcd|", min_size=1, max_size=10),
         min_size=1, max_size=25)
 
     @settings(max_examples=40, deadline=None)
@@ -130,8 +133,9 @@ def test_encode_cte_oracle_equivalence_hypothesis():
         ranks = {p: i for i, p in enumerate(merges)}
         expected = {w: len(_encode_word(w, ranks)) for w in set(words)}
 
-        lit = ("[" + ", ".join(f"'{a}|{b}'" for a, b in merges) + "]"
-               ) if merges else "CAST([] AS VARCHAR[])"
+        lit = ("[" + ", ".join("{'a': '%s', 'b': '%s'}" % (a, b)
+                               for a, b in merges) + "]"
+               ) if merges else "CAST([] AS STRUCT(a VARCHAR, b VARCHAR)[])"
         vocab_lit = ", ".join(f"('{w}')" for w in set(words))
         got = dict(duckdb.sql(f"""
             WITH RECURSIVE vocab(w) AS (
@@ -150,7 +154,7 @@ def test_encode_cte_oracle_equivalence_hypothesis():
                             FROM (SELECT w, syms, step,
                                          list_transform(range(1, length(syms)),
                                              i -> list_position({lit},
-                                                      syms[i] || '|' || syms[i + 1])) AS rks
+                                                      {{'a': syms[i], 'b': syms[i + 1]}})) AS rks
                                   FROM enc))
                       WHERE best IS NOT NULL)
             )
