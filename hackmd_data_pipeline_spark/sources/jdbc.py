@@ -18,9 +18,12 @@ JDBC-write option: the engine's idempotent path stays
 plans/ingest.idempotent_new_rows (anti-join before append), which is
 also how it works on the parquet store — see streaming/pipeline.py.
 
-The sandbox ships no JDBC driver or database, so this module is a
-thin, import-safe surface; tests skip unless SPARK_GRAFT_JDBC_URL is
-set (tests/test_jdbc.py).
+Tested live in-container against Derby embedded (the JDBC database
+Spark itself ships for the Hive metastore — org.apache.derby.jdbc.
+EmbeddedDriver is on every session's classpath), covering the banded
+parallel read, batched append, and truncate-overwrite paths
+(tests/test_jdbc.py). The Postgres round-trip additionally runs when
+SPARK_GRAFT_JDBC_URL points at a live server.
 """
 
 from __future__ import annotations
