@@ -49,8 +49,9 @@ def build_dedup_store(df: DataFrame, dest: str, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 16,
                       bands: int = 4, shingle_n: int = 3,
                       jaccard_threshold: float = 0.5,
-                      force: bool = False) -> None:
-    """Materialize the full dedup artifact chain under ``dest``.
+                      force: bool = False,
+                      through: str = "clusters") -> None:
+    """Materialize the dedup artifact chain under ``dest``.
 
     Stage order matters: every write is followed by a re-read, so each
     stage's lineage roots at parquet, not at the raw corpus — the
@@ -61,23 +62,42 @@ def build_dedup_store(df: DataFrame, dest: str, id_col: str = "doc_id",
     dest — pass ``force=True`` to rebuild everything (required when
     the INPUT corpus or parameters changed; stage-skip cannot detect
     that).
+
+    ``through`` bounds how deep the chain is materialized
+    (``"shingles" | "signatures" | "pairs" | "clusters"``): an
+    ingest deployment whose only consumer is ``incremental_pairs``
+    needs just shingles+signatures — materializing the stored-vs-
+    stored pair/cluster stages on every store refresh is pure waste
+    there, and a later ``build_dedup_store(..., through="clusters")``
+    on the same dest resumes exactly where this stopped (the stage-
+    skip markers make deepening incremental too).
     """
+    stages = ("shingles", "signatures", "pairs", "clusters")
+    if through not in stages:
+        raise ValueError(f"through must be one of {stages}, got {through!r}")
+    depth = stages.index(through)
     spark = df.sparkSession
 
     if force or not _stage_complete(spark, dest + "/shingles"):
         sh = hashed_shingle_table(df, id_col, text_col, shingle_n)
         sh.write.mode("overwrite").parquet(dest + "/shingles")
+    if depth < 1:
+        return
     sh = spark.read.parquet(dest + "/shingles")
 
     if force or not _stage_complete(spark, dest + "/signatures"):
         sigs = minhash_signatures_from(sh, id_col, num_hashes)
         sigs.write.mode("overwrite").parquet(dest + "/signatures")
-    sigs = spark.read.parquet(dest + "/signatures")
+    if depth < 2:
+        return
 
     if force or not _stage_complete(spark, dest + "/pairs"):
+        sigs = spark.read.parquet(dest + "/signatures")
         cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
         pairs = verify_jaccard(cand, sh, id_col, jaccard_threshold, sort=True)
         pairs.write.mode("overwrite").parquet(dest + "/pairs")
+    if depth < 3:
+        return
     pairs = spark.read.parquet(dest + "/pairs")
 
     if force or not _stage_complete(spark, dest + "/clusters"):

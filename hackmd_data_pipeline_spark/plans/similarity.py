@@ -148,6 +148,60 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d, jaccard_threshold=0.3)
 
 
+from .oracle_helpers import minhash_pairs_ctes  # noqa: E402
+
+
+@query(
+    "dedup_incremental_store",
+    oracle="WITH " + minhash_pairs_ctes(threshold=0.3) + """
+    SELECT id_a, id_b, jaccard FROM mh_pairs
+    WHERE id_a % 4 = 0 OR id_b % 4 = 0
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup against a PERSISTED store — the form
+    a continuously-ingesting 100 TB pipeline actually runs: the
+    existing corpus (doc_id % 4 != 0) is materialized once as the
+    shingle/signature/pair/cluster artifact chain
+    (operators/dedup_store.py::build_dedup_store), then the new batch
+    (doc_id % 4 == 0) is deduped by joining ITS band buckets against
+    stored ∪ new buckets — per-batch work is O(batch × collisions),
+    independent of corpus size; the corpus text is never rescanned.
+
+    Fully oracled, banding included: the candidate set of
+    incremental_pairs is exactly the full-corpus LSH pair set
+    restricted to pairs with >= 1 new side (new×(stored∪new) bucket
+    join + least/greatest normalization), so the oracle is the
+    value-checked xxh64 pair pipeline of dedup_minhash_lsh filtered by
+    `id_a % 4 = 0 OR id_b % 4 = 0` — the store build, the parquet
+    round-trip of shingles/signatures, and the incremental bucket join
+    all sit on the hash-gated path.
+
+    Bench note: this entry deliberately pays for a composed pipeline
+    per run — a fresh store build (two written+committed parquet
+    stages over 3/4 of the corpus) PLUS the batch dedup — the
+    dedup_lsh_recall_eval pattern of benching the whole capability,
+    not a warm fragment. In deployment the build amortizes across
+    batches; only the incremental join is per-batch."""
+    import tempfile
+
+    from ..operators.dedup_store import build_dedup_store, incremental_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    stored = d.filter(F.col("doc_id") % 4 != 0)
+    new_batch = d.filter(F.col("doc_id") % 4 == 0)
+    dest = tempfile.mkdtemp(prefix="graft_dedup_store_")
+    # incremental_pairs reads shingles+signatures only; the stored-vs-
+    # stored pair/cluster stages are a different consumer's artifacts
+    # (through= makes the per-refresh build cost exactly what the
+    # incremental path needs — deepening later resumes via stage-skip)
+    build_dedup_store(stored, dest, jaccard_threshold=0.3,
+                      through="signatures")
+    return (incremental_pairs(new_batch, dest, jaccard_threshold=0.3)
+            .orderBy("id_a", "id_b"))
+
+
 from .oracle_helpers import simhash_oracle  # noqa: E402
 
 
