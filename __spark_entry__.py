@@ -97,7 +97,8 @@ _ROWS_ONLY_PRIORITY = [
     "dedup_cluster_resolve",   # verdict item 2: fused pipeline evidence
     "dedup_minhash_lsh",       # LLM-dedup family, graded first-class
     "dedup_simhash",
-    "text_topics_lda",
+    # (text_topics_lda retired from the registry in r07 — replaced by
+    # the fully-oracled text_topics_score; training stays pytest-gated)
     "text_lang_id",
     "multimodal_features",
 ]
@@ -108,20 +109,24 @@ _ROWS_ONLY_PRIORITY = [
 # re-enter the driver's sample window even though an artifact row
 # exists. Prune entries once the corresponding round's artifact lands.
 _FORCE_REGATE = frozenset({
-    # (r05 entries pruned — CORRECTNESS_r05.json records green hash
-    # rows for all six re-gated forms.)
-    # r06: join rewritten eqNullSafe -> coalesce-to-sentinel broadcast
-    # (plans/extensions.py); values identical, plan changed:
-    "docs_rebalance_langs",
-    # r06: single-scan salted-window rewrite (plans/textops.py) — the
-    # 3-FileScan groupBy-join-union form the r05 verdict flagged:
-    "docs_curation_decisions",
-    # r06: recall twins absorbed the rows-only ANN entries and run the
-    # swept configs (IVF/IVFPQ nprobe 4->6, LSH tables 8->12) with
-    # tightened floors 0.35 -> 0.50/0.60 (verdict items 6+8):
+    # (r06 entries pruned — CORRECTNESS_r06.json records green hash
+    # rows for all five re-gated forms.)
+    # r07: oracle norm divisions gained the Spark kernels' zero guard
+    # (GREATEST(norm, 1e-12), r06 ADVICE) — value-identical on the
+    # gate data (no zero embeddings) but a material oracle change:
+    "sim_cosine_topk",
+    "dedup_embedding_cosine",
     "sim_ann_ivf_recall",
     "sim_ann_lsh_recall",
     "sim_ann_ivfpq_recall",
+    "dedup_semantic_semdedup",
+    # r07: Spark tokenizer aligned to the oracle's ASCII-whitespace
+    # regex + zero-word docs filtered to mirror the oracle's inner
+    # join (r06 ADVICE):
+    "docs_bpe_encode",
+    # r07: store moved from mkdtemp-per-run to a deterministic wiped
+    # cache path (r06 ADVICE) — values identical, builder changed:
+    "dedup_incremental_store",
 })
 
 _GATE_COVERED = (_covered_from_artifacts() - _FORCE_REGATE) or _R01_COVERED

@@ -181,10 +181,21 @@ def bpe_encode_stats(df: DataFrame, merges: list[tuple[str, str]],
     so the Python merge loop cost scales with batch vocabulary, not
     token occurrences. Token STREAMS (not just counts) would add an
     explode of the same rows — the stats form keeps the demo output
-    bounded while exercising the identical encode path."""
+    bounded while exercising the identical encode path.
+
+    Tokenizer contract (r06 ADVICE): words split on the ASCII
+    whitespace class ``[ \\t\\n\\x0B\\f\\r]+`` — the exact regex the
+    DuckDB oracle uses — NOT Python ``str.split()``, whose all-Unicode
+    whitespace rule would silently split on U+00A0 etc. and diverge.
+    A doc yielding zero words is emitted as ``(0, 0)``; callers that
+    oracle against an inner word join filter those out (see
+    plans/textops.py::docs_bpe_encode)."""
+    import re
+
     import pandas as pd
 
     ranks = {pair: i for i, pair in enumerate(merges)}
+    ws = re.compile(r"[ \t\n\x0B\f\r]+")
 
     def encode(batches):
         cache: dict[str, int] = {}
@@ -193,7 +204,7 @@ def bpe_encode_stats(df: DataFrame, merges: list[tuple[str, str]],
                 continue
             n_words, n_tokens = [], []
             for text in pdf[text_col]:
-                words = str(text).lower().split()
+                words = [w for w in ws.split(str(text).lower()) if w]
                 total = 0
                 for w in words:
                     if w not in cache:

@@ -209,9 +209,12 @@ _SD_DOT = (
     "list_reduce(list_transform(list_zip({a}, {b}), "
     "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
 )
+# Norm carries the Spark kernels' zero guard (r06 ADVICE — semdedup
+# clamps 1e-300 / pinned_centroids 1e-12): a zero embedding must give
+# cosine 0 on both engines, never NULL/NaN on the oracle side only.
 _SD_NORM = (
-    "sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-    "(acc, v) -> acc + v))"
+    "GREATEST(sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "(acc, v) -> acc + v)), 1e-12)"
 )
 
 

@@ -11,6 +11,8 @@ hyperplanes) remain rows-only by nature.
 
 from __future__ import annotations
 
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -21,14 +23,17 @@ from ..tables import load_table
 from .registry import query
 
 # DuckDB equivalent of operators.similarity.dot/cosine with identical
-# left-fold float semantics.
+# left-fold float semantics. The norm carries the Spark kernels' zero
+# guard (r06 ADVICE): an all-zero embedding row must yield cosine 0 on
+# BOTH engines (dot is 0, so the clamp value itself never shows in the
+# quotient), not NULL/NaN on the oracle side only.
 _DOT = (
     "list_reduce(list_transform(list_zip({a}, {b}), "
     "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
 )
 _NORM = (
-    "sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
-    "(acc, v) -> acc + v))"
+    "GREATEST(sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+    "(acc, v) -> acc + v)), 1e-12)"
 )
 
 
@@ -151,6 +156,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .oracle_helpers import minhash_pairs_ctes  # noqa: E402
 
 
+def _store_cache_path(sf_dir: str, kind: str) -> str:
+    """Deterministic dedup-store location for one dataset: keyed by
+    the resolved sf_dir AND the documents table's mtime, so a
+    regenerated dataset never reuses a stale store, while repeated
+    registry/bench runs over the SAME data reuse (kind="warm") or
+    overwrite (kind="fresh") one bounded directory instead of
+    accumulating mkdtemp droppings (r06 ADVICE)."""
+    import hashlib
+    import os
+    import tempfile
+
+    docs = os.path.join(os.path.realpath(sf_dir), "documents.parquet")
+    try:
+        mtime = str(int(os.path.getmtime(docs)))
+    except OSError:
+        mtime = "0"
+    key = hashlib.md5(f"{docs}|{mtime}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(),
+                        f"graft_dedup_store_{key}_{kind}")
+
+
 @query(
     "dedup_incremental_store",
     oracle="WITH " + minhash_pairs_ctes(threshold=0.3) + """
@@ -183,19 +209,61 @@ def dedup_incremental_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages over 3/4 of the corpus) PLUS the batch dedup — the
     dedup_lsh_recall_eval pattern of benching the whole capability,
     not a warm fragment. In deployment the build amortizes across
-    batches; only the incremental join is per-batch."""
-    import tempfile
-
+    batches; dedup_incremental_batch below measures THAT path — the
+    per-batch join against a warm store. Store placement (r06 ADVICE:
+    mkdtemp-per-run accumulated unbounded /tmp parquet): a
+    DETERMINISTIC per-(sf_dir, mtime) path, wiped before each rebuild,
+    so at most one fresh store per dataset ever exists on disk."""
     from ..operators.dedup_store import build_dedup_store, incremental_pairs
 
     d = load_table(spark, sf_dir, "documents")
     stored = d.filter(F.col("doc_id") % 4 != 0)
     new_batch = d.filter(F.col("doc_id") % 4 == 0)
-    dest = tempfile.mkdtemp(prefix="graft_dedup_store_")
+    dest = _store_cache_path(sf_dir, "fresh")
+    shutil.rmtree(dest, ignore_errors=True)
     # incremental_pairs reads shingles+signatures only; the stored-vs-
     # stored pair/cluster stages are a different consumer's artifacts
     # (through= makes the per-refresh build cost exactly what the
     # incremental path needs — deepening later resumes via stage-skip)
+    build_dedup_store(stored, dest, jaccard_threshold=0.3,
+                      through="signatures")
+    return (incremental_pairs(new_batch, dest, jaccard_threshold=0.3)
+            .orderBy("id_a", "id_b"))
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle="WITH " + minhash_pairs_ctes(threshold=0.3) + """
+    SELECT id_a, id_b, jaccard FROM mh_pairs
+    WHERE id_a % 4 = 0 OR id_b % 4 = 0
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AMORTIZED half of dedup_incremental_store (r06 VERDICT item
+    4): dedup one batch against an already-built store, measuring what
+    a continuously-ingesting deployment actually pays PER BATCH —
+    O(batch x bucket-collisions), corpus never rescanned. The store
+    lives at a deterministic per-(sf_dir, mtime) cache path and is
+    built at most once per dataset (stage-skip via _SUCCESS markers:
+    the first invocation pays the build, every later one — including
+    the bench's min-of-2 — reads it back), so this entry's steady-
+    state bench number is the flat per-batch join cost the store
+    design exists to deliver, cleanly separated from the build cost
+    dedup_incremental_store charges itself per run.
+
+    Values are identical to dedup_incremental_store by construction
+    (same batch split, same store parameters), so the same banded
+    xxh64 oracle hash-gates the warm-read path: the parquet round-trip
+    of shingles/signatures through the cached store is value-checked
+    too. SCALE.md records the 1x/10x/100x fixed-batch sweep proving
+    the per-batch cost is flat in corpus size."""
+    from ..operators.dedup_store import build_dedup_store, incremental_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    stored = d.filter(F.col("doc_id") % 4 != 0)
+    new_batch = d.filter(F.col("doc_id") % 4 == 0)
+    dest = _store_cache_path(sf_dir, "warm")
     build_dedup_store(stored, dest, jaccard_threshold=0.3,
                       through="signatures")
     return (incremental_pairs(new_batch, dest, jaccard_threshold=0.3)

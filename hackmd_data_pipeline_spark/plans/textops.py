@@ -1028,9 +1028,18 @@ def docs_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     covered by the docs_bpe_pair_counts oracle, the tests/test_bpe.py
     contracts (determinism, lossless segmentation, compression
     monotonicity, count bounds), and the distributed-vs-driver merge
-    equivalence test."""
+    equivalence test.
+
+    Tokenizer parity (r06 ADVICE): bpe_encode_stats now splits on the
+    oracle's exact ASCII-whitespace regex (not Python str.split), and
+    the n_words > 0 filter below mirrors the oracle's inner join on
+    words — a doc passing length(trim(text)) > 0 but yielding zero
+    words (tab/newline-only text; trim strips spaces only) is dropped
+    identically on both engines instead of surfacing as a Spark-only
+    (0, 0) row."""
     from ..operators.bpe import PINNED_BPE_MERGES, bpe_encode_stats
 
     d = load_table(spark, sf_dir, "documents").filter(
         F.length(F.trim("text")) > 0)
-    return bpe_encode_stats(d, PINNED_BPE_MERGES).orderBy("doc_id")
+    return (bpe_encode_stats(d, PINNED_BPE_MERGES)
+            .filter(F.col("n_words") > 0).orderBy("doc_id"))

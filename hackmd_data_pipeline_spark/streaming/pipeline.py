@@ -99,12 +99,8 @@ def run_ingest_stream(spark: SparkSession, raw_path: str, out_root: str,
     counts = {"canonical": 0, "history": 0, "quarantine": 0}
     history_path = f"{out_root}/papers_history"
 
-    def _store_ids(path: str) -> DataFrame | None:
-        """The O-22/O-37 bounded dedup build side for one sink: the
-        store's entry_ids within the lookback window (the reference's
-        6-month in-memory id set, arxiv_collector.py:123-134) —
-        bounded, so it broadcasts at scale. None if the store does
-        not exist yet (first batch)."""
+    def _window_anchor() -> Column:
+        """Lookback anchor shared by every sink's dedup build side."""
         anchor = F.current_timestamp()
         if etl_timestamp is not None:
             # Reprocessing posture (r05 ADVICE): a pinned-in-the-past
@@ -115,6 +111,15 @@ def run_ingest_stream(spark: SparkSession, raw_path: str, out_root: str,
             # the anti-join once the pin falls outside lookback of
             # now, and replays would write duplicates.
             anchor = F.least(anchor, etl_timestamp)
+        return anchor
+
+    def _store_ids(path: str) -> DataFrame | None:
+        """The O-22/O-37 bounded dedup build side for one sink: the
+        store's entry_ids within the lookback window (the reference's
+        6-month in-memory id set, arxiv_collector.py:123-134) —
+        bounded, so it broadcasts at scale. None if the store does
+        not exist yet (first batch)."""
+        anchor = _window_anchor()
         try:
             return (
                 spark.read.parquet(path)
@@ -172,16 +177,27 @@ def run_ingest_stream(spark: SparkSession, raw_path: str, out_root: str,
             # not the path alone (r05 ADVICE), so a crash that left a
             # PARTIALLY-visible quarantine append (non-job-atomic
             # committers) still replays the file's remaining corrupt
-            # rows instead of dropping them forever. The build side
-            # stays a narrow distinct broadcast. (The canonical/history
-            # sinks get the same property from their own entry_id
-            # anti-joins above.)
+            # rows instead of dropping them forever. The build side is
+            # BOUNDED by the same etl_timestamp lookback as the
+            # canonical/history sides (r06 ADVICE: an unbounded
+            # distinct over all-time corrupt rows grows forever on a
+            # long-running deployment — and a replayed file can only
+            # be one the checkpoint saw within the retention window);
+            # rows written before the column existed stay in the build
+            # side rather than being silently expired.
             bad = (bad.select("source_path", "_corrupt_record")
-                   .withColumn("_row_h", F.xxhash64("_corrupt_record")))
+                   .withColumn("_row_h", F.xxhash64("_corrupt_record"))
+                   .withColumn("etl_timestamp", _window_anchor()))
             try:
-                seen = (spark.read.parquet(quarantine_path)
-                        .select("source_path",
-                                F.xxhash64("_corrupt_record").alias("_row_h"))
+                seen = spark.read.parquet(quarantine_path)
+                if "etl_timestamp" in seen.columns:
+                    seen = seen.filter(
+                        F.coalesce(
+                            F.col("etl_timestamp")
+                            >= _window_anchor() - F.expr(f"INTERVAL {lookback}"),
+                            F.lit(True)))
+                seen = (seen.select("source_path",
+                                    F.xxhash64("_corrupt_record").alias("_row_h"))
                         .distinct())
                 bad = bad.join(F.broadcast(seen),
                                ["source_path", "_row_h"], "left_anti")

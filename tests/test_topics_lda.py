@@ -80,16 +80,17 @@ def test_lda_purity_and_determinism_on_pinned_partitioning(spark):
 
 
 def test_lda_registered_query_runs_and_is_stable(spark):
-    """The registered query itself (real corpus, sf0.01): full row
+    """The training-path builder (real corpus, sf0.01): full row
     coverage and rerun-stable GROUPING — two runs must agree on >= 95%
     of docs under the best topic-label permutation (labels themselves
     may permute between runs; see test_lda_purity_stable_across_reruns
-    for why)."""
-    from hackmd_data_pipeline_spark.plans import REGISTRY
+    for why). Since r07 this builder is deliberately UNREGISTERED
+    (the driver-gated topic operator is the fully-oracled
+    text_topics_score); these gates keep covering the training path."""
+    from hackmd_data_pipeline_spark.plans.extensions import text_topics_lda
 
-    q = REGISTRY["text_topics_lda"]
-    r1 = {r.doc_id: r.topic_id for r in q.builder(spark, SF_CORRECT).collect()}
-    r2 = {r.doc_id: r.topic_id for r in q.builder(spark, SF_CORRECT).collect()}
+    r1 = {r.doc_id: r.topic_id for r in text_topics_lda(spark, SF_CORRECT).collect()}
+    r2 = {r.doc_id: r.topic_id for r in text_topics_lda(spark, SF_CORRECT).collect()}
     assert len(r1) == 500
     assert set(r1.values()) <= set(range(5))
     agree = max(
