@@ -10,5 +10,6 @@ from . import subqueries  # noqa: E402,F401
 from . import partsupp  # noqa: E402,F401
 from . import curation  # noqa: E402,F401
 from . import membership  # noqa: E402,F401
+from . import source_edges  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "Query", "query"]

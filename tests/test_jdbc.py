@@ -51,6 +51,30 @@ def test_jdbc_round_trip_derby_embedded(spark, tmp_path):
                      driver=_DERBY_DRIVER).count() == 100
 
 
+def test_jdbc_banded_read_pushes_filters(spark, tmp_path):
+    """A filter on a banded JDBC read must reach the REMOTE engine as
+    a WHERE clause (PushedFilters in the scan node), not run as a
+    post-scan Spark filter — at 100 TB the difference is shipping the
+    predicate vs shipping the table (r06 VERDICT item 5)."""
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    write_jdbc(spark.range(0, 100).withColumnRenamed("id", "k"), url,
+               "graft_jdbc_push", mode="overwrite", driver=_DERBY_DRIVER)
+    back = read_jdbc(spark, url, "graft_jdbc_push",
+                     partition_column="k", lower_bound=0, upper_bound=100,
+                     num_partitions=4, driver=_DERBY_DRIVER)
+    filtered = back.filter("k >= 90")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        filtered.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(k,90)" in plan, (
+        f"k >= 90 not pushed to the JDBC source:\n{plan}")
+    assert filtered.count() == 10
+
+
 @pytest.mark.skipif(not JDBC_URL, reason="SPARK_GRAFT_JDBC_URL not set")
 def test_jdbc_round_trip(spark):
     df = spark.range(0, 100).withColumnRenamed("id", "k")
