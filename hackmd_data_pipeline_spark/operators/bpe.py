@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .checkpointing import iter_checkpoint_eager
+
 _END = "</w>"
 
 
@@ -98,8 +100,10 @@ def train_bpe_merges_distributed(df: DataFrame, text_col: str = "text",
     driver collect of the winning pair (bounded control data), and a
     narrow JVM-side fold (``F.aggregate``) applying the merge
     greedily left-to-right — identical semantics to the driver loop.
-    The word frame is localCheckpointed every ``checkpoint_every``
-    rounds so the k-round lineage never compounds.
+    The word frame is checkpointed every ``checkpoint_every`` rounds
+    (iter_checkpoint_eager — reliable mode when a checkpoint dir is
+    configured, operators/checkpointing.py) so the k-round lineage
+    never compounds and survives executor loss on a real cluster.
 
     Tie-breaking matches ``train_bpe_merges`` exactly (max by
     (freq, a, b)); the equivalence contract — identical merge lists
@@ -115,7 +119,7 @@ def train_bpe_merges_distributed(df: DataFrame, text_col: str = "text",
         .groupBy("w").agg(F.count("*").alias("freq"))
         .select(F.concat(F.split("w", ""), F.array(F.lit(_END)))
                 .alias("symbols"), "freq")
-        .localCheckpoint()
+        .transform(iter_checkpoint_eager)
     )
 
     def merge_fold(a: str, b: str):
@@ -151,7 +155,7 @@ def train_bpe_merges_distributed(df: DataFrame, text_col: str = "text",
         merges.append((a, b))
         words = words.select(merge_fold(a, b).alias("symbols"), "freq")
         if (rnd + 1) % checkpoint_every == 0:
-            words = words.localCheckpoint()
+            words = words.transform(iter_checkpoint_eager)
     return merges
 
 

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .checkpointing import iter_checkpoint
+
 
 def pagerank(pairs: DataFrame, id_col_a: str = "id_a",
              id_col_b: str = "id_b", damping: float = 0.85,
@@ -65,12 +67,12 @@ def pagerank(pairs: DataFrame, id_col_a: str = "id_a",
     probe = edges.limit(small_graph_threshold + 1).collect()
     if len(probe) <= small_graph_threshold:
         return _pagerank_local(edges.sparkSession, probe, damping, iters)
-    edges = edges.localCheckpoint(eager=False)
+    edges = edges.transform(iter_checkpoint)
     edges = edges.coalesce(4) if edges.count() <= 1_000_000 else edges
 
     degrees = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = degrees.select(F.col("src").alias("id"), "deg") \
-                   .localCheckpoint(eager=False)
+                   .transform(iter_checkpoint)
     # N as a broadcast 1-row frame: keeps the whole computation
     # declarative (no .collect() round-trip, plan works at any scale)
     n_frame = F.broadcast(nodes.agg(F.count("*").alias("_n")))
@@ -78,7 +80,7 @@ def pagerank(pairs: DataFrame, id_col_a: str = "id_a",
     ranks = (nodes.crossJoin(n_frame)
              .select("id", "deg", (F.lit(1.0) / F.col("_n")).alias("rank"),
                      "_n")
-             .localCheckpoint(eager=False))
+             .transform(iter_checkpoint))
 
     for _ in range(iters):
         contrib = (
@@ -94,7 +96,7 @@ def pagerank(pairs: DataFrame, id_col_a: str = "id_a",
                 ((1.0 - damping) / F.col("_n")
                  + damping * F.coalesce(F.col("_in"), F.lit(0.0))).alias("rank"),
             )
-            .localCheckpoint(eager=False)
+            .transform(iter_checkpoint)
         )
 
     return ranks.select("id", F.round("rank", 8).alias("rank"))
