@@ -176,7 +176,8 @@ def _train_quantizer(corpus: DataFrame, nlist: int, vec_col: str,
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              nlist: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             query_id_col: str = "query_id", seed: int = 42) -> DataFrame:
+             query_id_col: str = "query_id", seed: int = 42,
+             sample_cap: int = 8192) -> DataFrame:
     """Approximate cosine top-k via IVF (inverted-file) partitioning.
 
     Quantizer trained on a bounded sample (``_train_quantizer``); cell
@@ -184,11 +185,15 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     matmul per Arrow batch — no iterative jobs, no per-row Python);
     queries score only against their nprobe nearest cells. Recall
     < 1.0 by construction — rows-only check; recall vs the exact
-    baseline asserted in tests/test_similarity.py.
+    baseline asserted in tests/test_similarity.py. ``sample_cap``
+    scales the training sample with nlist when callers grow cells ∝ N
+    (the SCALE.md cell-size-constant protocol) — still a bounded
+    collect, ~constant rows per cell.
     """
     import numpy as np
 
-    cents = _train_quantizer(corpus, nlist, vec_col, seed=seed)
+    cents = _train_quantizer(corpus, nlist, vec_col, seed=seed,
+                             sample_cap=sample_cap)
 
     def assign_cells(batches):
         for pdf in batches:
@@ -309,7 +314,7 @@ def block_cosine_pairs(df: DataFrame, threshold: float = 0.95,
 
 def build_ivf_index(corpus: DataFrame, dest: str, nlist: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    seed: int = 42) -> None:
+                    seed: int = 42, sample_cap: int = 8192) -> None:
     """Persist an IVF index as a CELL-PARTITIONED parquet table.
 
     The 100 TB search path: the quantizer is trained once (bounded
@@ -323,7 +328,8 @@ def build_ivf_index(corpus: DataFrame, dest: str, nlist: int = 16,
     """
     import numpy as np
 
-    cents = _train_quantizer(corpus, nlist, vec_col, seed=seed)
+    cents = _train_quantizer(corpus, nlist, vec_col, seed=seed,
+                             sample_cap=sample_cap)
 
     def assign_cells(batches):
         for pdf in batches:
@@ -624,7 +630,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                nlist: int = 16, nprobe: int = 4, m_sub: int = 16,
                nbits: int = 6, refine: int = 4, id_col: str = "vec_id",
                vec_col: str = "embedding", query_id_col: str = "query_id",
-               seed: int = 42) -> DataFrame:
+               seed: int = 42, sample_cap: int = 8192) -> DataFrame:
     """Approximate cosine top-k via IVF + product quantization — the
     compressed form of ``ivf_topk`` for corpora whose float vectors
     don't fit cluster RAM: each unit vector is stored as a cell id
@@ -652,7 +658,7 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     (16,6) to 0.60 — the nprobe ceiling (plain IVF measures the same
     0.60 here), so quantization costs no recall after refinement.
     """
-    sample = _bounded_sample(corpus, vec_col)
+    sample = _bounded_sample(corpus, vec_col, sample_cap)
     cents = _train_quantizer(corpus, nlist, vec_col, seed=seed, sample=sample)
     books = _train_pq_books(sample, cents, m_sub, nbits, seed=seed)
 
@@ -810,7 +816,7 @@ def _pq_finish(scored: DataFrame, corpus: DataFrame, queries: DataFrame,
 def build_ivfpq_index(corpus: DataFrame, dest: str, nlist: int = 16,
                       m_sub: int = 16, nbits: int = 6,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      seed: int = 42) -> None:
+                      seed: int = 42, sample_cap: int = 8192) -> None:
     """Persist an IVF-PQ index: the COMPRESSED form of
     ``build_ivf_index`` — ``dest/data/cell=<c>/`` holds only
     ``id | codes`` rows (m_sub ints instead of the float vector: the
@@ -821,7 +827,7 @@ def build_ivfpq_index(corpus: DataFrame, dest: str, nlist: int = 16,
     index lookup; refinement reads the SOURCE table for shortlist ids
     (faiss RefineFlat posture: the index never duplicates the
     corpus)."""
-    sample = _bounded_sample(corpus, vec_col)
+    sample = _bounded_sample(corpus, vec_col, sample_cap)
     cents = _train_quantizer(corpus, nlist, vec_col, seed=seed, sample=sample)
     books = _train_pq_books(sample, cents, m_sub, nbits, seed=seed)
 
