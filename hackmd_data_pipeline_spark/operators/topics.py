@@ -130,11 +130,20 @@ def pinned_topic_frame(spark: SparkSession,
     """The artifact as a tall broadcastable frame:
     ``term | topic | logp_micros`` (k rows per term — every pinned
     term scores against every topic, so each (doc, topic) group sums
-    over the identical token set)."""
-    rows = [(term, t, lp)
-            for term, logps in artifact for t, lp in enumerate(logps)]
-    return spark.createDataFrame(
-        rows, "term string, topic int, logp_micros long")
+    over the identical token set).
+
+    Built as an INLINE struct-array literal, not createDataFrame: the
+    Python-list path plans a ``Scan ExistingRDD`` (a Python-serialized
+    RDD) as the broadcast build side, while the literal plans a
+    codegen'd Generate over OneRowRelation — the whole query stays
+    JVM-side (plan-asserted in tests/test_physical_plans.py)."""
+    structs = [
+        F.struct(F.lit(term).alias("term"),
+                 F.lit(t).cast("int").alias("topic"),
+                 F.lit(lp).cast("long").alias("logp_micros"))
+        for term, logps in artifact for t, lp in enumerate(logps)
+    ]
+    return spark.range(1).select(F.inline(F.array(*structs)))
 
 
 def topic_scores(df: DataFrame,

@@ -316,3 +316,29 @@ def test_stratified_sample_predicate_stays_scan_side(spark):
     join, no window."""
     plan = plan_of(spark, "docs_sample_stratified")
     assert "Join" not in plan and "Window" not in plan
+
+
+def test_topic_score_broadcast_pin_no_python_rdd(spark):
+    """text_topics_score: the pinned artifact must reach the exploded
+    tokens as a BROADCAST build side built from a JVM literal — not a
+    Scan ExistingRDD (a Python-serialized RDD would put a Python
+    round-trip inside the broadcast build at every executor); one
+    hash shuffle for the (doc, topic) sum, rank-1 pushed down as
+    WindowGroupLimit."""
+    plan = plan_of(spark, "text_topics_score")
+    assert "BroadcastHashJoin" in plan
+    assert "ExistingRDD" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_source_edge_aggs_partial_and_single_shuffle(spark):
+    """The wire-format round-trip queries aggregate the READ-BACK
+    rows: partial aggregation before the single group-by shuffle (the
+    map-side combine that makes the agg scale), no join anywhere."""
+    for name in ("src_csv_orders_agg", "src_orc_part_agg"):
+        plan = plan_of(spark, name)
+        assert "partial_count" in plan or "partial_sum" in plan, name
+        assert "Join" not in plan, name
+        # one hash shuffle (the group-by); the final orderBy is range
+        assert len(re.findall(r"hashpartitioning", plan)) == 1, name
