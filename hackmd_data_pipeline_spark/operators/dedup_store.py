@@ -119,17 +119,26 @@ def incremental_pairs(new_docs: DataFrame, dest: str,
                       id_col: str = "doc_id", text_col: str = "text",
                       num_hashes: int = 16, bands: int = 4,
                       shingle_n: int = 3,
-                      jaccard_threshold: float = 0.5) -> DataFrame:
+                      jaccard_threshold: float = 0.5,
+                      broadcast_batch: bool = True) -> DataFrame:
     """Near-dup pairs for a NEW batch against the store AND itself —
     the incremental form a continuously-ingesting 100 TB pipeline
     actually runs: per batch the corpus text is never rescanned, only
     its persisted signatures/shingles are joined.
 
     Candidate generation joins the new batch's band buckets against
-    (stored ∪ new) buckets, so the work per batch is
-    O(batch x bucket-collision), independent of corpus size; the
-    exact-Jaccard verify reads only the shingle rows the candidates
-    touch (keyed equi-joins prune the rest). Returns
+    (stored ∪ new) buckets. With ``broadcast_batch`` (default) the
+    BATCH side broadcasts, so the stored bucket table STREAMS through
+    a BroadcastHashJoin — the store is scanned (narrow columns) but
+    never shuffled, which is what actually makes the per-batch cost
+    O(batch x bucket-collision) instead of O(store shuffle) at 100 TB
+    (r07; measured flat at 1x/10x/100x stores in SCALE.md). The hint
+    requires batch x bands bucket rows (~24 B each) to fit executor
+    memory — true for any sane ingest batch; pass False for a
+    pathological mega-batch and the join falls back to shuffle
+    hash/sort-merge. The exact-Jaccard verify reads only the shingle
+    rows the candidates touch (keyed equi-joins; AQE picks a broadcast
+    build when the candidate set is small). Returns
     ``(id_a, id_b, jaccard)`` where at least one side is a new doc;
     stored-vs-stored pairs are already in ``dest/pairs``.
     """
@@ -149,9 +158,13 @@ def incremental_pairs(new_docs: DataFrame, dest: str,
     ).unionByName(buckets_new)
 
     a = buckets_new.alias("a")
+    if broadcast_batch:
+        a = F.broadcast(a)
     b = buckets_all.alias("b")
+    # stored/probe side is the STREAM side of the join (b first): the
+    # batch buckets are the build side either way
     candidates = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
+        b.join(a, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.band_hash") == F.col("b.band_hash"))
                & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
         # normalize so a new-new pair isn't emitted twice (once per side)
