@@ -15,9 +15,10 @@ view directly — so a hash match proves the transport is lossless
 end-to-end (types, strings, doubles, dates), not merely that the
 reader runs.
 
-Round-trip staging lives at deterministic per-(sf_dir, mtime) temp
-paths (the dedup-store pattern from plans/similarity.py), rewritten
-per invocation — bounded disk, no stale reuse.
+Round-trip staging lives at per-(sf_dir, mtime, pid) temp paths,
+rewritten per invocation and removed at process exit — bounded disk,
+no stale reuse, and no cross-process Derby double-boot (see
+_edge_path).
 
 Aggregate design: counts and integer sums are exact; doubles are only
 MIN/MAX-ed (order-independent, bit-exact through every format) — a
@@ -26,8 +27,10 @@ float SUM would hash on reduction order, not on transport fidelity.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,16 +47,23 @@ _DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
 def _edge_path(sf_dir: str, table: str, fmt: str) -> str:
-    """Deterministic staging path for one (dataset, table, format):
-    keyed by resolved path + source mtime so a regenerated dataset
-    never collides with stale staging."""
+    """Staging path for one (dataset, table, format): keyed by
+    resolved path + source mtime so a regenerated dataset never
+    collides with stale staging, AND by pid — Derby embedded forbids
+    two processes booting one database (a concurrent test suite +
+    bench run would hard-fail the boot), and concurrent overwrites of
+    one CSV/ORC dir race. One staging dir per live process, removed at
+    exit, so repeated runs stay bounded on disk (r06 ADVICE posture)."""
     src = os.path.join(os.path.realpath(sf_dir), f"{table}.parquet")
     try:
         mtime = str(int(os.path.getmtime(src)))
     except OSError:
         mtime = "0"
     key = hashlib.md5(f"{src}|{mtime}".encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"graft_edge_{fmt}_{key}")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"graft_edge_{fmt}_{key}_{os.getpid()}")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 
 @query(
