@@ -136,14 +136,21 @@ def pinned_topic_frame(spark: SparkSession,
     Python-list path plans a ``Scan ExistingRDD`` (a Python-serialized
     RDD) as the broadcast build side, while the literal plans a
     codegen'd Generate over OneRowRelation — the whole query stays
-    JVM-side (plan-asserted in tests/test_physical_plans.py)."""
-    structs = [
-        F.struct(F.lit(term).alias("term"),
-                 F.lit(t).cast("int").alias("topic"),
-                 F.lit(lp).cast("long").alias("logp_micros"))
+    JVM-side (plan-asserted in tests/test_physical_plans.py). The
+    literal is ONE ``F.expr`` SQL parse, not per-struct Column calls:
+    building k x |vocab| structs through the Python Column API costs
+    ~4 py4j round trips per struct (~1.3 s of plan-build at 140 rows,
+    measured); a single expression string parses JVM-side in
+    milliseconds."""
+    def q(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    structs = ", ".join(
+        f"named_struct('term', '{q(term)}', 'topic', CAST({t} AS INT), "
+        f"'logp_micros', CAST({lp} AS BIGINT))"
         for term, logps in artifact for t, lp in enumerate(logps)
-    ]
-    return spark.range(1).select(F.inline(F.array(*structs)))
+    )
+    return spark.range(1).select(F.expr(f"inline(array({structs}))"))
 
 
 def topic_scores(df: DataFrame,

@@ -58,6 +58,12 @@ def test_oracle_match(spark, duck, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_runs(spark, name):
+    # Since r07 ROWS_ONLY_QUERIES is EMPTY (every registered query has
+    # a full DuckDB oracle — text_topics_lda, the last rows-only
+    # entry, was replaced by the oracled text_topics_score). pytest
+    # then reports ONE skip for the empty parameter set; that skip is
+    # the milestone, not a gap. The test stays so any future
+    # rows-only registration is automatically smoke-checked.
     q = REGISTRY[name]
     df = q.builder(spark, SF_CORRECT)
     n = df.count()
