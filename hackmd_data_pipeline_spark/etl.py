@@ -19,8 +19,9 @@ whole chain idempotent under a kill anywhere:
     drain; the checkpoint claims files exactly-once, and a crash
     INSIDE a micro-batch (sinks written, checkpoint uncommitted)
     replays into anti-joins that drop every already-written row.
-  * build_documents / curate / resolve / finalize — deterministic
-    transforms (pinned lineage timestamp, hash-derived ids,
+  * build_documents / curate / resolve / annotate / finalize —
+    deterministic transforms (pinned lineage timestamp, hash-derived
+    ids, integer-ranked keywords + pinned-artifact topics,
     hash-bucket splits, hash-partitioned packing) written with
     overwrite: a re-run after a crash rewrites byte-identical
     content, so "at-least-once execution + deterministic overwrite"
@@ -84,7 +85,7 @@ class CorpusPipeline:
     """
 
     STAGES = ("collect", "ingest", "build_documents", "curate",
-              "resolve", "finalize")
+              "resolve", "annotate", "finalize")
 
     def __init__(self, spark: SparkSession, root: str, fetch: FetchFn,
                  categories: list[str], *,
@@ -228,6 +229,44 @@ class CorpusPipeline:
         return {"resolved": self.spark.read.parquet(
             f"{self.root}/corpus/resolved_documents.parquet").count()}
 
+    def _stage_annotate(self) -> dict:
+        """Fill the reference's DECLARED-but-never-populated enrichment
+        columns (create_table.sql:70-71, hardcoded []/None at
+        arxiv_etl.py:83-84) on the resolved corpus: ``keywords`` =
+        top-3 TF-IDF terms (the oracled text_keywords_tfidf operator,
+        collected rank-ordered into an array) and ``topic`` = the
+        pinned-artifact scorer (the oracled text_topics_score
+        operator). Both joins are per-doc LEFT joins — a doc with no
+        >3-char tokens keeps an empty keyword array, a doc with no
+        in-vocab tokens keeps a NULL topic, exactly the reference's
+        declared defaults. Deterministic (integer-only ranking, exact
+        int64 topic sums), so the overwrite is byte-stable across
+        reruns — the exactly-once-by-determinism contract every other
+        stage rides."""
+        from .operators.topics import PINNED_TOPIC_TERMS, topic_scores
+        from .plans.extensions import tfidf_keywords
+        resolved = self.spark.read.parquet(
+            f"{self.root}/corpus/resolved_documents.parquet")
+        kw = (tfidf_keywords(resolved)
+              .groupBy("doc_id")
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(F.struct("rk", "term"))),
+                  lambda s: s["term"]).alias("keywords")))
+        topics = (topic_scores(resolved, PINNED_TOPIC_TERMS)
+                  .select("doc_id", F.col("topic_id").alias("topic")))
+        annotated = (
+            resolved.join(kw, "doc_id", "left")
+            .join(topics, "doc_id", "left")
+            .withColumn("keywords", F.coalesce(
+                F.col("keywords"), F.array().cast("array<string>")))
+        )
+        annotated.write.mode("overwrite").parquet(
+            f"{self.root}/corpus/annotated_documents.parquet")
+        out = self.spark.read.parquet(
+            f"{self.root}/corpus/annotated_documents.parquet")
+        return {"annotated": out.count(),
+                "with_topic": out.filter(F.col("topic").isNotNull()).count()}
+
     def _stage_finalize(self) -> dict:
         """Deterministic split + greedy packing, written as the final
         training corpus (partition-pruned by split) + pack manifest.
@@ -237,7 +276,7 @@ class CorpusPipeline:
         from .operators.packing import pack_sequences
         from .operators.sampling import deterministic_split
         resolved = self.spark.read.parquet(
-            f"{self.root}/corpus/resolved_documents.parquet")
+            f"{self.root}/corpus/annotated_documents.parquet")
         split = deterministic_split(resolved, "doc_id", self.split_fractions)
         (split.write.mode("overwrite").partitionBy("split")
          .parquet(f"{self.root}/out/corpus"))
@@ -272,6 +311,7 @@ class CorpusPipeline:
             "decisions": f"{self.root}/corpus/decisions.parquet",
             "clusters": f"{self.root}/corpus/clusters.parquet",
             "resolved": f"{self.root}/corpus/resolved_documents.parquet",
+            "annotated": f"{self.root}/corpus/annotated_documents.parquet",
             "corpus": f"{self.root}/out/corpus",
             "packed": f"{self.root}/out/packed.parquet",
         }

@@ -359,6 +359,14 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, no countDistinct needed — and n_docs derives the
     same way."""
     d = load_table(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    return tfidf_keywords(d).orderBy("doc_id", "rk")
+
+
+def tfidf_keywords(d: DataFrame, k: int = 3) -> DataFrame:
+    """text_keywords_tfidf's engine over ANY documents-shaped frame —
+    split out (r07) so CorpusPipeline's annotate stage runs EXACTLY
+    the oracled operator. Emits ``doc_id | term | tf | df | tfidf |
+    rk`` for the top-``k`` terms per doc, integer-only ranking."""
     toks = (
         d.select("doc_id", F.explode(F.split(F.trim("text"), "[ \\t\\n\\x0B\\f\\r]+")).alias("tok"))
         .filter(F.length("tok") > 3)
@@ -378,9 +386,8 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 4).alias("tfidf"),
         )
         .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 3)
+        .filter(F.col("rk") <= k)
         .select("doc_id", "term", "tf", "df", "tfidf", "rk")
-        .orderBy("doc_id", "rk")
     )
 
 

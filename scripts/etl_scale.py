@@ -52,7 +52,8 @@ for stage in ("collect", "ingest"):
 
 stage_times = {}
 t_all = time.time()
-for stage in ("build_documents", "curate", "resolve", "finalize"):
+for stage in ("build_documents", "curate", "resolve", "annotate",
+              "finalize"):
     t0 = time.time()
     out = getattr(p, f"_stage_{stage}")()
     p._mark(stage, "finished", 1)

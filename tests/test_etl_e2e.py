@@ -131,7 +131,7 @@ def _snapshot(spark, p: CorpusPipeline) -> dict:
         (_norm_path(r.source_path, root), r._corrupt_record)
         for r in spark.read.parquet(o["quarantine"]).collect())
     for name in ("documents", "decisions", "clusters", "resolved",
-                 "corpus", "packed"):
+                 "annotated", "corpus", "packed"):
         out[name] = sorted(
             tuple(str(v) for v in row)
             for row in spark.read.parquet(o[name]).collect())
@@ -150,6 +150,7 @@ KILL_SCRIPT = [
     ("claimed", "build_documents"),
     ("done", "curate"),
     ("done", "resolve"),
+    ("done", "annotate"),
     ("done", "finalize"),
 ]
 
@@ -198,6 +199,16 @@ def test_composed_pipeline_kill_restart_exactly_once(spark, tmp_path):
                 dec.groupBy("verdict").agg(F.count("*").alias("n")).collect()}
     assert verdicts.get("exact_dup") == 1
     assert verdicts.get("too_short") == 1
+
+    # the annotate stage populated the reference's declared
+    # keywords/topic columns (create_table.sql:70-71) — non-null
+    # arrays, topics inside the pinned model's label space
+    ann = spark.read.parquet(faulty.outputs()["annotated"]).collect()
+    assert all(r.keywords is not None and len(r.keywords) <= 3 for r in ann)
+    assert all(r.topic is None or 0 <= r.topic <= 4 for r in ann)
+    # the final corpus carries the annotations through finalize
+    out_cols = spark.read.parquet(faulty.outputs()["corpus"]).columns
+    assert {"keywords", "topic"} <= set(out_cols)
     assert verdicts.get("low_stopword") == 1
 
     clusters = spark.read.parquet(faulty.outputs()["clusters"])
