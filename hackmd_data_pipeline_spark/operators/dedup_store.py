@@ -105,6 +105,32 @@ def build_dedup_store(df: DataFrame, dest: str, id_col: str = "doc_id",
         clusters.write.mode("overwrite").parquet(dest + "/clusters")
 
 
+def commit_batch(batch: DataFrame, dest: str, epoch_id: int,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 num_hashes: int = 16, shingle_n: int = 3) -> None:
+    """GROW the store by one batch: write the batch's shingles +
+    signatures under epoch-keyed partition directories
+    (``.../shingles/epoch=<n>``, ``.../signatures/epoch=<n>``) in
+    overwrite mode — the write-side half of the incremental lifecycle
+    (``incremental_pairs`` is the read side; it projects the epoch
+    column away). Epoch-keyed overwrite makes a replayed commit
+    converge to the same files instead of appending duplicates — the
+    effectively-once posture ``streaming/neardup.py`` rides (its
+    foreachBatch calls exactly this with Spark's epoch_id).
+
+    A store grown this way must be epoch-keyed from epoch 0: Spark's
+    partition discovery rejects a directory mixing flat files (the
+    ``build_dedup_store`` layout) with ``epoch=`` subdirectories.
+    """
+    sh = hashed_shingle_table(batch, id_col, text_col, shingle_n).persist()
+    sh.write.mode("overwrite").parquet(
+        f"{dest}/shingles/epoch={epoch_id}")
+    (minhash_signatures_from(sh, id_col, num_hashes)
+     .write.mode("overwrite")
+     .parquet(f"{dest}/signatures/epoch={epoch_id}"))
+    sh.unpersist()
+
+
 def load_pairs(spark: SparkSession, dest: str) -> DataFrame:
     """Verified near-dup pairs from a built store."""
     return spark.read.parquet(dest + "/pairs")

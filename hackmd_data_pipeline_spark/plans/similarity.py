@@ -270,6 +270,45 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+@query(
+    "dedup_store_commit_cycle",
+    oracle="WITH " + minhash_pairs_ctes(threshold=0.3) + """
+    SELECT id_a, id_b, jaccard FROM mh_pairs
+    WHERE id_a % 4 = 0 OR id_b % 4 = 0
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_store_commit_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full incremental-store LIFECYCLE, value-checked: the store
+    is GROWN by epoch-keyed commits (operators/dedup_store.py::
+    commit_batch — the exact code streaming/neardup.py's foreachBatch
+    runs), not rebuilt: three epoch commits (% 4 == 1, 2, 3), then
+    the % 4 == 0 batch is deduped against the grown store via
+    incremental_pairs.
+
+    The oracle is the same full-corpus banded xxh64 pair set filtered
+    to >= 1 new side as dedup_incremental_store/_batch — but here a
+    broken COMMIT is what would trip it: if epoch 1's shingles or
+    signatures were missing, every (batch x committed-epoch-1) pair
+    would be absent from the Spark side and the hash would mismatch.
+    Together the three entries gate build-once (store), warm-read
+    (batch), and grow-by-commit (this) — the whole persistence
+    surface of continuous ingest. The cycle store is rebuilt per run
+    at a wiped deterministic path (bench charges the honest composed
+    cost; epochs are overwrite-idempotent, so a crashed run's replay
+    converges)."""
+    from ..operators.dedup_store import commit_batch, incremental_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    dest = _store_cache_path(sf_dir, "cycle")
+    shutil.rmtree(dest, ignore_errors=True)
+    for epoch, residue in enumerate((1, 2, 3)):
+        commit_batch(d.filter(F.col("doc_id") % 4 == residue), dest, epoch)
+    return (incremental_pairs(d.filter(F.col("doc_id") % 4 == 0), dest,
+                              jaccard_threshold=0.3)
+            .orderBy("id_a", "id_b"))
+
+
 from .oracle_helpers import simhash_oracle  # noqa: E402
 
 

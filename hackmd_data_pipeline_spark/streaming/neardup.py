@@ -46,8 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup import hashed_shingle_table, minhash_signatures_from
-from ..operators.dedup_store import incremental_pairs
+from ..operators.dedup_store import commit_batch, incremental_pairs
 from ..sources.fs import fs_delete, fs_exists
 
 
@@ -61,14 +60,11 @@ def _read_clean(spark: SparkSession, root: str, cols: list[str]) -> DataFrame:
     return spark.read.parquet(root).select(*cols)
 
 
-def _append_store(batch: DataFrame, dest: str, epoch_id: int, id_col: str,
-                  text_col: str, num_hashes: int, shingle_n: int) -> None:
-    sh = hashed_shingle_table(batch, id_col, text_col, shingle_n).persist()
-    sh.write.mode("overwrite").parquet(_epoch_dir(dest + "/shingles", epoch_id))
-    (minhash_signatures_from(sh, id_col, num_hashes)
-     .write.mode("overwrite")
-     .parquet(_epoch_dir(dest + "/signatures", epoch_id)))
-    sh.unpersist()
+# store appends go through the batch-mode commit path (r07: lifted
+# into operators/dedup_store.commit_batch so the registered
+# dedup_store_commit_cycle query value-checks the same code the
+# stream runs)
+_append_store = commit_batch
 
 
 def run_neardup_ingest(spark: SparkSession, docs_path: str, out_root: str,
