@@ -131,6 +131,43 @@ def commit_batch(batch: DataFrame, dest: str, epoch_id: int,
     sh.unpersist()
 
 
+def compact_store(spark: SparkSession, src: str, dest: str,
+                  target_file_bytes: int = 128 << 20) -> dict:
+    """Fold an epoch-GROWN store (one ``epoch=<n>`` directory per
+    committed micro-batch — thousands of small files after months of
+    ingest) into a fresh single-epoch store at ``dest``: shingles and
+    signatures are each rewritten as ``epoch=0`` at
+    ~``target_file_bytes`` per file (coalesce — merge only, no
+    shuffle). The caller swaps directories/pointers once ``dest`` is
+    complete (the operators/maintenance.py ``compact`` posture:
+    in-place rewrites are not atomic on a plain filesystem), and new
+    ``commit_batch`` epochs land on the compacted store unchanged —
+    epoch ids restart above the folded one without colliding because
+    a retried epoch only ever overwrites ITSELF. Read amplification is
+    the only thing at stake: an uncompacted store stays correct
+    (tests pin pre/post incremental_pairs equality), it just lists and
+    opens per-epoch small files on every batch.
+
+    Accepts the flat ``build_dedup_store`` layout too (no ``epoch``
+    column — already one generation; the rewrite just resizes files).
+    Returns before/after file stats per table."""
+    import math
+
+    from .maintenance import table_file_stats
+
+    out: dict = {}
+    for table in ("shingles", "signatures"):
+        before = table_file_stats(spark, f"{src}/{table}")
+        df = spark.read.parquet(f"{src}/{table}")
+        cols = [c for c in df.columns if c != "epoch"]
+        n_files = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
+        (df.select(*cols).coalesce(n_files)
+         .write.mode("overwrite").parquet(f"{dest}/{table}/epoch=0"))
+        out[table] = {"before": before,
+                      "after": table_file_stats(spark, f"{dest}/{table}")}
+    return out
+
+
 def load_pairs(spark: SparkSession, dest: str) -> DataFrame:
     """Verified near-dup pairs from a built store."""
     return spark.read.parquet(dest + "/pairs")

@@ -126,3 +126,51 @@ def test_incremental_pairs_match_full_rebuild(spark, tmp_path):
     # the engineered duplicates are actually found
     assert any(b >= 2_000_000 for _, b, _ in inc), "old-clone pair missing"
     assert any(b >= 3_000_000 for _, b, _ in inc), "in-batch clone pair missing"
+
+
+def test_commit_grow_compact_lifecycle(spark, tmp_path):
+    """The epoch-commit + compaction lifecycle: a store grown by
+    commits answers incremental queries identically before and after
+    compaction, keeps accepting commits on the compacted generation,
+    and the compaction actually reduces file count."""
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        commit_batch, compact_store, incremental_pairs)
+    from hackmd_data_pipeline_spark.operators.maintenance import table_file_stats
+
+    d = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    grown = str(tmp_path / "grown")
+    # grow by 4 epoch commits (each with several small files)
+    for epoch, lo in enumerate(range(0, 400, 100)):
+        commit_batch(
+            d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100))
+            .repartition(4), grown, epoch)
+    batch = d.filter(F.col("doc_id") >= 400)
+    before = sorted((r.id_a, r.id_b, r.jaccard) for r in
+                    incremental_pairs(batch, grown,
+                                      jaccard_threshold=0.3).collect())
+    assert before, "lifecycle test needs a non-empty pair set"
+
+    compacted = str(tmp_path / "compacted")
+    stats = compact_store(spark, grown, compacted)
+    for table in ("shingles", "signatures"):
+        assert (stats[table]["after"]["n_files"]
+                < stats[table]["before"]["n_files"]), table
+        assert table_file_stats(
+            spark, f"{compacted}/{table}")["total_bytes"] > 0
+
+    after = sorted((r.id_a, r.id_b, r.jaccard) for r in
+                   incremental_pairs(batch, compacted,
+                                     jaccard_threshold=0.3).collect())
+    assert before == after, "compaction changed the incremental answer"
+
+    # commits keep landing on the compacted generation: clone one
+    # stored doc into a new epoch, and the next batch must near-match it
+    clone = (d.filter(F.col("doc_id") == 0)
+             .select((F.col("doc_id") + 9_000_000).alias("doc_id"), "text"))
+    commit_batch(clone, compacted, 1)
+    probe = d.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 9_500_000).alias("doc_id"), "text")
+    hits = incremental_pairs(probe, compacted,
+                             jaccard_threshold=0.9).collect()
+    assert any(r.id_a == 9_000_000 and r.id_b == 9_500_000 for r in hits), (
+        "post-compaction commit not visible to the incremental join")
