@@ -107,7 +107,8 @@ def build_dedup_store(df: DataFrame, dest: str, id_col: str = "doc_id",
 
 def commit_batch(batch: DataFrame, dest: str, epoch_id: int,
                  id_col: str = "doc_id", text_col: str = "text",
-                 num_hashes: int = 16, shingle_n: int = 3) -> None:
+                 num_hashes: int = 16, shingle_n: int = 3,
+                 out_partitions: int | None = None) -> None:
     """GROW the store by one batch: write the batch's shingles +
     signatures under epoch-keyed partition directories
     (``.../shingles/epoch=<n>``, ``.../signatures/epoch=<n>``) in
@@ -121,8 +122,18 @@ def commit_batch(batch: DataFrame, dest: str, epoch_id: int,
     A store grown this way must be epoch-keyed from epoch 0: Spark's
     partition discovery rejects a directory mixing flat files (the
     ``build_dedup_store`` layout) with ``epoch=`` subdirectories.
+
+    ``out_partitions`` coalesces the written files per epoch — set it
+    when batches are SMALL relative to the session's shuffle
+    parallelism (a 1k-doc batch across 32 default partitions pays 32
+    file commits per table per epoch for kilobytes each; periodic
+    ``compact_store`` bounds the accumulation either way). Leave None
+    for large batches: coalescing those would serialize the write.
     """
-    sh = hashed_shingle_table(batch, id_col, text_col, shingle_n).persist()
+    sh = hashed_shingle_table(batch, id_col, text_col, shingle_n)
+    if out_partitions is not None:
+        sh = sh.coalesce(out_partitions)
+    sh = sh.persist()
     sh.write.mode("overwrite").parquet(
         f"{dest}/shingles/epoch={epoch_id}")
     (minhash_signatures_from(sh, id_col, num_hashes)

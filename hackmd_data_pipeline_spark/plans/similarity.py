@@ -303,7 +303,11 @@ def dedup_store_commit_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     dest = _store_cache_path(sf_dir, "cycle")
     shutil.rmtree(dest, ignore_errors=True)
     for epoch, residue in enumerate((1, 2, 3)):
-        commit_batch(d.filter(F.col("doc_id") % 4 == residue), dest, epoch)
+        # test-SF batches are ~1k docs: bound the per-epoch file count
+        # (commit_batch docstring) so the cycle benches the lifecycle,
+        # not 32-way file-commit overhead on kilobyte shards
+        commit_batch(d.filter(F.col("doc_id") % 4 == residue), dest, epoch,
+                     out_partitions=4)
     return (incremental_pairs(d.filter(F.col("doc_id") % 4 == 0), dest,
                               jaccard_threshold=0.3)
             .orderBy("id_a", "id_b"))
