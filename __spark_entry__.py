@@ -109,24 +109,16 @@ _ROWS_ONLY_PRIORITY = [
 # re-enter the driver's sample window even though an artifact row
 # exists. Prune entries once the corresponding round's artifact lands.
 _FORCE_REGATE = frozenset({
-    # (r06 entries pruned — CORRECTNESS_r06.json records green hash
-    # rows for all five re-gated forms.)
-    # r07: oracle norm divisions gained the Spark kernels' zero guard
-    # (GREATEST(norm, 1e-12), r06 ADVICE) — value-identical on the
-    # gate data (no zero embeddings) but a material oracle change:
-    "sim_cosine_topk",
-    "dedup_embedding_cosine",
-    "sim_ann_ivf_recall",
-    "sim_ann_lsh_recall",
-    "sim_ann_ivfpq_recall",
-    "dedup_semantic_semdedup",
-    # r07: Spark tokenizer aligned to the oracle's ASCII-whitespace
-    # regex + zero-word docs filtered to mirror the oracle's inner
-    # join (r06 ADVICE):
-    "docs_bpe_encode",
-    # r07: store moved from mkdtemp-per-run to a deterministic wiped
-    # cache path (r06 ADVICE) — values identical, builder changed:
+    # (r07 entries pruned — CORRECTNESS_r07.json records green hash
+    # rows for all eight re-gated forms.)
+    # r08: warm-store build published via atomic rename + pid-staged
+    # build dir (r07 ADVICE concurrency fix) — values identical,
+    # builder changed:
+    "dedup_incremental_batch",
+    # r08: fresh/cycle store paths gained a pid component (same
+    # ADVICE item) — values identical, builder changed:
     "dedup_incremental_store",
+    "dedup_store_commit_cycle",
 })
 
 _GATE_COVERED = (_covered_from_artifacts() - _FORCE_REGATE) or _R01_COVERED

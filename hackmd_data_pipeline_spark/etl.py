@@ -252,8 +252,13 @@ class CorpusPipeline:
               .agg(F.transform(
                   F.array_sort(F.collect_list(F.struct("rk", "term"))),
                   lambda s: s["term"]).alias("keywords")))
+        # topic is declared TEXT in both the reference contract
+        # (create_table.sql:71) and PAPER_SCHEMA (schemas.py) — cast the
+        # integer topic_id so the annotated corpus matches the canonical
+        # schema instead of silently diverging in type (r07 ADVICE)
         topics = (topic_scores(resolved, PINNED_TOPIC_TERMS)
-                  .select("doc_id", F.col("topic_id").alias("topic")))
+                  .select("doc_id",
+                          F.col("topic_id").cast("string").alias("topic")))
         annotated = (
             resolved.join(kw, "doc_id", "left")
             .join(topics, "doc_id", "left")

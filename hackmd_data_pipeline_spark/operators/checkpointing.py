@@ -54,8 +54,13 @@ def reliable_checkpoint_dir(spark: SparkSession) -> str | None:
         if not conf_dir:
             return None
         # idempotent unless redirected; the native dir gains a random
-        # subdir suffix, so compare by prefix
-        if native is None or conf_dir.rstrip("/") not in native:
+        # subdir suffix, so compare by PATH prefix — substring
+        # containment would treat a new conf dir that happens to be a
+        # string prefix of the old native dir (/tmp/ck vs /tmp/ckpt/x)
+        # as already applied (r07 ADVICE)
+        base = conf_dir.rstrip("/")
+        if native is None or not (native == base
+                                  or native.startswith(base + "/")):
             sc.setCheckpointDir(conf_dir)
             jopt = sc._jsc.sc().getCheckpointDir()
             native = jopt.get() if jopt.isDefined() else None

@@ -130,6 +130,10 @@ def commit_batch(batch: DataFrame, dest: str, epoch_id: int,
     ``compact_store`` bounds the accumulation either way). Leave None
     for large batches: coalescing those would serialize the write.
     """
+    if epoch_id < 0:
+        # negative generations are reserved for compact_store's folded
+        # history (epoch=-1); a live commit there would clobber it
+        raise ValueError(f"epoch_id must be >= 0, got {epoch_id}")
     sh = hashed_shingle_table(batch, id_col, text_col, shingle_n)
     if out_partitions is not None:
         sh = sh.coalesce(out_partitions)
@@ -152,12 +156,19 @@ def compact_store(spark: SparkSession, src: str, dest: str,
     shuffle). The caller swaps directories/pointers once ``dest`` is
     complete (the operators/maintenance.py ``compact`` posture:
     in-place rewrites are not atomic on a plain filesystem), and new
-    ``commit_batch`` epochs land on the compacted store unchanged —
-    epoch ids restart above the folded one without colliding because
-    a retried epoch only ever overwrites ITSELF. Read amplification is
-    the only thing at stake: an uncompacted store stays correct
-    (tests pin pre/post incremental_pairs equality), it just lists and
-    opens per-epoch small files on every batch.
+    ``commit_batch`` epochs land on the compacted store unchanged.
+
+    The folded generation is written under the RESERVED key
+    ``epoch=-1`` (r07 ADVICE): live ``commit_batch`` epoch ids come
+    from the stream's checkpoint and are always >= 0 — Spark streaming
+    epoch ids are non-negative, and ``commit_batch`` enforces it — so
+    a stream REBOOTSTRAPPED with a fresh checkpoint that restarts at
+    epoch 0 lands BESIDE the compacted generation instead of silently
+    overwriting (and discarding) the entire folded history the old
+    ``epoch=0`` placement risked. Read amplification is the only thing
+    at stake: an uncompacted store stays correct (tests pin pre/post
+    incremental_pairs equality), it just lists and opens per-epoch
+    small files on every batch.
 
     Accepts the flat ``build_dedup_store`` layout too (no ``epoch``
     column — already one generation; the rewrite just resizes files).
@@ -173,7 +184,7 @@ def compact_store(spark: SparkSession, src: str, dest: str,
         cols = [c for c in df.columns if c != "epoch"]
         n_files = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
         (df.select(*cols).coalesce(n_files)
-         .write.mode("overwrite").parquet(f"{dest}/{table}/epoch=0"))
+         .write.mode("overwrite").parquet(f"{dest}/{table}/epoch=-1"))
         out[table] = {"before": before,
                       "after": table_file_stats(spark, f"{dest}/{table}")}
     return out

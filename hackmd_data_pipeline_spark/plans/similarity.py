@@ -162,7 +162,16 @@ def _store_cache_path(sf_dir: str, kind: str) -> str:
     regenerated dataset never reuses a stale store, while repeated
     registry/bench runs over the SAME data reuse (kind="warm") or
     overwrite (kind="fresh") one bounded directory instead of
-    accumulating mkdtemp droppings (r06 ADVICE)."""
+    accumulating mkdtemp droppings (r06 ADVICE).
+
+    Wiped-per-run kinds ("fresh", "cycle") additionally carry the PID:
+    a concurrent test suite + bench run must never rmtree/overwrite a
+    store the other process is mid-read on (r07 ADVICE — the same race
+    source_edges._edge_path keys by pid to avoid). Bounded: one dir per
+    live process per dataset, rebuilt-in-place per run. The SHARED
+    "warm" path stays pid-free (reuse across processes is its point)
+    and is published via the atomic-rename guard in _ensure_warm_store
+    below instead."""
     import hashlib
     import os
     import tempfile
@@ -173,8 +182,39 @@ def _store_cache_path(sf_dir: str, kind: str) -> str:
     except OSError:
         mtime = "0"
     key = hashlib.md5(f"{docs}|{mtime}".encode()).hexdigest()[:12]
+    pid = "" if kind == "warm" else f"_p{os.getpid()}"
     return os.path.join(tempfile.gettempdir(),
-                        f"graft_dedup_store_{key}_{kind}")
+                        f"graft_dedup_store_{key}_{kind}{pid}")
+
+
+def _ensure_warm_store(stored, dest: str, **build_kwargs) -> None:
+    """Build the shared warm store ONCE per dataset, publish-by-rename
+    (r07 ADVICE): concurrent processes each build into a pid-suffixed
+    staging dir and the first ``os.rename`` into place wins — readers
+    only ever see an absent dir or a fully-committed one, never a
+    half-written overwrite. The loser discards its (identical by
+    construction) staging copy."""
+    import os
+
+    from ..operators.dedup_store import build_dedup_store
+
+    def complete(path: str) -> bool:
+        return all(os.path.exists(os.path.join(path, t, "_SUCCESS"))
+                   for t in ("shingles", "signatures"))
+
+    if complete(dest):
+        return
+    stage = f"{dest}.build_p{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    build_dedup_store(stored, stage, **build_kwargs)
+    try:
+        os.rename(stage, dest)
+    except OSError:
+        if complete(dest):          # lost the race to an equivalent build
+            shutil.rmtree(stage, ignore_errors=True)
+        else:                       # crashed leftover occupies dest
+            shutil.rmtree(dest, ignore_errors=True)
+            os.rename(stage, dest)
 
 
 @query(
@@ -258,14 +298,14 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     of shingles/signatures through the cached store is value-checked
     too. SCALE.md records the 1x/10x/100x fixed-batch sweep proving
     the per-batch cost is flat in corpus size."""
-    from ..operators.dedup_store import build_dedup_store, incremental_pairs
+    from ..operators.dedup_store import incremental_pairs
 
     d = load_table(spark, sf_dir, "documents")
     stored = d.filter(F.col("doc_id") % 4 != 0)
     new_batch = d.filter(F.col("doc_id") % 4 == 0)
     dest = _store_cache_path(sf_dir, "warm")
-    build_dedup_store(stored, dest, jaccard_threshold=0.3,
-                      through="signatures")
+    _ensure_warm_store(stored, dest, jaccard_threshold=0.3,
+                       through="signatures")
     return (incremental_pairs(new_batch, dest, jaccard_threshold=0.3)
             .orderBy("id_a", "id_b"))
 

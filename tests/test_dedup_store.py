@@ -5,6 +5,7 @@ store must equal the ad-hoc dedup_cluster_resolve result.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from hackmd_data_pipeline_spark.operators.dedup import (
@@ -163,14 +164,27 @@ def test_commit_grow_compact_lifecycle(spark, tmp_path):
                                      jaccard_threshold=0.3).collect())
     assert before == after, "compaction changed the incremental answer"
 
-    # commits keep landing on the compacted generation: clone one
-    # stored doc into a new epoch, and the next batch must near-match it
+    # commits keep landing on the compacted generation — at EPOCH 0,
+    # the r07 ADVICE collision: a stream rebootstrapped with a fresh
+    # checkpoint restarts its epoch ids at 0, and that first commit
+    # must land BESIDE the folded generation (epoch=-1), not overwrite
+    # it. Clone one stored doc into the epoch-0 commit; the next batch
+    # must near-match it AND still see the entire folded history.
     clone = (d.filter(F.col("doc_id") == 0)
              .select((F.col("doc_id") + 9_000_000).alias("doc_id"), "text"))
-    commit_batch(clone, compacted, 1)
+    commit_batch(clone, compacted, 0)
     probe = d.filter(F.col("doc_id") == 0).select(
         (F.col("doc_id") + 9_500_000).alias("doc_id"), "text")
     hits = incremental_pairs(probe, compacted,
                              jaccard_threshold=0.9).collect()
     assert any(r.id_a == 9_000_000 and r.id_b == 9_500_000 for r in hits), (
         "post-compaction commit not visible to the incremental join")
+    rerun = sorted((r.id_a, r.id_b, r.jaccard) for r in
+                   incremental_pairs(batch, compacted,
+                                     jaccard_threshold=0.3).collect())
+    assert set(before) <= set(rerun), (
+        "epoch-0 rebootstrap commit discarded the compacted history")
+
+    # negative generations are reserved for the folded history
+    with pytest.raises(ValueError, match="epoch_id"):
+        commit_batch(clone, compacted, -1)

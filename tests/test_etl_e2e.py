@@ -203,9 +203,14 @@ def test_composed_pipeline_kill_restart_exactly_once(spark, tmp_path):
     # the annotate stage populated the reference's declared
     # keywords/topic columns (create_table.sql:70-71) — non-null
     # arrays, topics inside the pinned model's label space
-    ann = spark.read.parquet(faulty.outputs()["annotated"]).collect()
+    ann_df = spark.read.parquet(faulty.outputs()["annotated"])
+    # topic is TEXT in the reference contract and PAPER_SCHEMA — the
+    # annotate stage must not diverge in type (r07 ADVICE)
+    assert dict(ann_df.dtypes)["topic"] == "string"
+    ann = ann_df.collect()
     assert all(r.keywords is not None and len(r.keywords) <= 3 for r in ann)
-    assert all(r.topic is None or 0 <= r.topic <= 4 for r in ann)
+    assert all(r.topic is None or r.topic in {"0", "1", "2", "3", "4"}
+               for r in ann)
     # the final corpus carries the annotations through finalize
     out_cols = spark.read.parquet(faulty.outputs()["corpus"]).columns
     assert {"keywords", "topic"} <= set(out_cols)
