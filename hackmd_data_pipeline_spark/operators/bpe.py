@@ -112,6 +112,9 @@ def train_bpe_merges_distributed(df: DataFrame, text_col: str = "text",
     path: symbols are UTF-16 code units JVM-side vs code points in
     Python, identical on BMP text.
     """
+    from .checkpointing import CheckpointRotator
+
+    rotator = CheckpointRotator(df.sparkSession)
     words = (
         df.select(F.explode(F.split(F.lower(F.trim(F.col(text_col))),
                                     "[ \\t\\n\\x0B\\f\\r]+")).alias("w"))
@@ -121,6 +124,7 @@ def train_bpe_merges_distributed(df: DataFrame, text_col: str = "text",
                 .alias("symbols"), "freq")
         .transform(iter_checkpoint_eager)
     )
+    rotator.rotate()
 
     def merge_fold(a: str, b: str):
         ab = F.lit(a + b)
@@ -156,6 +160,9 @@ def train_bpe_merges_distributed(df: DataFrame, text_col: str = "text",
         words = words.select(merge_fold(a, b).alias("symbols"), "freq")
         if (rnd + 1) % checkpoint_every == 0:
             words = words.transform(iter_checkpoint_eager)
+            # eager: the new word frame is on disk -> the superseded
+            # checkpoint's files are deletable (r07 ADVICE GC)
+            rotator.rotate()
     return merges
 
 

@@ -35,6 +35,19 @@ from pyspark.sql import DataFrame, SparkSession
 _GRAFT_CKPT_CONF = "spark.graft.checkpointDir"
 
 
+def _localized(p: str) -> str:
+    """Normalize a ``file:`` URI back to a plain path for comparison —
+    ``getCheckpointDir`` echoes a scheme the conf value may not carry
+    (``file:/tmp/x`` or ``file:///tmp/x`` for conf ``/tmp/x``). Other
+    schemes (hdfs://, s3a://) pass through: a conf naming them carries
+    the same scheme, so raw prefix comparison already works."""
+    if p.startswith("file:"):
+        p = p[5:]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
 def reliable_checkpoint_dir(spark: SparkSession) -> str | None:
     """The effective reliable-checkpoint directory, or None when the
     session is in local-checkpoint mode.
@@ -58,9 +71,10 @@ def reliable_checkpoint_dir(spark: SparkSession) -> str | None:
         # containment would treat a new conf dir that happens to be a
         # string prefix of the old native dir (/tmp/ck vs /tmp/ckpt/x)
         # as already applied (r07 ADVICE)
-        base = conf_dir.rstrip("/")
-        if native is None or not (native == base
-                                  or native.startswith(base + "/")):
+        base = _localized(conf_dir).rstrip("/")
+        npath = _localized(native) if native is not None else None
+        if npath is None or not (npath == base
+                                 or npath.startswith(base + "/")):
             sc.setCheckpointDir(conf_dir)
             jopt = sc._jsc.sc().getCheckpointDir()
             native = jopt.get() if jopt.isDefined() else None
@@ -84,3 +98,65 @@ def iter_checkpoint_eager(df: DataFrame) -> DataFrame:
     whose next action is a driver collect that must not re-execute the
     lineage (``.transform``-friendly form)."""
     return iter_checkpoint(df, eager=True)
+
+
+class CheckpointRotator:
+    """Deterministic reliable-checkpoint GC for iterative operators
+    (r07 ADVICE medium).
+
+    Reliable ``.checkpoint()`` writes a full state copy under
+    ``<ckptRoot>/<contextUuid>/rdd-<id>/`` per checkpointed round and
+    Spark itself only ever deletes those with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` PLUS a
+    driver GC that happens to collect the RDD — so a long CC/BPE job
+    grows the checkpoint dir by rounds x state size until disk
+    exhaustion. (session.py sets that conf as the eventual-GC backstop
+    for one-shot checkpoints; this class is the deterministic per-round
+    cleanup for the loops.)
+
+    Protocol: construct AFTER any loop-invariant checkpoint (the edge
+    list) has materialized — existing ``rdd-*`` dirs become an
+    immutable baseline the rotator never touches. Then call
+    ``rotate()`` immediately after each round's checkpoint has
+    MATERIALIZED (i.e. after the round's action): dirs that appeared
+    since the last rotate are adopted as the new live round and the
+    previous round's dirs are deleted — safe, because once round N's
+    files are on disk no live plan reads round N-1 (each round roots at
+    the previous round's checkpoint only until its own materializes).
+    The FINAL round's files are deliberately kept: the returned
+    DataFrame still reads them, and they are ONE state copy, not
+    rounds-many.
+
+    In local-checkpoint mode (no checkpoint dir configured) every call
+    is a no-op. Not safe for two interleaved iterative jobs on one
+    SparkContext (each would adopt the other's dirs) — the operators
+    here run their loops to completion before returning, which is the
+    only usage."""
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._root = reliable_checkpoint_dir(spark)
+        self._live: list[str] = []
+        self._baseline = frozenset(self._list())
+
+    def _list(self) -> list[str]:
+        if self._root is None:
+            return []
+        from ..sources.fs import fs_list_dirs
+
+        return fs_list_dirs(self._spark, self._root)
+
+    def rotate(self) -> None:
+        """Adopt newly-materialized checkpoint dirs as the live round;
+        delete the previous round's."""
+        if self._root is None:
+            return
+        from ..sources.fs import fs_delete
+
+        now = set(self._list())
+        new = sorted(now - self._baseline - set(self._live))
+        if not new:  # nothing materialized since last rotate
+            return
+        for name in self._live:
+            fs_delete(self._spark, f"{self._root}/{name}")
+        self._live = new

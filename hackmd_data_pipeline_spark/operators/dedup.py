@@ -661,6 +661,12 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a",
     edges = edges.transform(iter_checkpoint)
     if edges.count() <= 1_000_000:
         edges = edges.coalesce(4)
+    # per-round reliable-checkpoint GC (r07 ADVICE): constructed AFTER
+    # the edge checkpoint materialized (the count above), so the
+    # loop-invariant edge files sit in the rotator's baseline and only
+    # superseded label rounds are deleted
+    from .checkpointing import CheckpointRotator
+    rotator = CheckpointRotator(edges.sparkSession)
     # initialization IS the first propagation round, as a join-free
     # aggregate: with identity labels, round 1's neighbor-min is just
     # min(dst) per src — so seed label = least(id, min neighbor) and
@@ -681,6 +687,7 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a",
             F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
 
     prev_sum = label_sum(labels)  # also materializes the seed labels
+    rotator.rotate()
     for it in range(max_iter):
         if prev_sum is None:  # no edges -> no labels, nothing to iterate
             break
@@ -703,6 +710,7 @@ def dedup_clusters(pairs: DataFrame, id_col_a: str = "id_a",
         new_labels = new_labels.transform(iter_checkpoint)
         labels = new_labels
         cur_sum = label_sum(labels)
+        rotator.rotate()  # round N on disk -> round N-1 files deletable
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

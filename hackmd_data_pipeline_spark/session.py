@@ -54,6 +54,14 @@ def get_spark(app_name: str = "hackmd_data_pipeline_spark",
         # SPARK_GRAFT_TASK_MAX_FAILURES, which switches the master to
         # the local[N, F] form.
         .config("spark.task.maxFailures", "4")
+        # reliable-checkpoint GC backstop (r07 ADVICE): lets Spark's
+        # ContextCleaner delete checkpoint files of GC'd RDDs when the
+        # reliable mode (spark.graft.checkpointDir) is on. Iterative
+        # operators additionally delete superseded rounds
+        # DETERMINISTICALLY via operators/checkpointing.CheckpointRotator
+        # — this conf covers the one-shot checkpoints (e.g. the
+        # substring-dedup position table) that have no round structure.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         # slow-path UDFs go through Arrow batches, never per-row pickle
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
