@@ -25,20 +25,68 @@ from hackmd_data_pipeline_spark.plans import REGISTRY  # noqa: E402
 from hackmd_data_pipeline_spark.session import get_spark  # noqa: E402
 
 
+_HZ = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def _tree_jiffies() -> int:
+    """CPU jiffies consumed by THIS process tree (bench driver + the
+    Spark JVM + its python workers) — subtracting it from the host
+    total isolates FOREIGN load, which raw loadavg cannot do once the
+    bench's own 32-core bursts dominate the 1-minute average."""
+    procs: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            stat = Path(f"/proc/{d}/stat").read_text()
+        except OSError:
+            continue
+        parts = stat.rsplit(")", 1)[1].split()
+        procs[int(d)] = (int(parts[1]), int(parts[11]) + int(parts[12]))
+    tree = {os.getpid()}
+    grew = True
+    while grew:
+        grew = False
+        for pid, (ppid, _) in procs.items():
+            if ppid in tree and pid not in tree:
+                tree.add(pid)
+                grew = True
+    return sum(j for pid, (_, j) in procs.items() if pid in tree)
+
+
+def _host_busy_jiffies() -> int:
+    vals = [int(x) for x in Path("/proc/stat").read_text()
+            .splitlines()[0].split()[1:]]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+    return sum(vals) - idle
+
+
+def _foreign_cores(prev: tuple[int, int, float]) -> tuple[float, tuple]:
+    """Average FOREIGN cores busy since ``prev`` sample; returns the
+    new sample for chaining. Clamped at 0 (exited children donate
+    their jiffies to nobody, which can skew the subtraction low)."""
+    now = (_host_busy_jiffies(), _tree_jiffies(), time.monotonic())
+    dt = max(now[2] - prev[2], 1e-3)
+    foreign = max(0, (now[0] - prev[0]) - (now[1] - prev[1]))
+    return foreign / (_HZ * dt), now
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
-    # settle guard (r05, VERDICT r04 "What's wrong" 2: the official
-    # r04 driver artifact was taken at loadavg ~4.6 with test-suite
-    # residue, inflating join-family numbers ~2x vs the settled-host
-    # run of the SAME code). If the 1-min loadavg carries foreign
-    # load, wait — bounded — for it to drain before timing. This must
-    # run BEFORE the Spark session + 32-core warmup (round-5 review):
-    # after warmup the 1-min loadavg is contaminated by the bench's
-    # OWN burst and the guard would sleep on an idle host.
-    settle_max = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_SEC", "180"))
-    settle_threshold = max(2.0, 0.125 * (os.cpu_count() or 8))
+    # settle guard (r05, VERDICT r04 "What's wrong" 2; tightened in r08
+    # after the r07 driver artifact came out ~1.25x hot under loadavg
+    # 3.45 — below the old 0.125*cpus=4.0 threshold). If the 1-min
+    # loadavg carries foreign load, wait — bounded — for it to drain
+    # before timing. This must run BEFORE the Spark session + 32-core
+    # warmup (round-5 review): after warmup the 1-min loadavg is
+    # contaminated by the bench's OWN burst and the guard would sleep
+    # on an idle host. (Mid-run the loadavg is useless for exactly that
+    # reason — the per-query guard below measures foreign CPU directly
+    # from /proc instead.)
+    settle_max = float(os.environ.get("SPARK_GRAFT_BENCH_SETTLE_SEC", "420"))
+    settle_threshold = max(1.0, 0.0625 * (os.cpu_count() or 8))
     settled_wait = 0.0
     while (os.getloadavg()[0] > settle_threshold
            and settled_wait < settle_max):
@@ -64,22 +112,54 @@ def main() -> None:
 
     # min over BENCH_ITERS runs per query = steady-state engine time;
     # single-shot numbers on a shared host fold in unrelated load
-    # (observed ±50% swings — BASELINE.md), min-of-2 is stable
-    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "2"))
+    # (observed ±50% swings — BASELINE.md). r08 (VERDICT item 2, after
+    # the 2nd load-contaminated driver artifact): default iters 2 -> 3,
+    # plus a per-query foreign-CPU guard — if foreign processes burned
+    # > 1 core on average during a query's runs, or the two best runs
+    # disagree > 30%, the query is re-run (bounded) after the foreign
+    # burst drains; per-query foreign-core estimates land in the JSON
+    # so a hot run is self-evident instead of inferred.
+    iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+    max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "2"))
 
     load_before = os.getloadavg()
     t_run0 = time.perf_counter()
     timings: dict[str, float] = {}
     all_iters: dict[str, list[float]] = {}
+    foreign_by_query: dict[str, float] = {}
+    resettle_sec = 0.0
+    sample = _foreign_cores((0, 0, time.monotonic() - 1.0))[1]
     for name in sorted(REGISTRY):
-        runs = []
-        for _ in range(iters):
+        runs: list[float] = []
+        foreign_seen = 0.0
+        extras = max_extra
+        want = iters
+        while len(runs) < want:
             t0 = time.perf_counter()
             df = REGISTRY[name].builder(spark, sf_dir)
             df.count()
             runs.append(round(time.perf_counter() - t0, 3))
+            foreign, sample = _foreign_cores(sample)
+            foreign_seen = max(foreign_seen, foreign)
+            best = sorted(runs)
+            noisy = (foreign > 1.0
+                     or (len(best) >= 2 and best[0] > 0.15
+                         and best[1] / best[0] > 1.3))
+            if len(runs) >= iters and noisy and extras > 0:
+                extras -= 1
+                want = len(runs) + 1
+                # re-settle before the extra run: poll in 2 s windows
+                # until foreign CPU drains (bounded)
+                waited = 0.0
+                while foreign > 1.0 and waited < 30.0:
+                    time.sleep(2)
+                    waited += 2
+                    foreign, sample = _foreign_cores(sample)
+                resettle_sec += waited
         timings[name] = min(runs)
         all_iters[name] = runs
+        if foreign_seen >= 0.25:
+            foreign_by_query[name] = round(foreign_seen, 2)
 
     # host-contention instrumentation (round-2 verdict: the driver's
     # run was uniformly ~4x the builder's same-code run — loadavg +
@@ -98,12 +178,17 @@ def main() -> None:
         "env": {
             "iters": iters,
             "settle_waited_sec": settled_wait,
+            "midrun_resettle_sec": round(resettle_sec, 1),
             "loadavg_before": [round(x, 2) for x in load_before],
             "loadavg_after": [round(x, 2) for x in os.getloadavg()],
             "uptime_sec": uptime,
             "wall_sec": round(time.perf_counter() - t_run0, 1),
             "cpus": os.cpu_count(),
         },
+        # queries whose window saw >= 0.25 avg foreign cores (absent =
+        # clean): the contamination audit trail the r07 adjudication
+        # had to reconstruct from cross-run ratios
+        "foreign_cores_by_query": foreign_by_query,
         "iterations": all_iters,
     }
     # driver-parsable artifact FIRST (VERDICT r03 item 3: the driver
