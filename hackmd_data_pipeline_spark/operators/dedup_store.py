@@ -190,14 +190,75 @@ def compact_store(spark: SparkSession, src: str, dest: str,
     return out
 
 
-def load_pairs(spark: SparkSession, dest: str) -> DataFrame:
-    """Verified near-dup pairs from a built store."""
-    return spark.read.parquet(dest + "/pairs")
+def load_pairs(spark: SparkSession, dest: str,
+               delta_root: str | None = None) -> DataFrame:
+    """Verified near-dup pairs from a built store: the flat
+    ``build_dedup_store`` output plus any ``update_clusters`` pair
+    deltas — together the COMPLETE persisted pair set (the invariant
+    ``clusters == CC(load_pairs)`` that update_clusters maintains).
+    Read via explicit per-directory unions because Spark's partition
+    discovery rejects mixing the flat layout with epoch subdirs."""
+    from ..sources.fs import fs_exists, fs_list_dirs
+
+    root = delta_root or dest
+    parts = []
+    if fs_exists(spark, dest + "/pairs/_SUCCESS"):
+        parts.append(spark.read.parquet(dest + "/pairs"))
+    for name in sorted(fs_list_dirs(spark, root + "/pair_deltas")):
+        if name.startswith("epoch="):
+            parts.append(
+                spark.read.parquet(f"{root}/pair_deltas/{name}"))
+    if not parts:
+        raise ValueError(f"no persisted pairs under {dest}")
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
 
 
-def load_clusters(spark: SparkSession, dest: str) -> DataFrame:
-    """``id | cluster_id`` connected components from a built store."""
-    return spark.read.parquet(dest + "/clusters")
+_CLUSTER_SCHEMA = "id long, cluster_id long"
+
+
+def _cluster_delta_seqs(spark: SparkSession, root: str) -> list[int]:
+    from ..sources.fs import fs_list_dirs
+
+    return sorted(int(n.split("=", 1)[1])
+                  for n in fs_list_dirs(spark, root + "/cluster_deltas")
+                  if n.startswith("seq="))
+
+
+def load_clusters(spark: SparkSession, dest: str,
+                  delta_root: str | None = None) -> DataFrame:
+    """``id | cluster_id`` connected components from a built store,
+    RESOLVED against any incremental ``update_clusters`` deltas: the
+    latest delta assignment wins per id (deltas are full recomputes of
+    their touched subgraph, so later always supersedes earlier; the
+    flat base is oldest). With no deltas this is a plain read — the
+    per-id window shuffle is only paid while deltas are outstanding,
+    and ``compact_clusters`` folds them away."""
+    from pyspark.sql import Window as W
+
+    from ..sources.fs import fs_exists
+
+    root = delta_root or dest
+    seqs = _cluster_delta_seqs(spark, root)
+    has_base = fs_exists(spark, dest + "/clusters/_SUCCESS")
+    if not seqs and has_base:
+        return spark.read.parquet(dest + "/clusters")
+    base = (spark.read.parquet(dest + "/clusters") if has_base
+            # empty base: a store grown purely by update_clusters from
+            # its first epoch has overlays but never a flat stage
+            else spark.createDataFrame([], _CLUSTER_SCHEMA))
+    if not seqs:
+        return base
+    df = base.select("id", "cluster_id", F.lit(-1).alias("_seq"))
+    for s in seqs:
+        df = df.unionByName(
+            spark.read.parquet(f"{root}/cluster_deltas/seq={s}")
+            .select("id", "cluster_id", F.lit(s).alias("_seq")))
+    w = W.partitionBy("id").orderBy(F.col("_seq").desc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).select("id", "cluster_id"))
 
 
 def incremental_pairs(new_docs: DataFrame, dest: str,
@@ -260,15 +321,100 @@ def incremental_pairs(new_docs: DataFrame, dest: str,
     return verify_jaccard(candidates, sh_all, id_col, jaccard_threshold)
 
 
-def resolve_from_store(spark: SparkSession, dest: str) -> DataFrame:
+def update_clusters(new_pairs: DataFrame, dest: str, epoch_id: int,
+                    delta_root: str | None = None) -> dict:
+    """Merge a batch's near-dup pairs into the PERSISTED clusters stage
+    incrementally (r07 VERDICT item 1) — after this,
+    ``resolve_from_store`` is never stale, without the full
+    ``dedup_clusters`` recompute over the whole pair set a
+    continuously-ingesting deployment cannot afford per batch.
+
+    Cost ∝ touched components + batch pairs, NOT store size:
+
+      1. the batch's pairs land as an epoch-keyed ``pair_deltas``
+         parquet delta (overwrite-idempotent replay, the commit_batch
+         posture), keeping ``load_pairs`` the complete pair set;
+      2. TOUCHED components = resolved clusters containing any batch
+         node (semi-join against the broadcast batch node set — the
+         store streams, never shuffles);
+      3. the affected subgraph = batch pairs ∪ STAR edges
+         (cluster_id -> member) of touched components — stars preserve
+         old connectivity exactly, and since cluster_id is the
+         component's minimum id it is itself a member, so min-label
+         over the subgraph yields the true merged minima;
+      4. min-label CC runs on that SUBGRAPH only
+         (``dedup_clusters`` — driver union-find when small);
+      5. the recomputed labels land as a ``cluster_deltas/seq=<n>``
+         overlay — ``load_clusters`` resolves latest-per-id, and
+         ``compact_clusters`` periodically folds the overlay into a
+         fresh flat base.
+
+    Untouched components cannot change (no new edge reaches them), so
+    the invariant ``load_clusters == dedup_clusters(load_pairs)``
+    holds after every update — pinned in tests/test_dedup_store.py,
+    and the registry's dedup_cluster_update entry hash-gates it
+    against the recursive-CTE closure over the FULL pair set.
+
+    ``seq`` is a monotonic generation counter independent of
+    ``epoch_id`` (recorded only in the pair delta): a replayed or
+    rebootstrapped epoch recomputes against the CURRENT resolved view
+    and appends a value-identical overlay, so precedence never depends
+    on external epoch numbering (the compact_store epoch-collision
+    lesson). ``delta_root`` redirects both delta dirs — e.g. a scratch
+    overlay over a shared read-only store.
+    """
+    from .dedup import dedup_clusters
+
+    spark = new_pairs.sparkSession
+    root = delta_root or dest
+    new_pairs.write.mode("overwrite").parquet(
+        f"{root}/pair_deltas/epoch={epoch_id}")
+    p = (spark.read.parquet(f"{root}/pair_deltas/epoch={epoch_id}")
+         .select("id_a", "id_b"))
+
+    base = load_clusters(spark, dest, delta_root=root)
+    nodes = (p.select(F.col("id_a").alias("id"))
+             .union(p.select(F.col("id_b").alias("id"))).distinct())
+    touched = (base.join(F.broadcast(nodes), "id", "left_semi")
+               .select("cluster_id").distinct())
+    members = base.join(F.broadcast(touched), "cluster_id", "left_semi")
+    star = members.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("cluster_id").alias("id_a"), F.col("id").alias("id_b"))
+    sub = dedup_clusters(p.union(star))
+
+    seqs = _cluster_delta_seqs(spark, root)
+    nxt = (seqs[-1] + 1) if seqs else 0
+    sub.write.mode("overwrite").parquet(
+        f"{root}/cluster_deltas/seq={nxt}")
+    delta = spark.read.parquet(f"{root}/cluster_deltas/seq={nxt}")
+    return {"epoch": epoch_id, "seq": nxt,
+            "n_reassigned": delta.count()}
+
+
+def compact_clusters(spark: SparkSession, src: str, dest: str,
+                     delta_root: str | None = None) -> None:
+    """Fold the resolved cluster view (flat base + outstanding
+    ``update_clusters`` overlays) into ``dest/clusters`` — a fresh
+    single-generation base with no read-time window. Same posture as
+    ``compact_store``: writes a NEW directory and the caller swaps
+    pointers once complete (in-place rewrites are not atomic on a
+    plain filesystem)."""
+    (load_clusters(spark, src, delta_root=delta_root)
+     .write.mode("overwrite").parquet(dest + "/clusters"))
+
+
+def resolve_from_store(spark: SparkSession, dest: str,
+                       delta_root: str | None = None) -> DataFrame:
     """Canonical-doc resolution from PERSISTED clusters: the per-doc
     keep/drop verdict (``doc_id | cluster_id | is_canonical``) without
     touching the corpus text — the artifact read replaces the whole
     shingle -> signature -> pair -> cluster recomputation.
     (``dedup_clusters`` emits ``id | cluster_id``; cluster_id is the
-    cluster's minimum id, so the canonical doc is id == cluster_id.)"""
+    cluster's minimum id, so the canonical doc is id == cluster_id.)
+    Resolves through any outstanding ``update_clusters`` overlays, so
+    the verdict is never stale mid-ingest (r07 VERDICT item 1)."""
     return (
-        load_clusters(spark, dest)
+        load_clusters(spark, dest, delta_root=delta_root)
         .select(F.col("id").alias("doc_id"), "cluster_id",
                 (F.col("id") == F.col("cluster_id")).alias("is_canonical"))
         .orderBy("doc_id")

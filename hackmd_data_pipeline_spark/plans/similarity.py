@@ -198,9 +198,12 @@ def _ensure_warm_store(stored, dest: str, **build_kwargs) -> None:
 
     from ..operators.dedup_store import build_dedup_store
 
+    stages = ("shingles", "signatures", "pairs", "clusters")
+    need = stages[:stages.index(build_kwargs.get("through", "clusters")) + 1]
+
     def complete(path: str) -> bool:
         return all(os.path.exists(os.path.join(path, t, "_SUCCESS"))
-                   for t in ("shingles", "signatures"))
+                   for t in need)
 
     if complete(dest):
         return
@@ -351,6 +354,50 @@ def dedup_store_commit_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (incremental_pairs(d.filter(F.col("doc_id") % 4 == 0), dest,
                               jaccard_threshold=0.3)
             .orderBy("id_a", "id_b"))
+
+
+from .oracle_helpers import minhash_cluster_oracle as _cluster_oracle  # noqa: E402
+
+
+@query("dedup_cluster_update", oracle=_cluster_oracle(threshold=0.3))
+def dedup_cluster_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL cluster maintenance over the persisted store (r07
+    VERDICT item 1 — the one hole in the persistence story): the
+    existing corpus (doc_id % 4 != 0) is materialized once as the full
+    shingle/signature/pair/CLUSTER chain; the new batch (% 4 == 0) is
+    deduped against it via the incremental bucket join; then
+    operators/dedup_store.py::update_clusters merges those pairs into
+    the persisted clusters stage by recomputing ONLY the affected
+    subgraph (batch pairs + star edges of touched components) and
+    overlaying the result — resolve_from_store is never stale, and the
+    per-batch cost is ∝ touched components, not store size (SCALE.md
+    records the 1x/10x/100x sweep).
+
+    The oracle is the recursive-CTE transitive closure over the FULL
+    corpus pair set at the same threshold — the incremental overlay
+    resolution must equal the from-scratch clustering exactly (the
+    contract incremental_pairs meets for candidate sets, extended to
+    labels). The store is the shared rename-published warm artifact
+    (first run pays the build, stage-skip makes later ones warm-read);
+    the mutation lands in a pid-keyed WIPED overlay so the shared
+    store is never written after publication."""
+    from ..operators.dedup_store import (
+        incremental_pairs,
+        resolve_from_store,
+        update_clusters,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    stored = d.filter(F.col("doc_id") % 4 != 0)
+    new_batch = d.filter(F.col("doc_id") % 4 == 0)
+    store = _store_cache_path(sf_dir, "warmfull")
+    _ensure_warm_store(stored, store, jaccard_threshold=0.3,
+                       through="clusters")
+    overlay = _store_cache_path(sf_dir, "clup")
+    shutil.rmtree(overlay, ignore_errors=True)
+    pairs = incremental_pairs(new_batch, store, jaccard_threshold=0.3)
+    update_clusters(pairs, store, epoch_id=0, delta_root=overlay)
+    return resolve_from_store(spark, store, delta_root=overlay)
 
 
 from .oracle_helpers import simhash_oracle  # noqa: E402

@@ -188,3 +188,144 @@ def test_commit_grow_compact_lifecycle(spark, tmp_path):
     # negative generations are reserved for the folded history
     with pytest.raises(ValueError, match="epoch_id"):
         commit_batch(clone, compacted, -1)
+
+
+# ------------------------- incremental cluster maintenance (r07 V1)
+
+
+def _resolved(spark, dest, delta_root=None):
+    return {(r.id, r.cluster_id)
+            for r in load_clusters(spark, dest,
+                                   delta_root=delta_root).collect()}
+
+
+def _scratch(spark, df, threshold=0.5):
+    """From-scratch CC over an explicit pair frame."""
+    return {(r.id, r.cluster_id) for r in dedup_clusters(df).collect()}
+
+
+def test_update_clusters_lifecycle_equals_from_scratch(spark, tmp_path):
+    """The real deployment loop: grow a store from EMPTY by epoch
+    commits, run incremental_pairs + update_clusters per batch, and at
+    every step the resolved clusters must equal the from-scratch CC of
+    the full persisted pair set (the never-stale contract)."""
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        commit_batch, incremental_pairs, update_clusters)
+
+    d = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    dest = str(tmp_path / "store")
+    for epoch, residue in enumerate((1, 2, 3, 0)):
+        batch = d.filter(F.col("doc_id") % 4 == residue)
+        if epoch == 0:
+            # bootstrap: nothing stored yet; pairs = in-batch LSH
+            pairs = minhash_lsh_pairs(batch, jaccard_threshold=0.3,
+                                      sort=False)
+        else:
+            pairs = incremental_pairs(batch, dest, jaccard_threshold=0.3)
+        commit_batch(batch, dest, epoch)
+        update_clusters(pairs, dest, epoch_id=epoch)
+        expect = _scratch(
+            spark, load_pairs(spark, dest).select("id_a", "id_b"))
+        assert _resolved(spark, dest) == expect, f"stale after epoch {epoch}"
+    # full-corpus ground truth: identical to clustering the whole
+    # corpus's LSH pairs in one shot
+    full = _scratch(spark, minhash_lsh_pairs(d, jaccard_threshold=0.3,
+                                             sort=False))
+    assert _resolved(spark, dest) == full
+
+
+def test_update_clusters_merges_existing_components(spark, tmp_path):
+    """A batch edge bridging two PERSISTED clusters must merge them
+    under the global minimum id, and untouched clusters must keep
+    their rows byte-identical."""
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        update_clusters)
+
+    dest = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (11, 10), (50, 50), (51, 50)],
+        "id long, cluster_id long")
+    base.write.parquet(dest + "/clusters")
+    bridge = spark.createDataFrame([(2, 11, 0.9)],
+                                   "id_a long, id_b long, jaccard double")
+    stats = update_clusters(bridge, dest, epoch_id=0)
+    got = _resolved(spark, dest)
+    assert got == {(1, 1), (2, 1), (10, 1), (11, 1), (50, 50), (51, 50)}
+    # only the two touched components were recomputed
+    assert stats["n_reassigned"] == 4
+
+
+def test_update_clusters_replay_is_idempotent(spark, tmp_path):
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        update_clusters)
+
+    dest = str(tmp_path / "store")
+    spark.createDataFrame([(1, 1), (2, 1)], "id long, cluster_id long") \
+        .write.parquet(dest + "/clusters")
+    pairs = spark.createDataFrame([(2, 7, 0.8), (8, 9, 0.8)],
+                                  "id_a long, id_b long, jaccard double")
+    update_clusters(pairs, dest, epoch_id=3)
+    once = _resolved(spark, dest)
+    update_clusters(pairs, dest, epoch_id=3)  # crash-replay of the epoch
+    assert _resolved(spark, dest) == once == {(1, 1), (2, 1), (7, 1),
+                                              (8, 8), (9, 8)}
+    # the pair delta replay overwrote itself, not appended
+    assert load_pairs(spark, dest).count() == 2
+
+
+def test_update_clusters_empty_batch_is_noop(spark, tmp_path):
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        update_clusters)
+
+    dest = str(tmp_path / "store")
+    spark.createDataFrame([(1, 1), (2, 1)], "id long, cluster_id long") \
+        .write.parquet(dest + "/clusters")
+    empty = spark.createDataFrame([],
+                                  "id_a long, id_b long, jaccard double")
+    stats = update_clusters(empty, dest, epoch_id=0)
+    assert stats["n_reassigned"] == 0
+    assert _resolved(spark, dest) == {(1, 1), (2, 1)}
+
+
+def test_compact_clusters_folds_overlay(spark, tmp_path):
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        compact_clusters, update_clusters)
+
+    dest = str(tmp_path / "store")
+    spark.createDataFrame([(1, 1), (2, 1), (10, 10), (11, 10)],
+                          "id long, cluster_id long") \
+        .write.parquet(dest + "/clusters")
+    pairs = spark.createDataFrame([(2, 10, 0.8)],
+                                  "id_a long, id_b long, jaccard double")
+    update_clusters(pairs, dest, epoch_id=0)
+    live = _resolved(spark, dest)
+
+    folded = str(tmp_path / "folded")
+    compact_clusters(spark, dest, folded)
+    assert _resolved(spark, folded) == live == {(1, 1), (2, 1), (10, 1),
+                                                (11, 1)}
+    # the folded store is a plain single-generation base (no overlay)
+    import os
+    assert not os.path.exists(folded + "/cluster_deltas")
+
+
+def test_update_clusters_delta_root_overlay(spark, tmp_path):
+    """A pid-scratch overlay over a SHARED read-only store: the store
+    dir must stay untouched while resolution through the overlay sees
+    the merge (the registry entry's posture)."""
+    import os
+
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        update_clusters)
+
+    dest = str(tmp_path / "shared_store")
+    overlay = str(tmp_path / "overlay")
+    spark.createDataFrame([(1, 1), (2, 1)], "id long, cluster_id long") \
+        .write.parquet(dest + "/clusters")
+    pairs = spark.createDataFrame([(2, 5, 0.8)],
+                                  "id_a long, id_b long, jaccard double")
+    update_clusters(pairs, dest, epoch_id=0, delta_root=overlay)
+    assert _resolved(spark, dest, delta_root=overlay) == {(1, 1), (2, 1),
+                                                          (5, 1)}
+    assert set(os.listdir(dest)) == {"clusters"}, "shared store mutated"
+    assert _resolved(spark, dest) == {(1, 1), (2, 1)}  # without overlay
