@@ -554,15 +554,17 @@ def dedup_cluster_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the exact cosine top-10 per query, restated for the ANN recall evals
 # (same arithmetic as the sim_cosine_topk oracle)
-_EXACT_TOPK_SQL = f"""
+def _exact_topk_sql(where_q: str = "vec_id < 3",
+                    where_c: str = "e.vec_id <> q.query_id") -> str:
+    return f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS qvec
-        FROM embeddings WHERE vec_id < 3
+        FROM embeddings WHERE {where_q}
     ), scored AS (
         SELECT q.query_id, e.vec_id,
                {_DOT.format(a='e.embedding', b='q.qvec')}
                / ({_NORM.format(a='e.embedding')} * {_NORM.format(a='q.qvec')}) AS c
-        FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+        FROM embeddings e JOIN q ON {where_c}
     ), topk AS (
         SELECT query_id, vec_id
         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -577,6 +579,9 @@ _EXACT_TOPK_SQL = f"""
            TRUE AS recall_ok
     FROM topk GROUP BY query_id ORDER BY query_id
 """
+
+
+_EXACT_TOPK_SQL = _exact_topk_sql()
 
 
 def _ann_recall_frame(exact: DataFrame, ann: DataFrame,
@@ -681,6 +686,88 @@ def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = brute_force_topk(emb, queries, k=10)
     ann = ivfpq_topk(emb, queries, k=10, nprobe=6)
     return _ann_recall_frame(exact, ann, bound=0.50)
+
+
+def _index_cache_path(sf_dir: str, kind: str) -> str:
+    """Deterministic persisted-ANN-index location for one dataset —
+    the _store_cache_path recipe keyed on the embeddings table."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
+    try:
+        mtime = str(int(os.path.getmtime(emb)))
+    except OSError:
+        mtime = "0"
+    key = hashlib.md5(f"{emb}|{mtime}".encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(),
+                        f"graft_ann_index_{key}_{kind}")
+
+
+def _ensure_ivf_index(stored, dest: str, nlist: int) -> None:
+    """Build the shared persisted IVF index once per dataset,
+    publish-by-rename (the _ensure_warm_store recipe): concurrent
+    processes never read a half-written index."""
+    import os
+
+    from ..operators.similarity import build_ivf_index
+
+    def complete(path: str) -> bool:
+        return all(os.path.exists(os.path.join(path, t, "_SUCCESS"))
+                   for t in ("data", "centroids"))
+
+    if complete(dest):
+        return
+    stage = f"{dest}.build_p{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    build_ivf_index(stored, stage, nlist=nlist)
+    try:
+        os.rename(stage, dest)
+    except OSError:
+        if complete(dest):
+            shutil.rmtree(stage, ignore_errors=True)
+        else:
+            shutil.rmtree(dest, ignore_errors=True)
+            os.rename(stage, dest)
+
+
+@query("sim_knn_join_ivf",
+       oracle=_exact_topk_sql(where_q="vec_id % 4 = 0",
+                              where_c="e.vec_id % 4 <> 0"))
+def sim_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed kNN JOIN (r07 VERDICT item 3): the % 4 == 0 batch
+    (125-500 query vectors, not a bounded 3-probe set) joined to its
+    top-10 corpus neighbors THROUGH the persisted IVF index — the
+    access pattern retrieval-based decontamination and
+    SemDeDup-at-scale actually run. The index over the stored corpus
+    (% 4 != 0) is the shared rename-published cache artifact (built
+    once per dataset; cell-partitioned parquet, norms precomputed);
+    per batch, each query probes nprobe=6 of 16 cells, the scan reads
+    ONLY probed cell partitions (partition pruning — plan-asserted in
+    tests/test_physical_plans.py), and each corpus row joins only the
+    queries probing its cell, so the join fan-out is bounded by cell
+    membership, never batch x corpus.
+
+    Output is the recall-eval frame (the sim_ann_*_recall recipe): the
+    deterministic exact top-10 id sets per query (SQL-restated) plus a
+    boolean folding the index run's micro-averaged recall against
+    0.60 — measured 0.677 / 0.685 / 0.690 at sf0.001/0.01/0.1
+    (seed-pinned quantizer, deterministic). Bench note: eval-shaped
+    cost — the exact batch x corpus ground truth (a broadcast
+    nested-loop by definition) dominates the wall; the INDEX path
+    alone is the deployment cost."""
+    from ..operators.similarity import ivf_search_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    stored = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    dest = _index_cache_path(sf_dir, "knn_ivf16")
+    _ensure_ivf_index(stored, dest, nlist=16)
+    exact = brute_force_topk(stored, batch, k=10)
+    ann = ivf_search_index(spark, dest, batch, k=10, nprobe=6)
+    return _ann_recall_frame(exact, ann, bound=0.60)
 
 
 # exact shingle-Jaccard near-dup pairs (the LSH family's deterministic

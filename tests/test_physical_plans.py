@@ -170,6 +170,7 @@ _BNLJ_OK = {
     "agg_cms_heavy_hitters",       # 1-row token-total scalar cross join (r05)
     "sim_ann_ivfpq_recall",        # bounded query x centroid cross join (r05)
     "docs_temperature_sample",     # 1-row min/total + total-kept scalar cross joins
+    "sim_knn_join_ivf",            # exact ground truth IS batch x corpus (eval)
 }
 
 
@@ -342,3 +343,30 @@ def test_source_edge_aggs_partial_and_single_shuffle(spark):
         assert "Join" not in plan, name
         # one hash shuffle (the group-by); the final orderBy is range
         assert len(re.findall(r"hashpartitioning", plan)) == 1, name
+
+
+def test_knn_join_prunes_index_partitions_and_broadcasts(spark):
+    """sim_knn_join_ivf (r07 VERDICT item 3): the ANN side's index
+    scan must read only probed cell PARTITIONS (the partition-pruned
+    inverted-file lookup), and the probe/batch frames must broadcast —
+    the corpus-side index streams, never shuffles. The exact
+    ground-truth side is a broadcast nested-loop BY DEFINITION
+    (eval-shaped), so BNLJ is whitelisted here, but the index path
+    itself must carry the cell filter."""
+    plan = plan_of(spark, "sim_knn_join_ivf")
+    m = re.search(r"PartitionFilters: \[([^\]]*cell[^\]]*)\]", plan)
+    assert m, f"no cell partition filter on the index scan:\n{plan}"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cluster_update_resolution_shape(spark):
+    """dedup_cluster_update: the resolved-view read must not plan a
+    cartesian anywhere, and the overlay resolution window must ride a
+    single hash exchange on id (latest-per-id)."""
+    plan = plan_of(spark, "dedup_cluster_update")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # formatted explain carries exchange args in the details section
+    assert re.search(r"hashpartitioning\(id#", plan), (
+        "overlay resolution should shuffle once on id")
