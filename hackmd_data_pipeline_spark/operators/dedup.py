@@ -442,6 +442,16 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
         .filter(F.length("tok") > 0)
         .withColumn("h", F.xxhash64("tok"))
     )
+    return simhash_pack_votes(ex, id_col, bits)
+
+
+def simhash_pack_votes(ex: DataFrame, id_col: str, bits: int = 64) -> DataFrame:
+    """The packed majority-vote kernel behind every SimHash-family
+    signature: ``(id, h)`` hashed-feature OCCURRENCE rows ->
+    ``id | simhash``. Shared by token SimHash (above) and the
+    multimodal byte-block perceptual hash
+    (operators/multimodal.py::media_phash_signatures, r08)."""
+    assert bits == 64, "packed vote kernel is specialized to 64 bits"
     # v_i = 2*s_i - n > 0 <=> 2*s_i > n, with s_i = count of set bit i.
     # Packed: column c sums bits {4c, 4c+1, 4c+2, 4c+3} in lanes
     # 0..3 (16 bits each). Expressions are built as SQL strings — the
@@ -480,6 +490,16 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     was quadratic at scale).
     """
     sigs = simhash_signatures(df, id_col, text_col, bits)
+    return hamming_block_pairs(sigs, id_col, bits, max_hamming)
+
+
+def hamming_block_pairs(sigs: DataFrame, id_col: str, bits: int = 64,
+                        max_hamming: int = 3) -> DataFrame:
+    """Pigeonhole block-join + exact Hamming verify over an
+    ``id | simhash`` signature table — the candidate machinery of
+    ``simhash_pairs``, factored out so any 64-bit signature family
+    (token SimHash, the multimodal byte-block perceptual hash) shares
+    the sub-quadratic pairing (r08)."""
     n_blocks = 4
     width = bits // n_blocks
     mask = (1 << width) - 1

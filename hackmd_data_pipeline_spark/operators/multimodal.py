@@ -102,6 +102,51 @@ def extract_features(df: DataFrame,
     return df.select("media_id", "modality", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+def media_phash_signatures(df: DataFrame, id_col: str = "media_id",
+                           payload_col: str = "payload",
+                           block_bytes: int = 8) -> DataFrame:
+    """64-bit perceptual-hash-style signature over opaque BINARY
+    payloads — byte-block histogram -> bit votes (r07 VERDICT item 4):
+    the payload splits into ``block_bytes``-byte blocks (hex-domain,
+    so the whole kernel is column algebra, no UDF, and bit-exactly
+    DuckDB-restatable), each block is xxhash64'd, and the per-bit
+    majority over block OCCURRENCES packs into one int64 — the SimHash
+    vote kernel (operators/dedup.py::simhash_pack_votes) applied to
+    binary content instead of tokens. A near-identical payload (a few
+    modified blocks) flips few votes, so container-level near-dups
+    land within small Hamming distance; a REAL codec deployment swaps
+    the block features for decoded perceptual features (DCT bands,
+    mel frames) in the same kernel. Empty payloads carry no signal
+    and emit no signature row (mirrored by the oracle's inner
+    unnest)."""
+    width = block_bytes * 2  # hex chars per block
+    ex = (
+        df.filter(F.octet_length(payload_col) > 0)
+        .select(id_col, F.lower(F.hex(F.col(payload_col))).alias("hx"))
+        .select(id_col, F.explode(F.expr(
+            f"transform(sequence(1, CAST(ceil(length(hx) / {width}.0) AS INT)), "
+            f"j -> substring(hx, (j - 1) * {width} + 1, {width}))")).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    from .dedup import simhash_pack_votes
+
+    return simhash_pack_votes(ex, id_col)
+
+
+def media_phash_pairs(df: DataFrame, id_col: str = "media_id",
+                      payload_col: str = "payload",
+                      max_hamming: int = 3) -> DataFrame:
+    """Multimodal near-dup pairs by perceptual-hash Hamming distance:
+    ``(id_a, id_b, hamming)`` — pigeonhole 16-bit block join + exact
+    ``bit_count(xor)`` verify, shared with the text SimHash family
+    (sub-quadratic: shuffle by block value, never all-pairs). The
+    payload bytes never shuffle — only the 8-byte signature does."""
+    from .dedup import hamming_block_pairs
+
+    sigs = media_phash_signatures(df, id_col, payload_col)
+    return hamming_block_pairs(sigs, id_col, max_hamming=max_hamming)
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000,
                   ts_col: str = "duration_ms") -> DataFrame:
     """Frame-sampling plan for video rows: one output row per sampled

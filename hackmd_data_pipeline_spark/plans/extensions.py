@@ -612,6 +612,29 @@ def multimodal_meta_by_modality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .oracle_helpers import media_phash_oracle  # noqa: E402
+
+
+@query("multimodal_phash_neardup", oracle=media_phash_oracle())
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal NEAR-DUP (r07 VERDICT item 4 — the missing member of
+    the multimodal family): 64-bit perceptual-hash-style signatures
+    over the opaque binary payloads (byte-block histogram -> bit
+    votes, operators/multimodal.py::media_phash_pairs), paired via the
+    SimHash pigeonhole block join + exact Hamming verify. The payload
+    bytes never shuffle — one narrow scan computes the 8-byte
+    signature, and only signatures move. Restated bit-exactly in
+    DuckDB (hex-domain blocks through the shared xxh64 vote pipeline),
+    so the banding decisions AND the Hamming verdicts are
+    value-checked like dedup_simhash. A real codec deployment swaps
+    byte blocks for decoded perceptual features in the same kernel
+    (the documented multimodal stub posture)."""
+    from ..operators.multimodal import media_phash_pairs
+
+    media = _media(spark, sf_dir)
+    return media_phash_pairs(media, max_hamming=3)
+
+
 # ------------------------------------------------------------ skew / cube
 
 

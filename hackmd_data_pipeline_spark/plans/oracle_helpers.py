@@ -472,13 +472,14 @@ def minhash_pairs_ctes(shingle_n: int = 3, num_hashes: int = 16,
     )"""
 
 
-def simhash_oracle(max_hamming: int = 3) -> str:
-    """Full DuckDB restatement of ``simhash_pairs`` (64-bit signature,
-    16-bit pigeonhole blocks): per-token xxh64 -> per-bit majority
-    votes over token OCCURRENCES -> packed signature -> block-value
-    equi-join -> Hamming verify. Bit-exact with Spark's packed-lane
-    vote kernel because both sides reduce the same per-token hash bits
-    with integer arithmetic."""
+def _simhash_pair_sql(toks_cte: str, id_name: str, max_hamming: int) -> str:
+    """Shared SimHash-family pair restatement: a caller-supplied
+    ``toks(<id_name>, s)`` feature CTE -> per-feature xxh64 -> per-bit
+    majority votes over feature OCCURRENCES -> packed 64-bit signature
+    -> 16-bit pigeonhole block equi-join -> Hamming verify. Bit-exact
+    with Spark's packed-lane vote kernel
+    (operators/dedup.py::simhash_pack_votes) because both sides reduce
+    the same per-feature hash bits with integer arithmetic."""
     frag, out = xxh64_string_ctes("uniq", "s", "s", prefix="xs")
     sums = ",\n               ".join(
         f"SUM(CAST((h >> {i}) & 1 AS BIGINT)) AS s{i}" for i in range(64))
@@ -487,36 +488,60 @@ def simhash_oracle(max_hamming: int = 3) -> str:
         f"ELSE CAST(0 AS UBIGINT) END"
         for i in range(64))
     blocks = " UNION ALL ".join(
-        f"SELECT doc_id, {k} AS blk, "
+        f"SELECT {id_name}, {k} AS blk, "
         f"CAST((sig >> {16 * k}) & 65535 AS BIGINT) AS blk_val, sig "
         f"FROM sigs" for k in range(4))
     return f"""
     WITH toks AS MATERIALIZED (
-        SELECT doc_id, u.tok AS s
-        FROM (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
-              FROM documents),
-             UNNEST(t) AS u(tok)
-        WHERE LENGTH(u.tok) > 0
+        {toks_cte}
     ), uniq AS MATERIALIZED (
         SELECT DISTINCT s FROM toks
     ), {frag},
     th AS MATERIALIZED (
-        SELECT t.doc_id, ho.h FROM toks t JOIN {out} ho ON ho.s = t.s
+        SELECT t.{id_name}, ho.h FROM toks t JOIN {out} ho ON ho.s = t.s
     ), votes AS (
-        SELECT doc_id, COUNT(*) AS n,
+        SELECT {id_name}, COUNT(*) AS n,
                {sums}
-        FROM th GROUP BY doc_id
+        FROM th GROUP BY {id_name}
     ), sigs AS (
-        SELECT doc_id, ({sig}) AS sig
+        SELECT {id_name}, ({sig}) AS sig
         FROM votes
     ), bb AS MATERIALIZED ({blocks})
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    SELECT DISTINCT a.{id_name} AS id_a, b.{id_name} AS id_b,
            CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
     FROM bb a JOIN bb b ON a.blk = b.blk AND a.blk_val = b.blk_val
-                        AND a.doc_id < b.doc_id
+                        AND a.{id_name} < b.{id_name}
     WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
     ORDER BY id_a, id_b
     """
+
+
+def simhash_oracle(max_hamming: int = 3) -> str:
+    """Full DuckDB restatement of ``simhash_pairs`` (64-bit signature,
+    16-bit pigeonhole blocks) over whitespace tokens."""
+    return _simhash_pair_sql(
+        """SELECT doc_id, u.tok AS s
+        FROM (SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+              FROM documents),
+             UNNEST(t) AS u(tok)
+        WHERE LENGTH(u.tok) > 0""",
+        "doc_id", max_hamming)
+
+
+def media_phash_oracle(max_hamming: int = 3, block_bytes: int = 8) -> str:
+    """Full DuckDB restatement of the multimodal byte-block perceptual
+    hash (operators/multimodal.py::media_phash_pairs) over the media
+    view's UTF-8 payloads: hex-domain byte blocks (partial tail block
+    included, exactly Spark's ``substring`` truncation) through the
+    shared vote/block/verify pipeline."""
+    w = block_bytes * 2
+    return _simhash_pair_sql(
+        f"""SELECT media_id, u.tok AS s
+        FROM (SELECT doc_id AS media_id, LOWER(hex(encode(text))) AS hx
+              FROM documents WHERE octet_length(encode(text)) > 0),
+             UNNEST([ hx[{w}*(j-1)+1 : {w}*j]
+                      FOR j IN range(1, CAST(CEIL(len(hx) / {w}.0) AS INT) + 1) ]) AS u(tok)""",
+        "media_id", max_hamming)
 
 
 def minhash_lsh_oracle(shingle_n: int = 3, num_hashes: int = 16,
