@@ -119,6 +119,14 @@ _FORCE_REGATE = frozenset({
     # ADVICE item) — values identical, builder changed:
     "dedup_incremental_store",
     "dedup_store_commit_cycle",
+    # r08: encode kernel's ws split rewritten translate+split (r07
+    # VERDICT item 5 perf recovery) — token-identical by test, but the
+    # hot kernel changed:
+    "docs_bpe_encode",
+    # r08: dedup_clusters gained per-round reliable-checkpoint
+    # rotation (no-op in local mode, but the iterative core changed):
+    "dedup_cluster_resolve",
+    "dedup_cc_clusters",
 })
 
 _GATE_COVERED = (_covered_from_artifacts() - _FORCE_REGATE) or _R01_COVERED

@@ -195,18 +195,21 @@ def bpe_encode_stats(df: DataFrame, merges: list[tuple[str, str]],
     bounded while exercising the identical encode path.
 
     Tokenizer contract (r06 ADVICE): words split on the ASCII
-    whitespace class ``[ \\t\\n\\x0B\\f\\r]+`` — the exact regex the
+    whitespace class ``[ \\t\\n\\x0B\\f\\r]+`` — the exact class the
     DuckDB oracle uses — NOT Python ``str.split()``, whose all-Unicode
     whitespace rule would silently split on U+00A0 etc. and diverge.
+    Implemented as translate(other 4 ws chars -> ' ') + C-level
+    ``split(' ')`` + empty filter, which is token-identical to the
+    regex-class split (pinned by test_bpe_tokenizer_parity_on_
+    whitespace) at ~2x the throughput — the r07 re.split form cost the
+    registry entry a 1.5x bench regression (r07 VERDICT item 5).
     A doc yielding zero words is emitted as ``(0, 0)``; callers that
     oracle against an inner word join filter those out (see
     plans/textops.py::docs_bpe_encode)."""
-    import re
-
     import pandas as pd
 
     ranks = {pair: i for i, pair in enumerate(merges)}
-    ws = re.compile(r"[ \t\n\x0B\f\r]+")
+    ws_tr = str.maketrans({c: " " for c in "\t\n\x0B\f\r"})
 
     def encode(batches):
         cache: dict[str, int] = {}
@@ -215,7 +218,8 @@ def bpe_encode_stats(df: DataFrame, merges: list[tuple[str, str]],
                 continue
             n_words, n_tokens = [], []
             for text in pdf[text_col]:
-                words = [w for w in ws.split(str(text).lower()) if w]
+                words = [w for w in
+                         str(text).lower().translate(ws_tr).split(" ") if w]
                 total = 0
                 for w in words:
                     if w not in cache:
