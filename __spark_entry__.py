@@ -127,6 +127,11 @@ _FORCE_REGATE = frozenset({
     # rotation (no-op in local mode, but the iterative core changed):
     "dedup_cluster_resolve",
     "dedup_cc_clusters",
+    # r08: recall floors raised to just-under-measured-minimum (r07
+    # VERDICT item 7) — recall_ok stays TRUE, builder changed:
+    "sim_ann_ivf_recall",
+    "sim_ann_lsh_recall",
+    "sim_ann_ivfpq_recall",
 })
 
 _GATE_COVERED = (_covered_from_artifacts() - _FORCE_REGATE) or _R01_COVERED

@@ -619,13 +619,13 @@ def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     applied to ANN; r06 merged the rows-only ``sim_ann_ivf`` entry in,
     so this IS the IVF registry surface): per-query exact top-10 id
     sets plus a boolean asserting the seeded IVF run (nlist=16,
-    nprobe=6) recovered >=50% of true neighbors micro-averaged.
+    nprobe=6) recovered >=55% of true neighbors micro-averaged.
     Measured recall on the synthetic embeddings (r06 nprobe sweep):
-    0.733 (sf0.001) / 0.767 (sf0.01) / 0.567 (sf0.1) — the 0.50 bound
-    holds at every SF, and the quantizer is seed-pinned so the number
-    is deterministic (the r05 floor was 0.35 against a 0.47 minimum;
-    verdict item 6 asked for a floor a silent regression actually
-    trips). Estimated neighbor lists stay engine-specific; only exact
+    0.733 (sf0.001) / 0.767 (sf0.01) / 0.567 (sf0.1) — deterministic
+    (seed-pinned quantizer), so the r08 floor sits just under the
+    0.567 measured minimum (r07 VERDICT item 7: the old 0.50 floor
+    left a dead band a real recall regression could hide in; at
+    10x/100x with cells ∝ N recall only rises — SCALE.md). Estimated neighbor lists stay engine-specific; only exact
     content + the contract boolean are emitted."""
     from ..operators.similarity import ivf_topk
     emb = load_table(spark, sf_dir, "embeddings")
@@ -633,7 +633,7 @@ def sim_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding")
     exact = brute_force_topk(emb, queries, k=10)
     ann = ivf_topk(emb, queries, k=10, nlist=16, nprobe=6)
-    return _ann_recall_frame(exact, ann, bound=0.50)
+    return _ann_recall_frame(exact, ann, bound=0.55)
 
 
 @query("sim_ann_lsh_recall", oracle=_EXACT_TOPK_SQL)
@@ -647,8 +647,9 @@ def sim_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     near cosine 0.3-0.5) the 4-plane/12-table configuration measures
     0.833/0.800/0.767 recall at sf0.001/0.01/0.1 (r06 geometry sweep;
     the r05 8-table form bottomed at 0.50) — deterministic (seeded
-    planes), so the 0.60 bound is a meaningful, stable gate far above
-    the ~2% chance level. Only exact content + the contract boolean
+    planes), so the r08 floor of 0.72 sits just under the 0.767
+    measured minimum (r07 VERDICT item 7) and far above the ~2%
+    chance level. Only exact content + the contract boolean
     are emitted."""
     from ..operators.similarity import lsh_hyperplane_topk
     emb = load_table(spark, sf_dir, "embeddings")
@@ -656,7 +657,7 @@ def sim_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding")
     exact = brute_force_topk(emb, queries, k=10)
     ann = lsh_hyperplane_topk(emb, queries, k=10, n_planes=4, n_tables=12)
-    return _ann_recall_frame(exact, ann, bound=0.60)
+    return _ann_recall_frame(exact, ann, bound=0.72)
 
 
 # (r06: the rows-only ``sim_ann_ivfpq`` registry entry merged into its
@@ -676,7 +677,8 @@ def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (m_sub=16, nbits=6, refine=4, nprobe=6): 0.733 / 0.767 / 0.567 at
     sf0.001/0.01/0.1 — IDENTICAL to plain IVF at the same nlist/nprobe
     (quantization costs no recall once the ADC shortlist is exactly
-    re-ranked), so the same 0.50 bound applies. Seed-pinned quantizer
+    re-ranked), so the same just-under-minimum 0.55 floor applies
+    (r07 VERDICT item 7). Seed-pinned quantizer
     + codebooks keep the number deterministic; only exact content +
     the contract boolean are emitted."""
     from ..operators.similarity import ivfpq_topk
@@ -685,7 +687,7 @@ def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding")
     exact = brute_force_topk(emb, queries, k=10)
     ann = ivfpq_topk(emb, queries, k=10, nprobe=6)
-    return _ann_recall_frame(exact, ann, bound=0.50)
+    return _ann_recall_frame(exact, ann, bound=0.55)
 
 
 def _index_cache_path(sf_dir: str, kind: str) -> str:
