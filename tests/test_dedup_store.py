@@ -199,9 +199,9 @@ def _resolved(spark, dest, delta_root=None):
                                    delta_root=delta_root).collect()}
 
 
-def _scratch(spark, df, threshold=0.5):
+def _scratch(pairs_df):
     """From-scratch CC over an explicit pair frame."""
-    return {(r.id, r.cluster_id) for r in dedup_clusters(df).collect()}
+    return {(r.id, r.cluster_id) for r in dedup_clusters(pairs_df).collect()}
 
 
 def test_update_clusters_lifecycle_equals_from_scratch(spark, tmp_path):
@@ -225,12 +225,12 @@ def test_update_clusters_lifecycle_equals_from_scratch(spark, tmp_path):
         commit_batch(batch, dest, epoch)
         update_clusters(pairs, dest, epoch_id=epoch)
         expect = _scratch(
-            spark, load_pairs(spark, dest).select("id_a", "id_b"))
+            load_pairs(spark, dest).select("id_a", "id_b"))
         assert _resolved(spark, dest) == expect, f"stale after epoch {epoch}"
     # full-corpus ground truth: identical to clustering the whole
     # corpus's LSH pairs in one shot
-    full = _scratch(spark, minhash_lsh_pairs(d, jaccard_threshold=0.3,
-                                             sort=False))
+    full = _scratch(minhash_lsh_pairs(d, jaccard_threshold=0.3,
+                                      sort=False))
     assert _resolved(spark, dest) == full
 
 
