@@ -237,6 +237,13 @@ def bpe_encode_stats(df: DataFrame, merges: list[tuple[str, str]],
                 "n_bpe_tokens": pd.Series(n_tokens, dtype="int64"),
             })
 
+    # NO repartition, deliberately (r08, measured): unlike the
+    # winnowing kernel (heavy numpy per doc), the cached-word encode
+    # loop costs ~0.1 s per MILLION tokens single-threaded — at test
+    # scale a repartition(cores) shuffle of the text column costs
+    # ~2x the serial encode it parallelizes (0.36 -> 0.66 s measured
+    # at sf0.1), and at 100 TB the scan already yields >= cores
+    # partitions so the kernel parallelizes for free.
     return df.select(id_col, text_col).mapInPandas(
         encode, schema=f"{id_col} long, n_words long, n_bpe_tokens long")
 
