@@ -28,30 +28,49 @@ from hackmd_data_pipeline_spark.session import get_spark  # noqa: E402
 _HZ = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
 
 
-def _tree_jiffies() -> int:
+class _TreeCPU:
     """CPU jiffies consumed by THIS process tree (bench driver + the
     Spark JVM + its python workers) — subtracting it from the host
     total isolates FOREIGN load, which raw loadavg cannot do once the
-    bench's own 32-core bursts dominate the 1-minute average."""
-    procs: dict[int, tuple[int, int]] = {}
-    for d in os.listdir("/proc"):
-        if not d.isdigit():
-            continue
-        try:
-            stat = Path(f"/proc/{d}/stat").read_text()
-        except OSError:
-            continue
-        parts = stat.rsplit(")", 1)[1].split()
-        procs[int(d)] = (int(parts[1]), int(parts[11]) + int(parts[12]))
-    tree = {os.getpid()}
-    grew = True
-    while grew:
-        grew = False
-        for pid, (ppid, _) in procs.items():
-            if ppid in tree and pid not in tree:
-                tree.add(pid)
-                grew = True
-    return sum(j for pid, (_, j) in procs.items() if pid in tree)
+    bench's own 32-core bursts dominate the 1-minute average.
+    Stateful: a python worker that EXITS between samples would drop
+    its lifetime jiffies out of a naive tree sum, inflating "foreign"
+    by that amount (first r08 run: 164 phantom foreign cores after a
+    worker-churn window) — exited members' last-seen jiffies are
+    retired into an accumulator instead."""
+
+    def __init__(self) -> None:
+        self._last: dict[int, int] = {}
+        self._retired = 0
+
+    def total(self) -> int:
+        procs: dict[int, tuple[int, int]] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                stat = Path(f"/proc/{d}/stat").read_text()
+            except OSError:
+                continue
+            parts = stat.rsplit(")", 1)[1].split()
+            procs[int(d)] = (int(parts[1]), int(parts[11]) + int(parts[12]))
+        tree = {os.getpid()}
+        grew = True
+        while grew:
+            grew = False
+            for pid, (ppid, _) in procs.items():
+                if ppid in tree and pid not in tree:
+                    tree.add(pid)
+                    grew = True
+        live = {pid: j for pid, (_, j) in procs.items() if pid in tree}
+        for pid, j in self._last.items():
+            if pid not in live:
+                self._retired += j
+        self._last = live
+        return sum(live.values()) + self._retired
+
+
+_TREE_CPU = _TreeCPU()
 
 
 def _host_busy_jiffies() -> int:
@@ -63,12 +82,15 @@ def _host_busy_jiffies() -> int:
 
 def _foreign_cores(prev: tuple[int, int, float]) -> tuple[float, tuple]:
     """Average FOREIGN cores busy since ``prev`` sample; returns the
-    new sample for chaining. Clamped at 0 (exited children donate
-    their jiffies to nobody, which can skew the subtraction low)."""
-    now = (_host_busy_jiffies(), _tree_jiffies(), time.monotonic())
+    new sample for chaining. Clamped to [0, cpus] — the tree total is
+    exit-safe (retired accumulator) but a worker's growth in its final
+    window is still unattributable, so the residual is bounded by the
+    physical core count instead of trusted raw."""
+    now = (_host_busy_jiffies(), _TREE_CPU.total(), time.monotonic())
     dt = max(now[2] - prev[2], 1e-3)
-    foreign = max(0, (now[0] - prev[0]) - (now[1] - prev[1]))
-    return foreign / (_HZ * dt), now
+    foreign = max(0, (now[0] - prev[0]) - max(0, now[1] - prev[1]))
+    cores = min(foreign / (_HZ * dt), float(os.cpu_count() or 64))
+    return cores, now
 
 
 def main() -> None:

@@ -28,9 +28,13 @@ def plan_of(spark, name: str) -> str:
 
 
 def n_exchanges(plan: str) -> int:
-    # count shuffle exchanges only (broadcast exchanges are cheap)
-    return len(re.findall(r"\bExchange hashpartitioning", plan)) + len(
-        re.findall(r"\bExchange rangepartitioning", plan))
+    # count shuffle exchanges only (broadcast exchanges are cheap);
+    # formatted explain carries the partitioning in the node's
+    # Arguments detail line, never as "Exchange hashpartitioning"
+    # (the simple-mode spelling — matching it counts 0 on every
+    # formatted plan; r08, same counting as scripts/plan_audit.py)
+    return len(re.findall(r"\bhashpartitioning\(", plan)) + len(
+        re.findall(r"\brangepartitioning\(", plan))
 
 
 @pytest.mark.parametrize("name", [
@@ -171,6 +175,7 @@ _BNLJ_OK = {
     "sim_ann_ivfpq_recall",        # bounded query x centroid cross join (r05)
     "docs_temperature_sample",     # 1-row min/total + total-kept scalar cross joins
     "sim_knn_join_ivf",            # exact ground truth IS batch x corpus (eval)
+    "sim_knn_join_ivfpq",          # same eval shape over the PQ index
 }
 
 
@@ -345,15 +350,16 @@ def test_source_edge_aggs_partial_and_single_shuffle(spark):
         assert len(re.findall(r"hashpartitioning", plan)) == 1, name
 
 
-def test_knn_join_prunes_index_partitions_and_broadcasts(spark):
-    """sim_knn_join_ivf (r07 VERDICT item 3): the ANN side's index
-    scan must read only probed cell PARTITIONS (the partition-pruned
+@pytest.mark.parametrize("name", ["sim_knn_join_ivf", "sim_knn_join_ivfpq"])
+def test_knn_join_prunes_index_partitions_and_broadcasts(spark, name):
+    """The kNN joins (r07 VERDICT item 3): the ANN side's index scan
+    must read only probed cell PARTITIONS (the partition-pruned
     inverted-file lookup), and the probe/batch frames must broadcast —
     the corpus-side index streams, never shuffles. The exact
     ground-truth side is a broadcast nested-loop BY DEFINITION
     (eval-shaped), so BNLJ is whitelisted here, but the index path
     itself must carry the cell filter."""
-    plan = plan_of(spark, "sim_knn_join_ivf")
+    plan = plan_of(spark, name)
     m = re.search(r"PartitionFilters: \[([^\]]*cell[^\]]*)\]", plan)
     assert m, f"no cell partition filter on the index scan:\n{plan}"
     assert "BroadcastHashJoin" in plan
@@ -370,3 +376,5 @@ def test_cluster_update_resolution_shape(spark):
     # formatted explain carries exchange args in the details section
     assert re.search(r"hashpartitioning\(id#", plan), (
         "overlay resolution should shuffle once on id")
+    # one id window shuffle + the presentation range sort, nothing else
+    assert n_exchanges(plan) <= 2, plan
