@@ -46,7 +46,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.dedup_store import commit_batch, incremental_pairs
+from ..operators.dedup_store import (
+    commit_batch,
+    incremental_pairs,
+    update_clusters,
+)
 from ..sources.fs import fs_delete, fs_exists
 
 
@@ -177,3 +181,93 @@ def run_neardup_ingest(spark: SparkSession, docs_path: str, out_root: str,
          .start())
     q.awaitTermination()
     return counts
+
+
+def run_cluster_maintained_ingest(spark: SparkSession, docs_path: str,
+                                  out_root: str, checkpoint: str,
+                                  store_dest: str, id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  num_hashes: int = 16, bands: int = 4,
+                                  shingle_n: int = 3,
+                                  jaccard_threshold: float = 0.5
+                                  ) -> dict[str, int]:
+    """KEEP-ALL streaming ingest with per-batch cluster maintenance —
+    the other near-dup deployment shape (r07 VERDICT item 1): instead
+    of dropping near-dups at the door (``run_neardup_ingest``), every
+    doc lands in the corpus and the store, and the PERSISTED cluster
+    stage is merged incrementally per micro-batch
+    (``operators/dedup_store.update_clusters``), so
+    ``resolve_from_store(store_dest)`` serves fresh canonical/replica
+    verdicts at any moment — no full ``dedup_clusters`` recompute
+    ever runs. Downstream consumers pick their own policy later
+    (keep-best by quality, keep-first, per-cluster sampling) without
+    having lost any replica.
+
+    Per micro-batch: wipe own epoch partials (replay convergence) ->
+    near-dup pairs of the batch vs (store ∪ batch) — or in-batch LSH
+    pairs on the bootstrap batch — -> corpus + store epoch commits ->
+    ``update_clusters``. At-least-once replay converges: epoch-keyed
+    corpus/store/pair writes overwrite themselves, and a replayed
+    ``update_clusters`` recomputes the same touched subgraph against
+    the current resolved view, appending a value-identical overlay
+    (dir growth bounded by ``compact_clusters``). Pair computation is
+    deliberately ordered BEFORE this epoch's store commit; on a replay
+    the store already holds the epoch's signatures, which is
+    value-harmless (batch x own-stored-copy pairs normalize to the
+    in-batch pair set, and same-id self-pairs are cut by the join).
+
+    Returns ``{"ingested": n, "clustered": n}`` (clustered = rows in
+    the resolved cluster table after the drain)."""
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.dedup_store import load_clusters
+    from ..schemas import TPCH_SCHEMAS
+
+    doc_schema = TPCH_SCHEMAS["documents"]
+    counts = {"ingested": 0}
+
+    def handle_batch(batch: DataFrame, epoch_id: int) -> None:
+        for root in (out_root + "/corpus", store_dest + "/shingles",
+                     store_dest + "/signatures"):
+            fs_delete(spark, _epoch_dir(root, epoch_id))
+
+        batch = (batch.filter(F.length(F.trim(text_col)) > 0)
+                 .dropDuplicates([id_col]).persist())
+        n_in = batch.count()
+        if n_in == 0:
+            batch.unpersist()
+            return
+
+        if fs_exists(spark, store_dest + "/signatures"):
+            pairs = incremental_pairs(
+                batch, store_dest, id_col, text_col,
+                num_hashes, bands, shingle_n, jaccard_threshold)
+        else:
+            pairs = minhash_lsh_pairs(batch, id_col, text_col, num_hashes,
+                                      bands, shingle_n, jaccard_threshold,
+                                      sort=False)
+        # materialize the pair set BEFORE the store commit mutates the
+        # directories the pair plan reads (lazy evaluation would
+        # otherwise compute pairs against a store that already holds
+        # this epoch — value-identical, but only by the replay
+        # argument above; first attempts shouldn't lean on it)
+        pairs = pairs.localCheckpoint(eager=True)
+
+        batch.write.mode("overwrite").parquet(
+            _epoch_dir(out_root + "/corpus", epoch_id))
+        commit_batch(batch, store_dest, epoch_id, id_col, text_col,
+                     num_hashes, shingle_n)
+        update_clusters(pairs, store_dest, epoch_id)
+        counts["ingested"] += n_in
+        batch.unpersist()
+
+    stream = (spark.readStream.schema(doc_schema)
+              .parquet(docs_path))
+    q = (stream.writeStream.foreachBatch(handle_batch)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    clustered = (load_clusters(spark, store_dest).count()
+                 if fs_exists(spark, store_dest + "/cluster_deltas")
+                 or fs_exists(spark, store_dest + "/clusters") else 0)
+    return {"ingested": counts["ingested"], "clustered": clustered}

@@ -133,3 +133,70 @@ def test_neardup_stream_retry_cleanup_is_idempotent(spark, tmp_path):
     sig_ids = {r.doc_id for r in
                spark.read.parquet(store + "/signatures").collect()}
     assert sig_ids == corpus_ids
+
+
+def test_cluster_maintained_ingest_resolve_never_stale(spark, tmp_path):
+    """Keep-all ingest with per-batch cluster maintenance (r07 VERDICT
+    item 1 at the streaming boundary): after EVERY drain — including a
+    later drain resuming from the checkpoint — resolve_from_store must
+    equal the from-scratch clustering of everything ingested so far,
+    with no full recompute ever having run."""
+    from hackmd_data_pipeline_spark.operators.dedup import (
+        dedup_clusters, minhash_lsh_pairs)
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        resolve_from_store)
+    from hackmd_data_pipeline_spark.streaming.neardup import (
+        run_cluster_maintained_ingest)
+
+    docs_in = str(tmp_path / "in")
+    out_root = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+
+    base = (load_table(spark, SF_CORRECT, "documents")
+            .filter(F.col("doc_id") < 40).select("doc_id", "text"))
+
+    def resolve():
+        return {(r.doc_id, r.cluster_id, r.is_canonical)
+                for r in resolve_from_store(spark, store).collect()}
+
+    def scratch(df):
+        labels = dedup_clusters(
+            minhash_lsh_pairs(df, jaccard_threshold=0.5, sort=False))
+        return {(r.id, r.cluster_id, r.id == r.cluster_id)
+                for r in labels.collect()}
+
+    # drain 1: base docs + an in-batch clone (forms one cluster)
+    clone1 = (base.filter(F.col("doc_id") == 0)
+              .withColumn("doc_id", F.lit(1_000_000).cast("long")))
+    _write_drop(base.unionByName(clone1), docs_in)
+    c1 = run_cluster_maintained_ingest(spark, docs_in, out_root, ckpt, store)
+    assert c1["ingested"] == 41
+    ingested = base.unionByName(clone1)
+    assert resolve() == scratch(ingested)
+    assert (0, 0, True) in resolve() and (1_000_000, 0, False) in resolve()
+
+    # drain 2 (resumes from the checkpoint, later epoch ids): a clone
+    # of a STORED doc must merge into the stored doc's cluster, fresh
+    # docs join as singletons-or-clusters per content
+    fresh = (load_table(spark, SF_CORRECT, "documents")
+             .filter((F.col("doc_id") >= 40) & (F.col("doc_id") < 45))
+             .select("doc_id", "text"))
+    clone2 = (base.filter(F.col("doc_id") == 5)
+              .withColumn("doc_id", F.lit(2_000_000).cast("long")))
+    _write_drop(fresh.unionByName(clone2), docs_in)
+    c2 = run_cluster_maintained_ingest(spark, docs_in, out_root, ckpt, store)
+    assert c2["ingested"] == 6
+    ingested = ingested.unionByName(fresh).unionByName(clone2)
+    assert resolve() == scratch(ingested), "resolution went stale"
+    assert (2_000_000, 5, False) in resolve()
+
+    # keep-all: nothing was dropped from the corpus
+    assert spark.read.parquet(out_root + "/corpus").count() == 47
+
+    # exactly-once: re-drain with the same checkpoint ingests nothing
+    # and the resolution is unchanged
+    before = resolve()
+    c3 = run_cluster_maintained_ingest(spark, docs_in, out_root, ckpt, store)
+    assert c3["ingested"] == 0
+    assert resolve() == before
