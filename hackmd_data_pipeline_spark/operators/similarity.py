@@ -88,6 +88,71 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def brute_force_topk_blocked(corpus: DataFrame, queries: DataFrame,
+                             k: int = 10, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             query_id_col: str = "query_id") -> DataFrame:
+    """Exact cosine top-k, matmul-blocked (r08): the VECTORIZED form of
+    ``brute_force_topk`` for query sets too large for a per-pair
+    expression join to be sensible (hundreds+). The query matrix is a
+    bounded driver collect (the batch side of a kNN join — same class
+    as the capped k-means sample) shipped via closure; each corpus
+    partition computes one (rows x dim) @ (dim x nq) numpy matmul and
+    emits only its LOCAL per-query top-k (k x nq rows per partition —
+    the map-side combine of exact kNN), then one per-query window takes
+    the global top-k. At 100 TB this is scan-bound with k x nq x
+    partitions shuffle rows, against the per-pair interpreted fold of
+    the expression form.
+
+    Float caveat, recorded: numpy's dot reduces in a different order
+    than the fold form, so cosines can differ by ~1e-16; the top-k ID
+    SET is unaffected away from exact rank-k ties (tests pin set
+    equality with the fold form on the gate data)."""
+    import numpy as np
+
+    q_rows = queries.select(query_id_col, vec_col).collect()
+    qids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    qm = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-12)
+
+    def local_topk(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            c = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True),
+                               1e-12)
+            scores = c @ qm.T                      # (rows, nq)
+            scores[ids[:, None] == qids[None, :]] = -np.inf  # self-pairs
+            kk = min(k, len(ids))
+            # per-query local top-k (argpartition: O(rows) per query)
+            top = np.argpartition(-scores, kk - 1, axis=0)[:kk]  # (kk, nq)
+            out_q = np.repeat(qids[None, :], kk, axis=0).ravel()
+            out_i = ids[top.ravel()]
+            out_s = np.take_along_axis(scores, top, axis=0).ravel()
+            keep = np.isfinite(out_s)
+            yield pd.DataFrame({
+                query_id_col: out_q[keep],
+                id_col: out_i[keep],
+                "_cos": out_s[keep],
+            })
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        local_topk, schema=f"{query_id_col} long, {id_col} long, _cos double")
+    w = W.partitionBy(query_id_col).orderBy(F.col("_cos").desc(), F.col(id_col))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col,
+                F.round(F.col("_cos"), 6).alias("cosine"), "rank")
+        .orderBy(query_id_col, "rank")
+    )
+
+
 def _bounded_sample(corpus: DataFrame, vec_col: str,
                     sample_cap: int = 8192):
     """Capped, driver-side vector sample as a UNIT-NORM (n, dim)

@@ -761,11 +761,14 @@ def sim_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic exact top-10 id sets per query (SQL-restated) plus a
     boolean folding the index run's micro-averaged recall against
     0.60 — measured 0.677 / 0.685 / 0.690 at sf0.001/0.01/0.1
-    (seed-pinned quantizer, deterministic). Bench note: eval-shaped
-    cost — the exact batch x corpus ground truth (a broadcast
-    nested-loop by definition) dominates the wall; the INDEX path
-    alone is the deployment cost."""
-    from ..operators.similarity import ivf_search_index
+    (seed-pinned quantizer, deterministic). The exact ground truth
+    uses the matmul-blocked kernel (brute_force_topk_blocked — per-
+    partition local top-k, the map-side combine of exact kNN); still
+    eval-shaped cost the index path alone doesn't pay in deployment."""
+    from ..operators.similarity import (
+        brute_force_topk_blocked,
+        ivf_search_index,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     stored = emb.filter(F.col("vec_id") % 4 != 0)
@@ -773,7 +776,7 @@ def sim_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding")
     dest = _index_cache_path(sf_dir, "knn_ivf16")
     _ensure_ivf_index(stored, dest, nlist=16)
-    exact = brute_force_topk(stored, batch, k=10)
+    exact = brute_force_topk_blocked(stored, batch, k=10)
     ann = ivf_search_index(spark, dest, batch, k=10, nprobe=6)
     return _ann_recall_frame(exact, ann, bound=0.60)
 
@@ -793,7 +796,11 @@ def sim_knn_join_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall 0.674 / 0.682 / 0.641 at sf0.001/0.01/0.1 (seed-pinned) —
     floor 0.60. Bench note: eval-shaped — the exact ground truth plus
     the deliberately-full ADC + refine pipeline."""
-    from ..operators.similarity import build_ivfpq_index, ivfpq_search_index
+    from ..operators.similarity import (
+        brute_force_topk_blocked,
+        build_ivfpq_index,
+        ivfpq_search_index,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     stored = emb.filter(F.col("vec_id") % 4 != 0)
@@ -803,7 +810,7 @@ def sim_knn_join_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_index(stored, dest,
                   lambda df, p: build_ivfpq_index(df, p, nlist=16),
                   ("data", "centroids", "codebooks"))
-    exact = brute_force_topk(stored, batch, k=10)
+    exact = brute_force_topk_blocked(stored, batch, k=10)
     ann = ivfpq_search_index(spark, dest, batch, corpus=stored, k=10,
                              nprobe=6, refine=4)
     return _ann_recall_frame(exact, ann, bound=0.60)

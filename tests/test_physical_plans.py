@@ -174,8 +174,8 @@ _BNLJ_OK = {
     "agg_cms_heavy_hitters",       # 1-row token-total scalar cross join (r05)
     "sim_ann_ivfpq_recall",        # bounded query x centroid cross join (r05)
     "docs_temperature_sample",     # 1-row min/total + total-kept scalar cross joins
-    "sim_knn_join_ivf",            # exact ground truth IS batch x corpus (eval)
-    "sim_knn_join_ivfpq",          # same eval shape over the PQ index
+    "sim_knn_join_ivf",            # bounded query x centroid cross join
+    "sim_knn_join_ivfpq",          # bounded query x centroid cross join
 }
 
 
@@ -355,10 +355,9 @@ def test_knn_join_prunes_index_partitions_and_broadcasts(spark, name):
     """The kNN joins (r07 VERDICT item 3): the ANN side's index scan
     must read only probed cell PARTITIONS (the partition-pruned
     inverted-file lookup), and the probe/batch frames must broadcast —
-    the corpus-side index streams, never shuffles. The exact
-    ground-truth side is a broadcast nested-loop BY DEFINITION
-    (eval-shaped), so BNLJ is whitelisted here, but the index path
-    itself must carry the cell filter."""
+    the corpus-side index streams, never shuffles. (BNLJ whitelist:
+    the bounded query x centroid probe cross join; the exact ground
+    truth is the matmul-blocked kernel, not a pair join.)"""
     plan = plan_of(spark, name)
     m = re.search(r"PartitionFilters: \[([^\]]*cell[^\]]*)\]", plan)
     assert m, f"no cell partition filter on the index scan:\n{plan}"

@@ -504,3 +504,35 @@ def test_leakage_safe_split_never_splits_duplicates(spark):
                       out.groupBy("split").agg(F.count("*").alias("n")).collect())
         assert shares["train"] > shares.get("val", 0)
         assert shares["train"] > shares.get("test", 0)
+
+
+def test_brute_force_blocked_matches_fold_form(spark):
+    """The matmul-blocked exact top-k (r08) must produce the same
+    per-query top-k ID SETS as the per-pair fold form, and cosines
+    within float-reorder tolerance, on the gate data with a large
+    query side."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        brute_force_topk, brute_force_topk_blocked)
+    from hackmd_data_pipeline_spark.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    queries = emb.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    fold = brute_force_topk(corpus, queries, k=10).collect()
+    blocked = brute_force_topk_blocked(corpus, queries, k=10).collect()
+
+    def sets(rows):
+        out: dict = {}
+        for r in rows:
+            out.setdefault(r.query_id, set()).add(r.vec_id)
+        return out
+
+    assert sets(fold) == sets(blocked)
+    cos_f = {(r.query_id, r.vec_id): r.cosine for r in fold}
+    assert all(abs(cos_f[(r.query_id, r.vec_id)] - r.cosine) < 1e-6
+               for r in blocked)
