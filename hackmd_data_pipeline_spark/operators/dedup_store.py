@@ -205,7 +205,12 @@ def load_pairs(spark: SparkSession, dest: str,
     if fs_exists(spark, dest + "/pairs/_SUCCESS"):
         parts.append(spark.read.parquet(dest + "/pairs"))
     for name in sorted(fs_list_dirs(spark, root + "/pair_deltas")):
-        if name.startswith("epoch="):
+        # COMMITTED deltas only: a crashed update_clusters leaves a
+        # partial dir without Spark's _SUCCESS marker; reading its
+        # task-committed subset would understate the pair set until
+        # the epoch replay overwrites it (r08)
+        if (name.startswith("epoch=") and fs_exists(
+                spark, f"{root}/pair_deltas/{name}/_SUCCESS")):
             parts.append(
                 spark.read.parquet(f"{root}/pair_deltas/{name}"))
     if not parts:
@@ -220,11 +225,20 @@ _CLUSTER_SCHEMA = "id long, cluster_id long"
 
 
 def _cluster_delta_seqs(spark: SparkSession, root: str) -> list[int]:
-    from ..sources.fs import fs_list_dirs
+    """COMMITTED overlay generations only (_SUCCESS marker). A crashed
+    update_clusters leaves a partial seq dir; reading its subset of
+    recomputed labels is not merely incomplete — a component ALL of
+    whose pair-adjacent members got partial new labels would evade
+    touched-detection on the replay and keep a stale label for its
+    non-pair members. The replay's writer side handles the leftover:
+    the next committed seq overwrites the partial dir (r08)."""
+    from ..sources.fs import fs_exists, fs_list_dirs
 
-    return sorted(int(n.split("=", 1)[1])
-                  for n in fs_list_dirs(spark, root + "/cluster_deltas")
-                  if n.startswith("seq="))
+    return sorted(
+        int(n.split("=", 1)[1])
+        for n in fs_list_dirs(spark, root + "/cluster_deltas")
+        if n.startswith("seq=")
+        and fs_exists(spark, f"{root}/cluster_deltas/{n}/_SUCCESS"))
 
 
 def load_clusters(spark: SparkSession, dest: str,

@@ -329,3 +329,36 @@ def test_update_clusters_delta_root_overlay(spark, tmp_path):
                                                           (5, 1)}
     assert set(os.listdir(dest)) == {"clusters"}, "shared store mutated"
     assert _resolved(spark, dest) == {(1, 1), (2, 1)}  # without overlay
+
+
+def test_partial_cluster_delta_is_ignored_then_overwritten(spark, tmp_path):
+    """Crash-window contract (r08): a cluster delta left WITHOUT its
+    _SUCCESS commit marker (crashed update_clusters) must be invisible
+    to readers — a partial label subset can make a fully-relabeled
+    component evade touched-detection on replay — and the replay's
+    next committed seq must overwrite the partial dir."""
+    import os
+
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        update_clusters)
+
+    dest = str(tmp_path / "store")
+    spark.createDataFrame([(1, 1), (2, 1), (10, 10), (11, 10)],
+                          "id long, cluster_id long") \
+        .write.parquet(dest + "/clusters")
+    # simulate a crashed merge of (2,10): partial delta holding only a
+    # SUBSET of the recomputed labels, no commit marker
+    spark.createDataFrame([(2, 1), (10, 1)], "id long, cluster_id long") \
+        .coalesce(1).write.parquet(dest + "/cluster_deltas/seq=0")
+    os.remove(dest + "/cluster_deltas/seq=0/_SUCCESS")
+    assert _resolved(spark, dest) == {(1, 1), (2, 1), (10, 10), (11, 10)}, (
+        "uncommitted delta leaked into the resolved view")
+
+    # epoch replay: recomputes against the committed view and lands at
+    # seq=0 again, overwriting the partial dir
+    pairs = spark.createDataFrame([(2, 10, 0.8)],
+                                  "id_a long, id_b long, jaccard double")
+    stats = update_clusters(pairs, dest, epoch_id=0)
+    assert stats["seq"] == 0
+    assert _resolved(spark, dest) == {(1, 1), (2, 1), (10, 1), (11, 1)}
+    assert os.path.exists(dest + "/cluster_deltas/seq=0/_SUCCESS")
