@@ -377,24 +377,12 @@ def block_cosine_pairs(df: DataFrame, threshold: float = 0.95,
         per_block, schema=f"id_a long, id_b long, cosine double")
 
 
-def build_ivf_index(corpus: DataFrame, dest: str, nlist: int = 16,
-                    id_col: str = "vec_id", vec_col: str = "embedding",
-                    seed: int = 42, sample_cap: int = 8192) -> None:
-    """Persist an IVF index as a CELL-PARTITIONED parquet table.
-
-    The 100 TB search path: the quantizer is trained once (bounded
-    sample), every vector is assigned its cell and written under
-    ``dest/data/cell=<c>/`` with its norm precomputed; centroids land
-    in ``dest/centroids``. A probe of nprobe cells then becomes a scan
-    of nprobe DIRECTORIES — partition pruning does the index lookup,
-    no shuffle, no full-corpus read (plan-asserted in
-    tests/test_similarity.py). Rebuild cost is one pass; queries
-    amortize it forever after.
-    """
+def _cell_assigner(cents, vec_col: str):
+    """mapInPandas kernel assigning each vector its nearest-centroid
+    cell (one batch x nlist matmul per Arrow batch) and precomputing
+    its norm — shared by the initial index build and the incremental
+    upsert path so a vector lands in the SAME cell either way."""
     import numpy as np
-
-    cents = _train_quantizer(corpus, nlist, vec_col, seed=seed,
-                             sample_cap=sample_cap)
 
     def assign_cells(batches):
         for pdf in batches:
@@ -406,10 +394,34 @@ def build_ivf_index(corpus: DataFrame, dest: str, nlist: int = 16,
             yield pdf.assign(cell=(unit @ cents.T).argmax(axis=1).astype("int32"),
                              _cnorm=norms)
 
+    return assign_cells
+
+
+def build_ivf_index(corpus: DataFrame, dest: str, nlist: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 42, sample_cap: int = 8192,
+                    centroids=None) -> None:
+    """Persist an IVF index as a CELL-PARTITIONED parquet table.
+
+    The 100 TB search path: the quantizer is trained once (bounded
+    sample), every vector is assigned its cell and written under
+    ``dest/data/cell=<c>/`` with its norm precomputed; centroids land
+    in ``dest/centroids``. A probe of nprobe cells then becomes a scan
+    of nprobe DIRECTORIES — partition pruning does the index lookup,
+    no shuffle, no full-corpus read (plan-asserted in
+    tests/test_similarity.py). Rebuild cost is one pass; queries
+    amortize it forever after. ``centroids`` injects a pre-trained
+    (nlist, dim) unit-norm quantizer instead of training one — the
+    upsert-equivalence tests use it to build a one-shot index under
+    the SAME geometry an upserted index carries.
+    """
+    cents = centroids if centroids is not None else _train_quantizer(
+        corpus, nlist, vec_col, seed=seed, sample_cap=sample_cap)
+
     in_schema = corpus.select(id_col, vec_col).schema
     out_schema = in_schema.add("cell", "integer").add("_cnorm", "double")
     (corpus.select(id_col, vec_col)
-     .mapInPandas(assign_cells, schema=out_schema)
+     .mapInPandas(_cell_assigner(cents, vec_col), schema=out_schema)
      .write.partitionBy("cell").mode("overwrite").parquet(dest + "/data"))
 
     spark = corpus.sparkSession
@@ -419,15 +431,123 @@ def build_ivf_index(corpus: DataFrame, dest: str, nlist: int = 16,
     ).coalesce(1).write.mode("overwrite").parquet(dest + "/centroids")
 
 
+def load_ivf_centroids(spark: SparkSession, index_path: str):
+    """The persisted quantizer as an (nlist, dim) float64 array ordered
+    by cell id — kilobytes by construction (nlist x dim doubles), a
+    bounded driver read."""
+    import numpy as np
+
+    rows = (spark.read.parquet(index_path + "/centroids")
+            .orderBy("cell").collect())
+    return np.asarray([r.centroid for r in rows], dtype=np.float64)
+
+
+def ivf_delta_epochs(spark: SparkSession, root: str) -> list[int]:
+    """COMMITTED upsert generations under ``root/deltas`` (_SUCCESS
+    marker present) — the dedup store's committed-deltas discipline: a
+    crashed upsert leaves a partial epoch dir whose task-committed
+    subset must stay invisible until the epoch replay overwrites it."""
+    from ..sources.fs import fs_exists, fs_list_dirs
+
+    return sorted(
+        int(n.split("=", 1)[1])
+        for n in fs_list_dirs(spark, root + "/deltas")
+        if n.startswith("epoch=")
+        and fs_exists(spark, f"{root}/deltas/{n}/_SUCCESS"))
+
+
+def upsert_ivf_index(batch: DataFrame, index_path: str, epoch_id: int,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     delta_root: str | None = None,
+                     out_partitions: int | None = None) -> None:
+    """GROW a persisted IVF index by one batch without rebuilding it —
+    the ANN counterpart of ``dedup_store.commit_batch`` (and of faiss's
+    ``IndexIVF.add``): new vectors are assigned cells by the EXISTING
+    persisted quantizer (the `_cell_assigner` kernel — same geometry
+    as the base build, so search semantics never fork) and land as a
+    cell-partitioned epoch delta under
+    ``{delta_root or index_path}/deltas/epoch=<n>/cell=<c>/``.
+
+    Epoch-keyed overwrite makes a replayed upsert converge to the same
+    files instead of appending duplicates — the effectively-once
+    posture the streaming ingest rides. Per-batch cost is one pass
+    over the BATCH (centroids are a kilobyte broadcast; the base index
+    is never read or rewritten), so upsert cost ∝ batch size, not
+    index size. Quantizer drift is the documented trade (faiss's too):
+    cells only split/retrain on ``compact_ivf_index`` or a rebuild.
+
+    ``delta_root`` redirects the delta directory — e.g. a scratch
+    overlay over a shared read-only index. ``out_partitions``
+    coalesces per-epoch files for small batches (the commit_batch
+    knob)."""
+    if epoch_id < 0:
+        raise ValueError(f"epoch_id must be >= 0, got {epoch_id}")
+    spark = batch.sparkSession
+    cents = load_ivf_centroids(spark, index_path)
+    root = delta_root or index_path
+    assigned = batch.select(id_col, vec_col)
+    if out_partitions is not None:
+        assigned = assigned.coalesce(out_partitions)
+    in_schema = batch.select(id_col, vec_col).schema
+    out_schema = in_schema.add("cell", "integer").add("_cnorm", "double")
+    (assigned.mapInPandas(_cell_assigner(cents, vec_col), schema=out_schema)
+     .write.partitionBy("cell").mode("overwrite")
+     .parquet(f"{root}/deltas/epoch={epoch_id}"))
+
+
+def ivf_index_data(spark: SparkSession, index_path: str,
+                   delta_root: str | None = None) -> DataFrame:
+    """The index's data table: flat base ∪ committed upsert deltas.
+    Row-level delete/tombstone semantics are deliberately out of scope
+    (append-only corpus, the reference's ingest posture); a filter on
+    ``cell`` pushes through the union into EVERY child scan's
+    PartitionFilters, so delta generations prune exactly like the
+    base (plan-asserted in tests/test_physical_plans.py)."""
+    root = delta_root or index_path
+    df = spark.read.parquet(index_path + "/data")
+    for e in ivf_delta_epochs(spark, root):
+        df = df.unionByName(
+            spark.read.parquet(f"{root}/deltas/epoch={e}")
+            .select(*df.columns))
+    return df
+
+
+def compact_ivf_index(spark: SparkSession, src: str, dest: str,
+                      delta_root: str | None = None,
+                      nlist: int | None = None, seed: int = 42,
+                      sample_cap: int = 8192,
+                      vec_col: str = "embedding") -> None:
+    """Fold an upsert-grown IVF index (base + epoch deltas — per-epoch
+    small files after months of ingest) into a fresh single-generation
+    index at ``dest``, RETRAINING the quantizer over the merged corpus
+    (bounded sample) so cell balance recovers from quantizer drift —
+    the faiss retrain-and-add maintenance cycle. Writes a NEW
+    directory; the caller swaps pointers once complete (compact_store
+    posture). Pass ``nlist`` to resize the cell count (e.g. cells ∝ N
+    as the corpus grows — the SCALE.md recall discipline); default
+    keeps the base index's."""
+    merged = ivf_index_data(spark, src, delta_root=delta_root)
+    if nlist is None:
+        nlist = spark.read.parquet(src + "/centroids").count()
+    build_ivf_index(merged.select(merged.columns[0], vec_col), dest,
+                    nlist=int(nlist), id_col=merged.columns[0],
+                    vec_col=vec_col, seed=seed, sample_cap=sample_cap)
+
+
 def ivf_search_index(spark: SparkSession, index_path: str, queries: DataFrame,
                      k: int = 10, nprobe: int = 4,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     query_id_col: str = "query_id") -> DataFrame:
+                     query_id_col: str = "query_id",
+                     delta_root: str | None = None) -> DataFrame:
     """Top-k cosine search against a persisted IVF index.
 
     Probed cells arrive as an IN-list filter on the partition column,
     so the scan reads only nprobe directories of the index table —
-    the partition-pruning analog of an inverted-file lookup.
+    the partition-pruning analog of an inverted-file lookup. The scan
+    resolves through any committed ``upsert_ivf_index`` deltas
+    (``ivf_index_data``), so freshly-ingested vectors are searchable
+    without an index rebuild and the cell filter prunes every
+    generation alike.
     """
     cent_df = spark.read.parquet(index_path + "/centroids")
     qc = (
@@ -442,7 +562,7 @@ def ivf_search_index(spark: SparkSession, index_path: str, queries: DataFrame,
                 l2_norm(F.col("_qvec")).alias("_qnorm"), "cell")
     )
     cells = [int(r.cell) for r in probe.select("cell").distinct().collect()]
-    data = (spark.read.parquet(index_path + "/data")
+    data = (ivf_index_data(spark, index_path, delta_root=delta_root)
             .filter(F.col("cell").isin(cells)))   # -> partition pruning
     scored = (
         data.withColumn("_cvec", _as_double(F.col(vec_col)))
@@ -909,6 +1029,35 @@ def build_ivfpq_index(corpus: DataFrame, dest: str, nlist: int = 16,
     ).coalesce(1).write.mode("overwrite").parquet(dest + "/codebooks")
 
 
+def upsert_ivfpq_index(batch: DataFrame, index_path: str, epoch_id: int,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       delta_root: str | None = None,
+                       out_partitions: int | None = None) -> None:
+    """GROW a persisted IVF-PQ index by one batch — the compressed
+    twin of ``upsert_ivf_index`` (faiss ``IndexIVFPQ.add``): new
+    vectors are cell-assigned AND PQ-encoded by the index's PINNED
+    trained state (centroids + codebooks — the one encode kernel
+    ``build_ivfpq_index`` uses, so a vector's code row is identical
+    whether it arrived at build or upsert time), landing as a
+    cell-partitioned epoch delta under
+    ``{delta_root or index_path}/deltas/epoch=<n>/cell=<c>/``.
+    Replayed epochs overwrite themselves; per-batch cost ∝ batch
+    (trained state is kilobytes, the base index is never touched).
+    Codebook drift matches quantizer drift: retrain on compaction."""
+    if epoch_id < 0:
+        raise ValueError(f"epoch_id must be >= 0, got {epoch_id}")
+    spark = batch.sparkSession
+    cents = load_ivf_centroids(spark, index_path)
+    books = _load_codebooks(spark, index_path)
+    root = delta_root or index_path
+    src = batch
+    if out_partitions is not None:
+        src = src.coalesce(out_partitions)
+    (_pq_encoded(src, cents, books, id_col, vec_col)
+     .write.partitionBy("cell").mode("overwrite")
+     .parquet(f"{root}/deltas/epoch={epoch_id}"))
+
+
 def _load_codebooks(spark: SparkSession, index_path: str):
     import numpy as np
 
@@ -925,13 +1074,15 @@ def ivfpq_search_index(spark: SparkSession, index_path: str,
                        queries: DataFrame, corpus: DataFrame | None = None,
                        k: int = 10, nprobe: int = 4, refine: int = 4,
                        id_col: str = "vec_id", vec_col: str = "embedding",
-                       query_id_col: str = "query_id") -> DataFrame:
+                       query_id_col: str = "query_id",
+                       delta_root: str | None = None) -> DataFrame:
     """Top-k search against a persisted IVF-PQ index. Probed cells
     become an IN-list on the partition column (partition pruning reads
-    nprobe directories of CODE rows); ADC ranks them; with ``refine``
-    the shortlist is exactly re-ranked against ``corpus`` (the source
-    table — required when refine > 0, since the index stores no float
-    vectors)."""
+    nprobe directories of CODE rows — committed ``upsert_ivfpq_index``
+    deltas included, each pruned alike); ADC ranks them; with
+    ``refine`` the shortlist is exactly re-ranked against ``corpus``
+    (the source table — required when refine > 0, since the index
+    stores no float vectors)."""
     import numpy as np
 
     if refine and corpus is None:
@@ -945,7 +1096,7 @@ def ivfpq_search_index(spark: SparkSession, index_path: str,
 
     probe = _pq_probe(queries, cent_df, nprobe, query_id_col, vec_col)
     cells = [int(r.cell) for r in probe.select("cell").distinct().collect()]
-    data = (spark.read.parquet(index_path + "/data")
+    data = (ivf_index_data(spark, index_path, delta_root=delta_root)
             .filter(F.col("cell").isin(cells)))   # -> partition pruning
     cand = (data.join(F.broadcast(probe), "cell")
             .filter(F.col(id_col) != F.col(query_id_col))

@@ -176,6 +176,8 @@ _BNLJ_OK = {
     "docs_temperature_sample",     # 1-row min/total + total-kept scalar cross joins
     "sim_knn_join_ivf",            # bounded query x centroid cross join
     "sim_knn_join_ivfpq",          # bounded query x centroid cross join
+    "sim_knn_join_ivf_upsert",     # bounded query x centroid cross join
+    "sim_knn_join_ivfpq_upsert",   # bounded query x centroid cross join
 }
 
 
@@ -361,6 +363,23 @@ def test_knn_join_prunes_index_partitions_and_broadcasts(spark, name):
     plan = plan_of(spark, name)
     m = re.search(r"PartitionFilters: \[([^\]]*cell[^\]]*)\]", plan)
     assert m, f"no cell partition filter on the index scan:\n{plan}"
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["sim_knn_join_ivf_upsert",
+                                  "sim_knn_join_ivfpq_upsert"])
+def test_knn_join_upsert_prunes_every_generation(spark, name):
+    """The upsert kNN joins (r08): the index scan is a UNION of the
+    flat base and the committed epoch delta — the probed-cell filter
+    must push through the union into the PartitionFilters of BOTH
+    generation scans (a delta that reads all cells would silently
+    re-widen the lookup as the index grows), and the probe/batch
+    frames must broadcast."""
+    plan = plan_of(spark, name)
+    prunes = re.findall(r"PartitionFilters: \[[^\]]*cell[^\]]*\]", plan)
+    assert len(prunes) >= 2, (
+        f"cell partition filter missing on a generation scan:\n{plan}")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 

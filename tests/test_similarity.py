@@ -536,3 +536,145 @@ def test_brute_force_blocked_matches_fold_form(spark):
     cos_f = {(r.query_id, r.vec_id): r.cosine for r in fold}
     assert all(abs(cos_f[(r.query_id, r.vec_id)] - r.cosine) < 1e-6
                for r in blocked)
+
+
+def test_ivf_upsert_equals_oneshot_build_same_centroids(spark, tmp_path):
+    """The incremental-index contract (r08, the update_clusters
+    contract applied to ANN): searching base-index ∪ upserted delta
+    must return EXACTLY what a one-shot index built over base ∪ batch
+    under the SAME quantizer returns — cell assignment is
+    generation-independent (`_cell_assigner` shared), so the only
+    thing an upsert may change is WHERE rows live, never what a
+    search sees."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        build_ivf_index, ivf_search_index, load_ivf_centroids,
+        upsert_ivf_index)
+    from hackmd_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    base = emb.filter((F.col("vec_id") % 4).isin(1, 2))
+    late = emb.filter(F.col("vec_id") % 4 == 3)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    grown = str(tmp_path / "grown")
+    build_ivf_index(base, grown, nlist=8, seed=42)
+    upsert_ivf_index(late, grown, epoch_id=0)
+    got = ivf_search_index(spark, grown, queries, k=10, nprobe=4)
+
+    oneshot = str(tmp_path / "oneshot")
+    build_ivf_index(base.unionByName(late), oneshot, nlist=8,
+                    centroids=load_ivf_centroids(spark, grown))
+    want = ivf_search_index(spark, oneshot, queries, k=10, nprobe=4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_ivf_upsert_replay_and_crashed_delta_invisible(spark, tmp_path):
+    """Effectively-once upserts: a REPLAYED epoch overwrites itself
+    (no duplicate rows in the searchable set), and a crashed partial
+    delta (no _SUCCESS) is invisible to both epoch listing and
+    search until its replay commits."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        build_ivf_index, ivf_delta_epochs, ivf_index_data,
+        upsert_ivf_index)
+    from hackmd_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    base = emb.filter((F.col("vec_id") % 4).isin(1, 2))
+    late = emb.filter(F.col("vec_id") % 4 == 3)
+
+    idx = str(tmp_path / "idx")
+    build_ivf_index(base, idx, nlist=8, seed=42)
+    upsert_ivf_index(late, idx, epoch_id=0)
+    upsert_ivf_index(late, idx, epoch_id=0)  # replay
+    ids = [r.vec_id for r in ivf_index_data(spark, idx).select("vec_id").collect()]
+    assert len(ids) == len(set(ids)) == base.count() + late.count()
+
+    # a crashed epoch: files present, no _SUCCESS commit marker
+    crashed = f"{idx}/deltas/epoch=1/cell=0"
+    os.makedirs(crashed)
+    with open(f"{crashed}/part-00000.parquet", "wb") as f:
+        f.write(b"partial")
+    assert ivf_delta_epochs(spark, idx) == [0]
+
+
+def test_ivf_compact_folds_deltas_and_stays_searchable(spark, tmp_path):
+    """compact_ivf_index folds base + deltas into a fresh
+    single-generation index carrying every row exactly once, with a
+    RETRAINED quantizer; an upserted vector queried by its own
+    embedding must come back at rank 1 with cosine ~1 both before and
+    after compaction (the searchable-set-staleness probe)."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        build_ivf_index, compact_ivf_index, ivf_delta_epochs,
+        ivf_index_data, ivf_search_index, upsert_ivf_index)
+    from hackmd_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    base = emb.filter((F.col("vec_id") % 4).isin(1, 2))
+    late = emb.filter(F.col("vec_id") % 4 == 3)
+    probe = (late.orderBy("vec_id").limit(1)
+             .select(F.lit(-1).alias("query_id"), "embedding"))
+    target = late.orderBy("vec_id").first().vec_id
+
+    idx = str(tmp_path / "idx")
+    build_ivf_index(base, idx, nlist=8, seed=42)
+    upsert_ivf_index(late, idx, epoch_id=0)
+    before = ivf_search_index(spark, idx, probe, k=3, nprobe=2).collect()
+    assert before[0].vec_id == target and before[0].cosine > 0.999999
+
+    folded = str(tmp_path / "folded")
+    compact_ivf_index(spark, idx, folded)
+    ids = sorted(r.vec_id for r in
+                 ivf_index_data(spark, folded).select("vec_id").collect())
+    want = sorted(r.vec_id for r in
+                  base.select("vec_id").unionByName(late.select("vec_id")).collect())
+    assert ids == want
+    assert ivf_delta_epochs(spark, folded) == []
+    after = ivf_search_index(spark, folded, probe, k=3, nprobe=2).collect()
+    assert after[0].vec_id == target and after[0].cosine > 0.999999
+
+
+def test_ivfpq_upsert_codes_generation_independent(spark, tmp_path):
+    """The PQ twin: an upserted vector's code row must be IDENTICAL to
+    the code row a one-shot build would have written (same pinned
+    centroids + codebooks, same encode kernel), and a planted
+    near-duplicate of an upserted vector must surface it at rank 1
+    through the refined search."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        _load_codebooks, _pq_encoded, build_ivfpq_index,
+        ivfpq_search_index, load_ivf_centroids, upsert_ivfpq_index)
+    from hackmd_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    base = emb.filter((F.col("vec_id") % 4).isin(1, 2))
+    late = emb.filter(F.col("vec_id") % 4 == 3)
+
+    idx = str(tmp_path / "idx")
+    build_ivfpq_index(base, idx, nlist=8)
+    upsert_ivfpq_index(late, idx, epoch_id=0)
+
+    cents = load_ivf_centroids(spark, idx)
+    books = _load_codebooks(spark, idx)
+    want = {r.vec_id: (r.cell, tuple(r.codes)) for r in
+            _pq_encoded(late, cents, books, "vec_id", "embedding").collect()}
+    got = {r.vec_id: (int(r.cell), tuple(r.codes)) for r in
+           spark.read.parquet(idx + "/deltas/epoch=0").collect()}
+    assert got == want
+
+    probe = (late.orderBy("vec_id").limit(1)
+             .select(F.lit(-1).alias("query_id"), "embedding"))
+    target = late.orderBy("vec_id").first().vec_id
+    corpus = base.unionByName(late)
+    hit = ivfpq_search_index(spark, idx, probe, corpus=corpus, k=3,
+                             nprobe=2, refine=4).collect()
+    assert hit[0].vec_id == target and hit[0].cosine > 0.999999
