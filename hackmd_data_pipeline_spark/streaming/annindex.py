@@ -1,0 +1,113 @@
+"""Streaming ANN-index ingest: a persisted IVF index maintained
+continuously from vector drops — the retrieval-side counterpart of
+``streaming/neardup.py`` (r08).
+
+A 100 TB embedding corpus doesn't rebuild its vector index per batch:
+the index is bootstrapped ONCE (quantizer trained on the first batch's
+bounded sample, ``operators/similarity.build_ivf_index``) and every
+later micro-batch lands as a cell-partitioned epoch delta through the
+PINNED quantizer (``upsert_ivf_index`` — one pass over the batch, the
+base generation never rewritten). ``ivf_search_index`` resolves
+committed deltas, so a vector is searchable the moment its epoch
+commits — no rebuild window, no stale reads.
+
+Effectively-once side effects, the neardup-ingest discipline:
+``foreachBatch`` is at-least-once, every write is epoch-keyed
+overwrite, and a retry wipes its own epoch's partials first, so
+replays converge to the same files. Exact-id dedup is table-wide (the
+reference's ON CONFLICT DO NOTHING posture, reference
+src/core/pg_engine.py:113): ids already indexed are skipped via a
+broadcast anti-join against the index's column-pruned id read.
+
+Contract shared with ``operators/dedup_store.commit_batch``: epoch ids
+come from the stream's checkpoint, so REBOOTSTRAPPING with a fresh
+checkpoint restarts at epoch 0 — fold outstanding deltas into a fresh
+base first (``compact_ivf_index``, which retrains the quantizer and
+heals drift) and point the new stream at the folded index; its epoch 0
+then lands beside a delta-free base instead of overwriting a live
+delta generation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    build_ivf_index,
+    ivf_delta_epochs,
+    ivf_index_data,
+    upsert_ivf_index,
+)
+from ..sources.fs import fs_delete, fs_exists
+
+
+def run_ann_index_ingest(spark: SparkSession, vecs_path: str,
+                         index_path: str, checkpoint: str,
+                         nlist: int = 16, seed: int = 42,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         out_partitions: int | None = 4) -> dict[str, int]:
+    """Drain vector parquet drops into a continuously-searchable IVF
+    index. Returns ``{"indexed": n, "skipped": n}`` (skipped =
+    already-indexed ids, table-wide). Each input file is read once via
+    the checkpoint; ``trigger(availableNow=True)`` drains everything
+    pending and stops (the O-35 self-invoking loop posture)."""
+    from ..schemas import TPCH_SCHEMAS
+
+    vec_schema = TPCH_SCHEMAS["embeddings"]
+    counts = {"indexed": 0, "skipped": 0}
+
+    def handle_batch(batch: DataFrame, epoch_id: int) -> None:
+        # retry safety: wipe this epoch's own partial delta before
+        # reading index ids — a partial delta has no _SUCCESS so reads
+        # ignore it, but its files would survive the overwrite as
+        # stale cell dirs the replay's partitionBy write doesn't touch
+        fs_delete(spark, f"{index_path}/deltas/epoch={epoch_id}")
+
+        batch = batch.dropDuplicates([id_col]).persist()
+        n_in = batch.count()
+        if n_in == 0:
+            batch.unpersist()
+            return
+
+        if not fs_exists(spark, index_path + "/centroids/_SUCCESS"):
+            # bootstrap: first batch trains the quantizer and becomes
+            # the base generation
+            build_ivf_index(batch, index_path, nlist=nlist,
+                            id_col=id_col, vec_col=vec_col, seed=seed)
+            counts["indexed"] += n_in
+            batch.unpersist()
+            return
+
+        indexed_ids = (ivf_index_data(spark, index_path)
+                       .select(F.col(id_col).alias("_iid")))
+        fresh = batch.join(F.broadcast(indexed_ids),
+                           batch[id_col] == F.col("_iid"),
+                           "left_anti").persist()
+        n_fresh = fresh.count()
+        if n_fresh:
+            upsert_ivf_index(fresh, index_path, epoch_id,
+                             id_col=id_col, vec_col=vec_col,
+                             out_partitions=out_partitions)
+        counts["indexed"] += n_fresh
+        counts["skipped"] += n_in - n_fresh
+        fresh.unpersist()
+        batch.unpersist()
+
+    stream = spark.readStream.schema(vec_schema).parquet(vecs_path)
+    q = (stream.writeStream.foreachBatch(handle_batch)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return counts
+
+
+def maintenance_due(spark: SparkSession, index_path: str,
+                    max_deltas: int = 16) -> bool:
+    """True when outstanding delta generations exceed ``max_deltas`` —
+    the caller's cue to ``compact_ivf_index`` into a fresh directory
+    and swap pointers (read amplification is what accumulates; an
+    uncompacted index stays correct)."""
+    return len(ivf_delta_epochs(spark, index_path)) > max_deltas
