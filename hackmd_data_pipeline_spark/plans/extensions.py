@@ -479,6 +479,39 @@ def text_topics_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topic_scores(d, PINNED_TOPIC_TERMS).orderBy("doc_id")
 
 
+from ..operators.textmodel import (  # noqa: E402
+    PINNED_DOMAIN_WEIGHTS,
+    classifier_oracle_sql,
+    classifier_scores,
+)
+
+
+@query("text_quality_classifier",
+       oracle=classifier_oracle_sql(PINNED_DOMAIN_WEIGHTS))
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based corpus filtering with a FROZEN linear classifier
+    (r08) — the CCNet-fastText / FineWeb-Edu deployment shape: a
+    pinned model applied corpus-wide as a keep/drop gate, the
+    filtering stage every LLM data pipeline runs between dedup and
+    tokenization. The artifact
+    (operators/textmodel.py::PINNED_DOMAIN_WEIGHTS) freezes smoothed
+    log-odds (Monroe et al. 2008, Laplace prior) of each vocabulary
+    term between sf0.01's en-labeled docs and the rest as INT64
+    micro-weights, provenance-tested like PINNED_TOPIC_TERMS; scoring
+    is explode -> broadcast-join the 31-row artifact -> EXACT int64
+    sum per doc -> integer sign test, bit-identical across engines
+    (no float in the verdict path). Measured accuracy vs the lang
+    column: 0.628 at sf0.01 (majority baseline 0.564) — the synthetic
+    langs share one vocabulary, so only frequency-profile signal
+    exists; the oracle gates the scoring machinery, the planted
+    contract test pins discrimination on unambiguous inputs.
+
+    Scale: one corpus scan; constant-size broadcast; ONE shuffle on
+    doc_id with map-side partial sums. No UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    return classifier_scores(d, PINNED_DOMAIN_WEIGHTS).orderBy("doc_id")
+
+
 # ------------------------------------------------------------- multimodal
 
 
