@@ -1160,3 +1160,83 @@ def docs_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
              .otherwise("keep").alias("verdict"))
         .orderBy("source")
     )
+
+
+from ..operators.dsir import DSIR_BUCKETS, PINNED_DSIR_WEIGHTS, dsir_select  # noqa: E402
+from .oracle_helpers import xxh64_string_ctes  # noqa: E402
+
+_dsir_frag, _dsir_out = xxh64_string_ctes("dbg", "s", "s", prefix="ds")
+
+
+def _dsir_oracle(artifact: list[tuple[int, int]],
+                 keep_frac: float = 0.25,
+                 buckets: int = DSIR_BUCKETS) -> str:
+    """DuckDB restatement of dsir_select: identical split/bigram
+    construction, the bit-exact xxh64 bucket hash over DISTINCT
+    bigrams (hashed once, joined back to occurrences), exact int64
+    importance sums, IEEE int64/int64 ranking division, and the
+    running-token-budget cut. ``buckets`` divides 2**64, so DuckDB's
+    unsigned ``h % B`` equals Spark's ``pmod(xxhash64, B)``."""
+    values = ", ".join(f"({b}, {w})" for b, w in artifact)
+    return f"""
+    WITH docs AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(LOWER(TRIM(text)), '[ \\t\\n\\x0B\\f\\r]+') AS t
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ), toks AS (
+        SELECT doc_id, lang, len(t) AS n_tok, t FROM docs
+    ), bgs AS (
+        SELECT doc_id,
+               UNNEST([t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]) AS s
+        FROM toks WHERE len(t) >= 2
+    ), dbg AS MATERIALIZED (
+        SELECT DISTINCT s FROM bgs
+    ), {_dsir_frag},
+    pin(bucket, weight_micros) AS (VALUES {values}),
+    bw AS (
+        SELECT d.s, p.weight_micros
+        FROM {_dsir_out} d
+        JOIN pin p ON CAST(d.h % {buckets} AS INTEGER) = p.bucket
+    ), scored AS (
+        SELECT b.doc_id,
+               CAST(SUM(w.weight_micros) AS BIGINT) AS importance_micros,
+               COUNT(*) AS n_bg
+        FROM bgs b JOIN bw w USING (s) GROUP BY b.doc_id
+    ), ranked AS (
+        SELECT t.lang, t.n_tok, s.importance_micros,
+               SUM(t.n_tok) OVER (ORDER BY s.importance_micros / s.n_bg DESC,
+                                  t.doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum_tok,
+               SUM(t.n_tok) OVER () AS total_tok
+        FROM scored s JOIN toks t USING (doc_id)
+    )
+    SELECT lang, COUNT(*) AS n_docs_selected,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_selected,
+           CAST(SUM(importance_micros) AS BIGINT) AS importance_sum
+    FROM ranked WHERE cum_tok - n_tok < {keep_frac} * total_tok
+    GROUP BY lang ORDER BY lang
+    """
+
+
+@query("docs_dsir_select", oracle=_dsir_oracle(PINNED_DSIR_WEIGHTS))
+def docs_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance selection (Xie et al. 2023,
+    arXiv:2302.03169; r08): per-doc importance = exact int64 sum of
+    PINNED hashed-bigram bucket log-ratios (target = en-labeled
+    sf0.01 docs vs the raw corpus, 256 xxhash64 buckets — the frozen
+    artifact in operators/dsir.py, provenance-tested), then a
+    token-budget selection keeping the highest importance-per-bigram
+    prefix (25% of scored tokens) via the factored distributed prefix
+    sum — the informed-sampling counterpart of the heuristic
+    docs_token_budget_select. Per-lang selection profile out; the
+    oracle restates the ENTIRE pipeline bit-exactly, xxh64 bucketing
+    included.
+
+    Scale: one corpus scan -> bigram explode (JVM codegen) ->
+    constant 248-row broadcast -> ONE shuffle on doc_id; selection
+    adds the prefix-sum's range exchange. No UDF, no float in the
+    importance path (the ranking division is IEEE-identical on both
+    engines)."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim("text")) > 0)
+    return dsir_select(d, PINNED_DSIR_WEIGHTS, keep_frac=0.25)

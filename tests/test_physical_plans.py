@@ -161,6 +161,7 @@ _BNLJ_OK = {
     "customer_rfm_segments",     # 1-row percentile-cut-points cross join
     "orders_pareto_customers",   # 1-row totals scalar cross join
     "docs_token_budget_select",  # 1-row totals scalar cross join (prefix op)
+    "docs_dsir_select",          # 1-row totals scalar cross join (prefix op)
     "events_equidepth_histogram",  # 1-row decile-cuts scalar cross join
     "graph_triangle_stats",        # 1-row scalar-aggregate cross joins
     "docs_lm_perplexity",          # 1-row vocab-size scalar cross join
@@ -204,6 +205,7 @@ _GLOBAL_WINDOW_OK = {
     "docs_zipf_rank_frequency",   # input capped at 30 rows by TakeOrderedAndProject
     "orders_pareto_customers",    # offsets window over <= defaultParallelism stats rows
     "docs_token_budget_select",   # same bounded offsets window (prefix op)
+    "docs_dsir_select",           # same bounded offsets window (prefix op)
 }
 
 
