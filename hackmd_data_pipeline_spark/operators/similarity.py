@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _as_double(col: Column) -> Column:
@@ -422,6 +423,13 @@ def build_ivf_index(corpus: DataFrame, dest: str, nlist: int = 16,
     out_schema = in_schema.add("cell", "integer").add("_cnorm", "double")
     (corpus.select(id_col, vec_col)
      .mapInPandas(_cell_assigner(cents, vec_col), schema=out_schema)
+     # one shuffle on cell at build time buys ONE file per cell dir
+     # forever after: without it every write task emits a fragment
+     # into every cell it touches (~2.5 files/cell measured at the
+     # 100x sweep), and the probed-cell scan pays the per-file open
+     # cost on every search (r08 — the compact_store small-files
+     # lesson applied at write time)
+     .repartition(F.col("cell"))
      .write.partitionBy("cell").mode("overwrite").parquet(dest + "/data"))
 
     spark = corpus.sparkSession
@@ -534,6 +542,54 @@ def compact_ivf_index(spark: SparkSession, src: str, dest: str,
                     vec_col=vec_col, seed=seed, sample_cap=sample_cap)
 
 
+def probe_cells(queries: DataFrame, cents, nprobe: int,
+                query_id_col: str = "query_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """nprobe nearest cells per query as ``query_id | _qvec | _qnorm |
+    cell`` (nprobe rows per query), via ONE vectorized mapInPandas
+    pass — a batch x nlist matmul per Arrow batch against the
+    kilobyte centroid array.
+
+    This replaces the relational query x centroid cross join + window
+    the index search paths used through r08: at cells ∝ N discipline
+    that join materializes |queries| x nlist rows with a per-row
+    array fold (measured 12 s for 500 queries x 1600 cells at the
+    100x sweep — PAID TWICE, once for the pruning collect and once in
+    the join), while the matmul is ~50M flops. Tie-break matches the
+    old window exactly: cosine DESC, cell ASC (stable argsort)."""
+    import numpy as np
+    import pandas as pd
+
+    k_eff = min(nprobe, len(cents))
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray([np.asarray(v, dtype=np.float64)
+                            for v in pdf[vec_col]])
+            norms = np.linalg.norm(m, axis=1)
+            unit = m / np.maximum(norms[:, None], 1e-12)
+            cnorm = np.maximum(np.linalg.norm(cents, axis=1), 1e-12)
+            cos = (unit @ cents.T) / cnorm[None, :]
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :k_eff]
+            nq = len(pdf)
+            yield pd.DataFrame({
+                query_id_col: pdf[query_id_col].to_numpy().repeat(k_eff),
+                "_qvec": [list(v) for v in m.repeat(k_eff, axis=0)],
+                "_qnorm": norms.repeat(k_eff),
+                "cell": top.reshape(nq * k_eff).astype(np.int32),
+            })
+
+    id_field = queries.schema[query_id_col]
+    schema = (T.StructType([id_field])
+              .add("_qvec", T.ArrayType(T.DoubleType()))
+              .add("_qnorm", T.DoubleType())
+              .add("cell", T.IntegerType()))
+    return queries.select(query_id_col, vec_col).mapInPandas(
+        probe, schema=schema)
+
+
 def ivf_search_index(spark: SparkSession, index_path: str, queries: DataFrame,
                      k: int = 10, nprobe: int = 4,
                      id_col: str = "vec_id", vec_col: str = "embedding",
@@ -547,20 +603,14 @@ def ivf_search_index(spark: SparkSession, index_path: str, queries: DataFrame,
     resolves through any committed ``upsert_ivf_index`` deltas
     (``ivf_index_data``), so freshly-ingested vectors are searchable
     without an index rebuild and the cell filter prunes every
-    generation alike.
+    generation alike. The probe is the vectorized matmul kernel
+    (``probe_cells``), MATERIALIZED once (localCheckpoint) so the
+    pruning collect and the candidate join share it instead of
+    recomputing the batch x centroid pass twice.
     """
-    cent_df = spark.read.parquet(index_path + "/centroids")
-    qc = (
-        queries.select(query_id_col, F.col(vec_col).alias("_qvec"))
-        .crossJoin(F.broadcast(cent_df))
-        .withColumn("_ccos", cosine(F.col("_qvec"), F.col("centroid")))
-    )
-    wq = W.partitionBy(query_id_col).orderBy(F.col("_ccos").desc(), F.col("cell"))
-    probe = (
-        qc.withColumn("_r", F.row_number().over(wq)).filter(F.col("_r") <= nprobe)
-        .select(query_id_col, _as_double(F.col("_qvec")).alias("_qvec"),
-                l2_norm(F.col("_qvec")).alias("_qnorm"), "cell")
-    )
+    cents = load_ivf_centroids(spark, index_path)
+    probe = probe_cells(queries, cents, nprobe, query_id_col,
+                        vec_col).localCheckpoint(eager=True)
     cells = [int(r.cell) for r in probe.select("cell").distinct().collect()]
     data = (ivf_index_data(spark, index_path, delta_root=delta_root)
             .filter(F.col("cell").isin(cells)))   # -> partition pruning
@@ -1017,6 +1067,8 @@ def build_ivfpq_index(corpus: DataFrame, dest: str, nlist: int = 16,
     books = _train_pq_books(sample, cents, m_sub, nbits, seed=seed)
 
     (_pq_encoded(corpus, cents, books, id_col, vec_col)
+     # one file per cell dir (the build_ivf_index layout rationale)
+     .repartition(F.col("cell"))
      .write.partitionBy("cell").mode("overwrite").parquet(dest + "/data"))
 
     spark = corpus.sparkSession
@@ -1082,19 +1134,16 @@ def ivfpq_search_index(spark: SparkSession, index_path: str,
     deltas included, each pruned alike); ADC ranks them; with
     ``refine`` the shortlist is exactly re-ranked against ``corpus``
     (the source table — required when refine > 0, since the index
-    stores no float vectors)."""
-    import numpy as np
-
+    stores no float vectors). The probe is the materialized matmul
+    kernel (``probe_cells`` — the ivf_search_index rationale)."""
     if refine and corpus is None:
         raise ValueError("refine > 0 needs the source corpus to re-rank "
                          "against (the PQ index stores codes only)")
-    cent_df = spark.read.parquet(index_path + "/centroids")
-    cents = np.asarray(
-        [r.centroid for r in sorted(cent_df.collect(), key=lambda r: r.cell)],
-        dtype=np.float64)
+    cents = load_ivf_centroids(spark, index_path)
     books = _load_codebooks(spark, index_path)
 
-    probe = _pq_probe(queries, cent_df, nprobe, query_id_col, vec_col)
+    probe = probe_cells(queries, cents, nprobe, query_id_col,
+                        vec_col).localCheckpoint(eager=True)
     cells = [int(r.cell) for r in probe.select("cell").distinct().collect()]
     data = (ivf_index_data(spark, index_path, delta_root=delta_root)
             .filter(F.col("cell").isin(cells)))   # -> partition pruning

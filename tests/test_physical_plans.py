@@ -175,10 +175,10 @@ _BNLJ_OK = {
     "agg_cms_heavy_hitters",       # 1-row token-total scalar cross join (r05)
     "sim_ann_ivfpq_recall",        # bounded query x centroid cross join (r05)
     "docs_temperature_sample",     # 1-row min/total + total-kept scalar cross joins
-    "sim_knn_join_ivf",            # bounded query x centroid cross join
-    "sim_knn_join_ivfpq",          # bounded query x centroid cross join
-    "sim_knn_join_ivf_upsert",     # bounded query x centroid cross join
-    "sim_knn_join_ivfpq_upsert",   # bounded query x centroid cross join
+    "sim_knn_join_ivf",            # 1-row corpus-recall scalar cross join
+    "sim_knn_join_ivfpq",          # 1-row corpus-recall scalar cross join
+    "sim_knn_join_ivf_upsert",     # 1-row corpus-recall scalar cross join
+    "sim_knn_join_ivfpq_upsert",   # 1-row corpus-recall scalar cross join
 }
 
 
