@@ -172,22 +172,62 @@ def compact_store(spark: SparkSession, src: str, dest: str,
 
     Accepts the flat ``build_dedup_store`` layout too (no ``epoch``
     column — already one generation; the rewrite just resizes files).
-    Returns before/after file stats per table."""
+    ``remove_docs`` tombstones are honored PHYSICALLY here: deleted
+    ids' rows are dropped from the folded generation and the fresh
+    store starts tombstone-free (readers were already excluding them
+    logically; this is where the bytes actually leave disk — the
+    right-to-be-forgotten completion step). Returns before/after file
+    stats per table."""
     import math
 
     from .maintenance import table_file_stats
 
+    dead = load_tombstones(spark, src)
     out: dict = {}
     for table in ("shingles", "signatures"):
         before = table_file_stats(spark, f"{src}/{table}")
         df = spark.read.parquet(f"{src}/{table}")
         cols = [c for c in df.columns if c != "epoch"]
+        df = df.select(*cols)
+        if dead is not None:
+            df = df.join(
+                F.broadcast(dead.select(F.col("id").alias(cols[0]))),
+                cols[0], "left_anti")
         n_files = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
-        (df.select(*cols).coalesce(n_files)
+        (df.coalesce(n_files)
          .write.mode("overwrite").parquet(f"{dest}/{table}/epoch=-1"))
         out[table] = {"before": before,
                       "after": table_file_stats(spark, f"{dest}/{table}")}
     return out
+
+
+def _tombstone_seqs(spark: SparkSession, root: str) -> list[int]:
+    """COMMITTED deletion generations under ``root/tombstones``
+    (_SUCCESS marker — the delta-read discipline everywhere else)."""
+    from ..sources.fs import fs_exists, fs_list_dirs
+
+    return sorted(
+        int(n.split("=", 1)[1])
+        for n in fs_list_dirs(spark, root + "/tombstones")
+        if n.startswith("seq=")
+        and fs_exists(spark, f"{root}/tombstones/{n}/_SUCCESS"))
+
+
+def load_tombstones(spark: SparkSession, dest: str,
+                    delta_root: str | None = None) -> DataFrame | None:
+    """All deleted ids (``id`` column), or None when no deletion has
+    ever been committed — callers skip the anti-join entirely in the
+    no-deletes case, so the hot paths pay nothing until the first
+    ``remove_docs``."""
+    root = delta_root or dest
+    seqs = _tombstone_seqs(spark, root)
+    if not seqs:
+        return None
+    df = spark.read.parquet(f"{root}/tombstones/seq={seqs[0]}")
+    for s in seqs[1:]:
+        df = df.unionByName(
+            spark.read.parquet(f"{root}/tombstones/seq={s}"))
+    return df.select("id").distinct()
 
 
 def load_pairs(spark: SparkSession, dest: str,
@@ -195,9 +235,13 @@ def load_pairs(spark: SparkSession, dest: str,
     """Verified near-dup pairs from a built store: the flat
     ``build_dedup_store`` output plus any ``update_clusters`` pair
     deltas — together the COMPLETE persisted pair set (the invariant
-    ``clusters == CC(load_pairs)`` that update_clusters maintains).
-    Read via explicit per-directory unions because Spark's partition
-    discovery rejects mixing the flat layout with epoch subdirs."""
+    ``clusters == CC(load_pairs)`` that update_clusters and
+    remove_docs maintain), MINUS any pair touching a tombstoned id
+    (a deleted doc's content must stop influencing resolution the
+    moment its tombstone commits, before compaction physically drops
+    its rows). Read via explicit per-directory unions because Spark's
+    partition discovery rejects mixing the flat layout with epoch
+    subdirs."""
     from ..sources.fs import fs_exists, fs_list_dirs
 
     root = delta_root or dest
@@ -218,6 +262,14 @@ def load_pairs(spark: SparkSession, dest: str,
     df = parts[0]
     for p in parts[1:]:
         df = df.unionByName(p)
+    dead = load_tombstones(spark, dest, delta_root=root)
+    if dead is not None:
+        da = dead.select(F.col("id").alias("_dead_a"))
+        db = dead.select(F.col("id").alias("_dead_b"))
+        df = (df.join(F.broadcast(da),
+                      F.col("id_a") == F.col("_dead_a"), "left_anti")
+              .join(F.broadcast(db),
+                    F.col("id_b") == F.col("_dead_b"), "left_anti"))
     return df
 
 
@@ -244,10 +296,15 @@ def _cluster_delta_seqs(spark: SparkSession, root: str) -> list[int]:
 def load_clusters(spark: SparkSession, dest: str,
                   delta_root: str | None = None) -> DataFrame:
     """``id | cluster_id`` connected components from a built store,
-    RESOLVED against any incremental ``update_clusters`` deltas: the
-    latest delta assignment wins per id (deltas are full recomputes of
-    their touched subgraph, so later always supersedes earlier; the
-    flat base is oldest). With no deltas this is a plain read — the
+    RESOLVED against any incremental ``update_clusters`` /
+    ``remove_docs`` deltas: the latest delta assignment wins per id
+    (deltas are full recomputes of their touched subgraph, so later
+    always supersedes earlier; the flat base is oldest), and rows
+    whose latest assignment is the RETIREMENT sentinel (cluster_id =
+    -1, written by remove_docs for deleted ids and members that lost
+    their last pair) are dropped after resolution — deletion
+    visibility rides the same overlay machinery as merges, no extra
+    tombstone scan here. With no deltas this is a plain read — the
     per-id window shuffle is only paid while deltas are outstanding,
     and ``compact_clusters`` folds them away."""
     from pyspark.sql import Window as W
@@ -272,7 +329,9 @@ def load_clusters(spark: SparkSession, dest: str,
             .select("id", "cluster_id", F.lit(s).alias("_seq")))
     w = W.partitionBy("id").orderBy(F.col("_seq").desc())
     return (df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1).select("id", "cluster_id"))
+            .filter(F.col("_rn") == 1)
+            .filter(F.col("cluster_id") >= 0)
+            .select("id", "cluster_id"))
 
 
 def incremental_pairs(new_docs: DataFrame, dest: str,
@@ -306,14 +365,26 @@ def incremental_pairs(new_docs: DataFrame, dest: str,
     sh_new = hashed_shingle_table(new_docs, id_col, text_col, shingle_n)
     sig_new = minhash_signatures_from(sh_new, id_col, num_hashes)
 
+    def live(df: DataFrame) -> DataFrame:
+        # a remove_docs tombstone excludes the deleted docs' content
+        # from ingest matching immediately (compact_store later drops
+        # the rows physically); no-op until the first deletion
+        dead = load_tombstones(spark, dest)
+        if dead is None:
+            return df
+        return df.join(
+            F.broadcast(dead.select(F.col("id").alias(id_col))),
+            id_col, "left_anti")
+
     # project to the logical schema: a store written by the streaming
     # ingest is epoch-partitioned (.../epoch=N) and carries an extra
     # partition column the flat layout doesn't have
-    sh_all = (spark.read.parquet(dest + "/shingles")
-              .select(*sh_new.columns).unionByName(sh_new))
+    sh_all = (live(spark.read.parquet(dest + "/shingles")
+                   .select(*sh_new.columns)).unionByName(sh_new))
     buckets_new = band_buckets(sig_new, id_col, num_hashes, bands)
     buckets_all = band_buckets(
-        spark.read.parquet(dest + "/signatures").select(*sig_new.columns),
+        live(spark.read.parquet(dest + "/signatures")
+             .select(*sig_new.columns)),
         id_col, num_hashes, bands
     ).unionByName(buckets_new)
 
@@ -385,6 +456,18 @@ def update_clusters(new_pairs: DataFrame, dest: str, epoch_id: int,
         f"{root}/pair_deltas/epoch={epoch_id}")
     p = (spark.read.parquet(f"{root}/pair_deltas/epoch={epoch_id}")
          .select("id_a", "id_b"))
+    dead = load_tombstones(spark, dest, delta_root=root)
+    if dead is not None:
+        # a late pair referencing a remove_docs-deleted id must not
+        # resurrect it into the overlay: load_pairs drops such pairs,
+        # so the subgraph recompute must too (invariant symmetry; the
+        # ingest path can emit one if a deleted id is reused)
+        da = dead.select(F.col("id").alias("_dead_a"))
+        db = dead.select(F.col("id").alias("_dead_b"))
+        p = (p.join(F.broadcast(da),
+                    F.col("id_a") == F.col("_dead_a"), "left_anti")
+             .join(F.broadcast(db),
+                   F.col("id_b") == F.col("_dead_b"), "left_anti"))
 
     base = load_clusters(spark, dest, delta_root=root)
     nodes = (p.select(F.col("id_a").alias("id"))
@@ -403,6 +486,87 @@ def update_clusters(new_pairs: DataFrame, dest: str, epoch_id: int,
     delta = spark.read.parquet(f"{root}/cluster_deltas/seq={nxt}")
     return {"epoch": epoch_id, "seq": nxt,
             "n_reassigned": delta.count()}
+
+
+def remove_docs(ids: DataFrame, dest: str,
+                delta_root: str | None = None) -> dict:
+    """DELETE documents from the persisted store with incremental
+    cluster REPAIR (r08) — the right-to-be-forgotten lifecycle a
+    compliance-bound 100 TB corpus needs: after this, the deleted
+    docs' content influences nothing (pairs, clusters, incremental
+    ingest matching), without rebuilding any stage.
+
+    Deletion is the asymmetric twin of ``update_clusters``: new EDGES
+    can only MERGE components, so the merge path may compress old
+    connectivity into star edges — but removing a node can SPLIT its
+    component (the node may be the only bridge between two halves),
+    so the repair must recompute touched components from their TRUE
+    surviving pairs, never from stars:
+
+      1. the deleted ids land as a ``tombstones/seq=<n>`` delta —
+         from this commit on, ``load_pairs`` drops every pair
+         touching them and ``incremental_pairs`` stops matching new
+         batches against their signatures/shingles (content exclusion
+         precedes physical removal; ``compact_store`` does the
+         physical drop);
+      2. TOUCHED components = resolved clusters containing a deleted
+         id (broadcast semi-join — the store streams);
+      3. min-label CC reruns on the touched components' SURVIVING
+         pair subgraph (``load_pairs`` semi-joined to the touched
+         membership — already tombstone-filtered);
+      4. the overlay writes the new labels PLUS a retirement sentinel
+         (cluster_id = -1) for every previous member absent from the
+         recomputation — the deleted ids and any survivor that lost
+         its last pair (cluster tables carry only paired docs, so a
+         newly-pairless doc must LEAVE the table, which a
+         latest-per-id overlay can only express as a sentinel row);
+         ``load_clusters`` drops sentinel rows after resolution.
+
+    Cost ∝ touched components + tombstone set, not store size. The
+    invariant ``load_clusters == CC(load_pairs)`` holds after every
+    delete, exactly as after every merge (hash-gated by the
+    ``dedup_store_delete`` registry entry against the recursive-CTE
+    closure over the surviving pair set; the split/hub/singleton
+    edge cases are pinned in tests/test_dedup_store.py).
+
+    Precondition: the clusters stage is CURRENT (every prior pair
+    delta merged via update_clusters) — the repair trusts resolved
+    membership to bound the subgraph."""
+    from .dedup import dedup_clusters
+
+    spark = ids.sparkSession
+    root = delta_root or dest
+    dead_in = (ids.select(F.col(ids.columns[0]).cast("long").alias("id"))
+               .distinct())
+    tseqs = _tombstone_seqs(spark, root)
+    nxt_t = (tseqs[-1] + 1) if tseqs else 0
+    dead_in.coalesce(1).write.mode("overwrite").parquet(
+        f"{root}/tombstones/seq={nxt_t}")
+    dead = spark.read.parquet(f"{root}/tombstones/seq={nxt_t}")
+
+    base = load_clusters(spark, dest, delta_root=root)
+    touched = (base.join(F.broadcast(dead), "id", "left_semi")
+               .select("cluster_id").distinct())
+    members = base.join(F.broadcast(touched), "cluster_id", "left_semi")
+    mem_ids = members.select("id")
+    p = load_pairs(spark, dest, delta_root=root).select("id_a", "id_b")
+    # pairs live inside components, so one-sided membership suffices
+    sub_pairs = p.join(F.broadcast(mem_ids.select(F.col("id").alias("id_a"))),
+                       "id_a", "left_semi")
+    sub = dedup_clusters(sub_pairs)
+    retired = (mem_ids.join(sub.select("id"), "id", "left_anti")
+               .select("id", F.lit(-1).cast("long").alias("cluster_id")))
+    overlay = sub.unionByName(retired)
+
+    seqs = _cluster_delta_seqs(spark, root)
+    nxt = (seqs[-1] + 1) if seqs else 0
+    overlay.write.mode("overwrite").parquet(
+        f"{root}/cluster_deltas/seq={nxt}")
+    delta = spark.read.parquet(f"{root}/cluster_deltas/seq={nxt}")
+    return {"tombstone_seq": nxt_t, "seq": nxt,
+            "n_deleted": dead.count(),
+            "n_relabeled": delta.filter(F.col("cluster_id") >= 0).count(),
+            "n_retired": delta.filter(F.col("cluster_id") < 0).count()}
 
 
 def compact_clusters(spark: SparkSession, src: str, dest: str,

@@ -552,11 +552,18 @@ def minhash_lsh_oracle(shingle_n: int = 3, num_hashes: int = 16,
             + "\nSELECT id_a, id_b, jaccard FROM mh_pairs ORDER BY id_a, id_b")
 
 
-def minhash_cluster_oracle(threshold: float = 0.5) -> str:
+def minhash_cluster_oracle(threshold: float = 0.5,
+                           exclude: str | None = None) -> str:
     """dedup_cluster_resolve's oracle: the SAME value-checked LSH pair
     pipeline at the resolve threshold, closed transitively with a
     recursive CTE and labeled with each component's minimum id — the
     DuckDB twin of pairs -> dedup_clusters -> canonical flag.
+
+    ``exclude`` (a predicate template over one id, e.g.
+    ``"{x} % 10 = 3"``) drops every pair with a matching endpoint
+    BEFORE the closure — the from-scratch restatement of
+    remove_docs' tombstone semantics: clustering over the surviving
+    pair set, deleted docs influencing nothing.
 
     The pair pipeline MUST be pinned ``AS MATERIALIZED``: under
     ``WITH RECURSIVE`` DuckDB inlines plain CTEs, so the recursive
@@ -564,10 +571,14 @@ def minhash_cluster_oracle(threshold: float = 0.5) -> str:
     fixpoint iteration — observed as an unbounded-memory blowup at
     sf0.01 (the inline form OOM'd a 125 GB host; the materialized
     form runs in ~30 s / <2 GB)."""
+    where = ""
+    if exclude is not None:
+        where = (f" WHERE NOT ({exclude.format(x='id_a')})"
+                 f" AND NOT ({exclude.format(x='id_b')})")
     return ("WITH RECURSIVE pairs AS MATERIALIZED (WITH "
-            + minhash_pairs_ctes(threshold=threshold) + """
-    SELECT id_a, id_b FROM mh_pairs
-    ),
+            + minhash_pairs_ctes(threshold=threshold) + f"""
+    SELECT id_a, id_b FROM mh_pairs{where}
+    ),""" + """
     edges AS MATERIALIZED (
         SELECT id_a AS src, id_b AS dst FROM pairs
         UNION

@@ -400,6 +400,41 @@ def dedup_cluster_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolve_from_store(spark, store, delta_root=overlay)
 
 
+@query("dedup_store_delete",
+       oracle=_cluster_oracle(threshold=0.3, exclude="{x} % 10 = 3"))
+def dedup_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten DELETION from the persisted store with
+    incremental cluster REPAIR (r08 — the missing half of the
+    update_clusters lifecycle): docs with doc_id % 10 == 3 are removed
+    via operators/dedup_store.py::remove_docs — tombstone delta, then
+    min-label CC rerun on the touched components' SURVIVING true
+    pairs only (deletes can SPLIT a component, so the merge path's
+    star-edge compression is invalid here), landing as a retirement-
+    aware overlay. resolve_from_store then serves verdicts in which
+    the deleted docs influence nothing.
+
+    The oracle is the from-scratch restatement: the recursive-CTE
+    closure over the full-corpus LSH pair set at the same threshold
+    MINUS every pair touching a deleted id — the incremental repair
+    must equal it exactly (the update_clusters contract, extended to
+    deletion). The full-corpus store is the shared rename-published
+    warm artifact; the tombstone + overlay land in a pid-keyed WIPED
+    scratch root, so the shared store is never written after
+    publication. Cost ∝ touched components + tombstones, not store
+    size."""
+    from ..operators.dedup_store import remove_docs, resolve_from_store
+
+    d = load_table(spark, sf_dir, "documents")
+    store = _store_cache_path(sf_dir, "warmall")
+    _ensure_warm_store(d, store, jaccard_threshold=0.3,
+                       through="clusters")
+    overlay = _store_cache_path(sf_dir, "del")
+    shutil.rmtree(overlay, ignore_errors=True)
+    dead = d.filter(F.col("doc_id") % 10 == 3).select("doc_id")
+    remove_docs(dead, store, delta_root=overlay)
+    return resolve_from_store(spark, store, delta_root=overlay)
+
+
 from .oracle_helpers import simhash_oracle  # noqa: E402
 
 

@@ -362,3 +362,132 @@ def test_partial_cluster_delta_is_ignored_then_overwritten(spark, tmp_path):
     assert stats["seq"] == 0
     assert _resolved(spark, dest) == {(1, 1), (2, 1), (10, 1), (11, 1)}
     assert os.path.exists(dest + "/cluster_deltas/seq=0/_SUCCESS")
+
+
+# ----------------------------------------------------- deletion (r08)
+
+
+def _seed_pairs(spark, dest, pairs):
+    """Bootstrap a store purely from an explicit pair list (the
+    overlay-only store shape update_clusters supports), for precise
+    structural control over components."""
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        update_clusters)
+
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    update_clusters(pdf, dest, epoch_id=0)
+
+
+def test_remove_docs_bridge_delete_splits_component(spark, tmp_path):
+    """Deleting the only bridge node must SPLIT its component — the
+    case the merge path's star-edge compression cannot express (stars
+    preserve connectivity through the hub; the true-pair recompute is
+    what makes deletion correct). Chain 1-2-3: deleting 2 leaves 1
+    and 3 pairless, so BOTH leave the cluster table entirely."""
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        load_pairs, remove_docs)
+
+    dest = str(tmp_path / "store")
+    _seed_pairs(spark, dest, [(1, 2), (2, 3)])
+    assert _resolved(spark, dest) == {(1, 1), (2, 1), (3, 1)}
+
+    out = remove_docs(spark.createDataFrame([(2,)], "id long"), dest)
+    assert out["n_deleted"] == 1 and out["n_retired"] == 3
+    assert _resolved(spark, dest) == set()
+    # invariant: the resolved view equals CC over the surviving pairs
+    assert load_pairs(spark, dest).count() == 0
+
+
+def test_remove_docs_hub_delete_relabels_survivors(spark, tmp_path):
+    """Deleting the cluster's minimum id (its label): the surviving
+    triangle members must re-label under the new minimum, and an
+    UNTOUCHED component must keep its rows exactly."""
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        remove_docs)
+
+    dest = str(tmp_path / "store")
+    _seed_pairs(spark, dest, [(1, 2), (1, 3), (2, 3), (10, 11)])
+    assert _resolved(spark, dest) == {(1, 1), (2, 1), (3, 1),
+                                      (10, 10), (11, 10)}
+    out = remove_docs(spark.createDataFrame([(1,)], "id long"), dest)
+    assert out["n_relabeled"] == 2 and out["n_retired"] == 1
+    assert _resolved(spark, dest) == {(2, 2), (3, 2), (10, 10), (11, 10)}
+
+
+def test_remove_docs_whole_cluster_and_pairless_id(spark, tmp_path):
+    """Deleting every member of a cluster retires it; deleting an id
+    the store never paired is a tombstone-only no-op for clusters."""
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        remove_docs)
+
+    dest = str(tmp_path / "store")
+    _seed_pairs(spark, dest, [(1, 2), (10, 11)])
+    out = remove_docs(spark.createDataFrame([(1,), (2,), (99,)], "id long"),
+                      dest)
+    assert out["n_deleted"] == 3
+    assert out["n_relabeled"] == 0 and out["n_retired"] == 2
+    assert _resolved(spark, dest) == {(10, 10), (11, 10)}
+
+
+def test_remove_docs_invariant_under_interleaved_lifecycle(spark, tmp_path):
+    """merge -> delete -> merge: after every step the resolved view
+    must equal from-scratch CC over load_pairs (the never-stale
+    contract extended to deletion), including a late pair that
+    references a deleted id (must not resurrect it)."""
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        load_pairs, remove_docs, update_clusters)
+
+    dest = str(tmp_path / "store")
+    _seed_pairs(spark, dest, [(1, 2), (2, 3), (10, 11)])
+
+    def check(step):
+        expect = _scratch(load_pairs(spark, dest).select("id_a", "id_b"))
+        assert _resolved(spark, dest) == expect, step
+
+    update_clusters(spark.createDataFrame([(3, 4)], "id_a long, id_b long"),
+                    dest, epoch_id=1)
+    check("merge")
+    remove_docs(spark.createDataFrame([(2,)], "id long"), dest)
+    check("delete")                      # 1 retired; {3,4} survives split
+    assert _resolved(spark, dest) == {(3, 3), (4, 3), (10, 10), (11, 10)}
+    # a late pair referencing the deleted id must NOT resurrect it
+    update_clusters(spark.createDataFrame([(2, 10)], "id_a long, id_b long"),
+                    dest, epoch_id=2)
+    check("late-pair-vs-deleted")
+    assert _resolved(spark, dest) == {(3, 3), (4, 3), (10, 10), (11, 10)}
+    update_clusters(spark.createDataFrame([(4, 10)], "id_a long, id_b long"),
+                    dest, epoch_id=3)
+    check("merge-after-delete")
+    assert _resolved(spark, dest) == {(3, 3), (4, 3), (10, 3), (11, 3)}
+
+
+def test_remove_docs_excludes_content_from_ingest_and_compaction(
+        spark, tmp_path):
+    """After remove_docs: incremental_pairs must stop matching new
+    batches against the deleted doc's signatures (content exclusion
+    is immediate), and compact_store must drop its rows physically
+    (the folded store carries no trace)."""
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        build_dedup_store, compact_store, incremental_pairs, remove_docs)
+
+    d = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    stored = d.filter(F.col("doc_id") < 100)
+    dest = str(tmp_path / "store")
+    build_dedup_store(stored, dest, jaccard_threshold=0.3)
+
+    clone = (stored.filter(F.col("doc_id") == 5)
+             .withColumn("doc_id", F.lit(1_000_000).cast("long")))
+    before = incremental_pairs(clone, dest, jaccard_threshold=0.3).collect()
+    assert any({r.id_a, r.id_b} == {5, 1_000_000} for r in before)
+
+    remove_docs(spark.createDataFrame([(5,)], "id long"), dest)
+    after = incremental_pairs(clone, dest, jaccard_threshold=0.3).collect()
+    assert not any(5 in (r.id_a, r.id_b) for r in after)
+
+    folded = str(tmp_path / "folded")
+    compact_store(spark, dest, folded)
+    for table in ("shingles", "signatures"):
+        ids = {r.doc_id for r in
+               spark.read.parquet(f"{folded}/{table}").collect()}
+        assert 5 not in ids
+        assert 6 in ids  # neighbors survive
