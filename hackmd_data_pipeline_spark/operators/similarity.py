@@ -503,20 +503,66 @@ def upsert_ivf_index(batch: DataFrame, index_path: str, epoch_id: int,
      .parquet(f"{root}/deltas/epoch={epoch_id}"))
 
 
+def ivf_tombstone_seqs(spark: SparkSession, root: str) -> list[int]:
+    """COMMITTED deletion generations under ``root/tombstones``
+    (_SUCCESS marker — the committed-delta discipline)."""
+    from ..sources.fs import fs_exists, fs_list_dirs
+
+    return sorted(
+        int(n.split("=", 1)[1])
+        for n in fs_list_dirs(spark, root + "/tombstones")
+        if n.startswith("seq=")
+        and fs_exists(spark, f"{root}/tombstones/{n}/_SUCCESS"))
+
+
+def remove_vectors(ids: DataFrame, index_path: str,
+                   delta_root: str | None = None,
+                   id_col: str = "vec_id") -> int:
+    """DELETE vectors from a persisted IVF / IVF-PQ index — the
+    right-to-be-forgotten twin of ``dedup_store.remove_docs`` for the
+    retrieval surface: ids land as a committed ``tombstones/seq=<n>``
+    delta, ``ivf_index_data`` (and therefore every search) excludes
+    them immediately, and the next ``compact_ivf_index`` drops their
+    rows physically (a compacted index starts tombstone-free).
+    Returns the deleted-id count. Caveat shared with remove_docs:
+    re-adding a previously-deleted id is undefined until a compaction
+    separates the generations (readers exclude by id, so a re-added
+    row would be hidden too)."""
+    spark = ids.sparkSession
+    root = delta_root or index_path
+    dead = (ids.select(F.col(ids.columns[0]).cast("long").alias(id_col))
+            .distinct())
+    seqs = ivf_tombstone_seqs(spark, root)
+    nxt = (seqs[-1] + 1) if seqs else 0
+    dead.coalesce(1).write.mode("overwrite").parquet(
+        f"{root}/tombstones/seq={nxt}")
+    return spark.read.parquet(f"{root}/tombstones/seq={nxt}").count()
+
+
 def ivf_index_data(spark: SparkSession, index_path: str,
                    delta_root: str | None = None) -> DataFrame:
-    """The index's data table: flat base ∪ committed upsert deltas.
-    Row-level delete/tombstone semantics are deliberately out of scope
-    (append-only corpus, the reference's ingest posture); a filter on
-    ``cell`` pushes through the union into EVERY child scan's
-    PartitionFilters, so delta generations prune exactly like the
-    base (plan-asserted in tests/test_physical_plans.py)."""
+    """The index's data table: flat base ∪ committed upsert deltas,
+    MINUS any ``remove_vectors`` tombstoned ids (a deleted vector
+    must stop being retrievable the moment its tombstone commits —
+    the anti-join is skipped entirely until the first deletion). A
+    filter on ``cell`` pushes through the union into EVERY child
+    scan's PartitionFilters, so delta generations prune exactly like
+    the base (plan-asserted in tests/test_physical_plans.py)."""
     root = delta_root or index_path
     df = spark.read.parquet(index_path + "/data")
     for e in ivf_delta_epochs(spark, root):
         df = df.unionByName(
             spark.read.parquet(f"{root}/deltas/epoch={e}")
             .select(*df.columns))
+    tseqs = ivf_tombstone_seqs(spark, root)
+    if tseqs:
+        id_col = df.columns[0]
+        dead = spark.read.parquet(f"{root}/tombstones/seq={tseqs[0]}")
+        for s in tseqs[1:]:
+            dead = dead.unionByName(
+                spark.read.parquet(f"{root}/tombstones/seq={s}"))
+        df = df.join(F.broadcast(dead.select(id_col).distinct()),
+                     id_col, "left_anti")
     return df
 
 

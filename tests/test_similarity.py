@@ -678,3 +678,48 @@ def test_ivfpq_upsert_codes_generation_independent(spark, tmp_path):
     hit = ivfpq_search_index(spark, idx, probe, corpus=corpus, k=3,
                              nprobe=2, refine=4).collect()
     assert hit[0].vec_id == target and hit[0].cosine > 0.999999
+
+
+def test_ivf_remove_vectors_excludes_and_compacts(spark, tmp_path):
+    """Right-to-be-forgotten on the vector index (r08): after
+    remove_vectors, a deleted vector — base-resident or
+    delta-resident — is never retrievable (a probe of its own
+    embedding returns a neighbor instead), and compaction drops its
+    rows physically into a tombstone-free fresh index."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        build_ivf_index, compact_ivf_index, ivf_index_data,
+        ivf_search_index, ivf_tombstone_seqs, remove_vectors,
+        upsert_ivf_index)
+    from hackmd_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    base = emb.filter((F.col("vec_id") % 4).isin(1, 2))
+    late = emb.filter(F.col("vec_id") % 4 == 3)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(base, idx, nlist=8, seed=42)
+    upsert_ivf_index(late, idx, epoch_id=0)
+    n_all = ivf_index_data(spark, idx).count()
+
+    base_victim = base.orderBy("vec_id").first().vec_id
+    delta_victim = late.orderBy("vec_id").first().vec_id
+    n_dead = remove_vectors(
+        spark.createDataFrame([(base_victim,), (delta_victim,)], "id long"),
+        idx)
+    assert n_dead == 2
+    assert ivf_index_data(spark, idx).count() == n_all - 2
+
+    for victim in (base_victim, delta_victim):
+        probe = (emb.filter(F.col("vec_id") == victim)
+                 .select(F.lit(-1).alias("query_id"), "embedding"))
+        got = ivf_search_index(spark, idx, probe, k=3, nprobe=8).collect()
+        assert victim not in {r.vec_id for r in got}
+
+    folded = str(tmp_path / "folded")
+    compact_ivf_index(spark, idx, folded)
+    assert ivf_tombstone_seqs(spark, folded) == []
+    ids = {r.vec_id for r in
+           spark.read.parquet(folded + "/data").select("vec_id").collect()}
+    assert base_victim not in ids and delta_victim not in ids
+    assert len(ids) == n_all - 2
