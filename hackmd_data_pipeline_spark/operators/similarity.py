@@ -566,6 +566,55 @@ def ivf_index_data(spark: SparkSession, index_path: str,
     return df
 
 
+def quantizer_drift(spark: SparkSession, index_path: str,
+                    delta_root: str | None = None) -> dict:
+    """Cell-balance drift of an upsert-grown index — the signal a
+    maintenance policy thresholds on to decide WHEN
+    ``compact_ivf_index``'s retrain is due (the faiss operational
+    lesson: a quantizer trained on last year's distribution funnels
+    this year's vectors into a few hot cells, and hot cells are
+    exactly what the probed-cell scan pays for).
+
+    Compares the BASE generation's per-cell distribution against the
+    committed DELTAS' (both one narrow column scan + a cell count —
+    bounded by nlist rows collected). Returns::
+
+        {"base_rows", "delta_rows",
+         "l1_drift",          # Σ|p_delta(c) - p_base(c)| ∈ [0, 2]
+         "max_delta_cell_share",  # hottest delta cell's fraction
+         "expected_cell_share"}   # 1/nlist, the balanced reference
+
+    No deltas -> zero drift (nothing to compare). Deterministic: pure
+    counting."""
+    base = (spark.read.parquet(index_path + "/data")
+            .groupBy("cell").count().collect())
+    root = delta_root or index_path
+    deltas = []
+    for e in ivf_delta_epochs(spark, root):
+        deltas.extend(spark.read.parquet(f"{root}/deltas/epoch={e}")
+                      .groupBy("cell").count().collect())
+    nlist = spark.read.parquet(index_path + "/centroids").count()
+    nb = sum(r["count"] for r in base)
+    nd = sum(r["count"] for r in deltas)
+    if nd == 0:
+        return {"base_rows": nb, "delta_rows": 0, "l1_drift": 0.0,
+                "max_delta_cell_share": 0.0,
+                "expected_cell_share": 1.0 / nlist}
+    pb: dict = {}
+    for r in base:
+        pb[int(r["cell"])] = pb.get(int(r["cell"]), 0) + r["count"]
+    pd_: dict = {}
+    for r in deltas:
+        pd_[int(r["cell"])] = pd_.get(int(r["cell"]), 0) + r["count"]
+    cells = set(pb) | set(pd_)
+    l1 = sum(abs(pd_.get(c, 0) / nd - pb.get(c, 0) / max(nb, 1))
+             for c in cells)
+    return {"base_rows": nb, "delta_rows": nd,
+            "l1_drift": round(l1, 6),
+            "max_delta_cell_share": round(max(pd_.values()) / nd, 6),
+            "expected_cell_share": 1.0 / nlist}
+
+
 def compact_ivf_index(spark: SparkSession, src: str, dest: str,
                       delta_root: str | None = None,
                       nlist: int | None = None, seed: int = 42,

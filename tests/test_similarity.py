@@ -723,3 +723,37 @@ def test_ivf_remove_vectors_excludes_and_compacts(spark, tmp_path):
            spark.read.parquet(folded + "/data").select("vec_id").collect()}
     assert base_victim not in ids and delta_victim not in ids
     assert len(ids) == n_all - 2
+
+
+def test_quantizer_drift_flags_skewed_upserts(spark, tmp_path):
+    """The drift diagnostic: a delta drawn from the base distribution
+    scores low; a degenerate delta (every vector a copy of one point)
+    funnels into one cell and scores near the 2.0 L1 ceiling with a
+    ~1.0 hottest-cell share — the compaction-due signal."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        build_ivf_index, quantizer_drift, upsert_ivf_index)
+    from hackmd_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    base = emb.filter((F.col("vec_id") % 4).isin(1, 2))
+    idx = str(tmp_path / "idx")
+    build_ivf_index(base, idx, nlist=8, seed=42)
+
+    assert quantizer_drift(spark, idx)["l1_drift"] == 0.0  # no deltas
+
+    same_dist = emb.filter(F.col("vec_id") % 4 == 3)
+    upsert_ivf_index(same_dist, idx, epoch_id=0)
+    low = quantizer_drift(spark, idx)
+    assert low["delta_rows"] == same_dist.count()
+    assert low["l1_drift"] < 0.5, low
+
+    one = emb.filter(F.col("vec_id") == 1).select("embedding").first()
+    skew = spark.range(5_000_000, 5_000_200).select(
+        F.col("id").alias("vec_id"),
+        F.lit(one.embedding).alias("embedding"))
+    upsert_ivf_index(skew, idx, epoch_id=1)
+    high = quantizer_drift(spark, idx)
+    assert high["l1_drift"] > low["l1_drift"]
+    assert high["max_delta_cell_share"] > 0.5, high
