@@ -294,7 +294,8 @@ def _cluster_delta_seqs(spark: SparkSession, root: str) -> list[int]:
 
 
 def load_clusters(spark: SparkSession, dest: str,
-                  delta_root: str | None = None) -> DataFrame:
+                  delta_root: str | None = None,
+                  as_of_seq: int | None = None) -> DataFrame:
     """``id | cluster_id`` connected components from a built store,
     RESOLVED against any incremental ``update_clusters`` /
     ``remove_docs`` deltas: the latest delta assignment wins per id
@@ -306,13 +307,24 @@ def load_clusters(spark: SparkSession, dest: str,
     visibility rides the same overlay machinery as merges, no extra
     tombstone scan here. With no deltas this is a plain read — the
     per-id window shuffle is only paid while deltas are outstanding,
-    and ``compact_clusters`` folds them away."""
+    and ``compact_clusters`` folds them away.
+
+    ``as_of_seq`` is TIME TRAVEL over the overlay history: resolve
+    through deltas up to that generation only (-1 = the flat base
+    before any overlay), reproducing the exact verdict state after
+    any past merge or deletion — the audit read a compliance review
+    or a debugging session needs, free because overlays are
+    append-only full recomputes of their touched subgraphs.
+    Compaction folds history away; travel reaches only as far back as
+    the oldest un-compacted generation."""
     from pyspark.sql import Window as W
 
     from ..sources.fs import fs_exists
 
     root = delta_root or dest
     seqs = _cluster_delta_seqs(spark, root)
+    if as_of_seq is not None:
+        seqs = [s for s in seqs if s <= as_of_seq]
     has_base = fs_exists(spark, dest + "/clusters/_SUCCESS")
     if not seqs and has_base:
         return spark.read.parquet(dest + "/clusters")
@@ -582,7 +594,8 @@ def compact_clusters(spark: SparkSession, src: str, dest: str,
 
 
 def resolve_from_store(spark: SparkSession, dest: str,
-                       delta_root: str | None = None) -> DataFrame:
+                       delta_root: str | None = None,
+                       as_of_seq: int | None = None) -> DataFrame:
     """Canonical-doc resolution from PERSISTED clusters: the per-doc
     keep/drop verdict (``doc_id | cluster_id | is_canonical``) without
     touching the corpus text — the artifact read replaces the whole
@@ -592,7 +605,8 @@ def resolve_from_store(spark: SparkSession, dest: str,
     Resolves through any outstanding ``update_clusters`` overlays, so
     the verdict is never stale mid-ingest (r07 VERDICT item 1)."""
     return (
-        load_clusters(spark, dest, delta_root=delta_root)
+        load_clusters(spark, dest, delta_root=delta_root,
+                      as_of_seq=as_of_seq)
         .select(F.col("id").alias("doc_id"), "cluster_id",
                 (F.col("id") == F.col("cluster_id")).alias("is_canonical"))
         .orderBy("doc_id")

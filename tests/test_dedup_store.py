@@ -491,3 +491,60 @@ def test_remove_docs_excludes_content_from_ingest_and_compaction(
                spark.read.parquet(f"{folded}/{table}").collect()}
         assert 5 not in ids
         assert 6 in ids  # neighbors survive
+
+
+def test_load_clusters_time_travel(spark, tmp_path):
+    """as_of_seq reproduces the exact resolution state after any past
+    merge or deletion — the audit read; -1 is the pre-overlay base."""
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        remove_docs, update_clusters)
+
+    dest = str(tmp_path / "store")
+    _seed_pairs(spark, dest, [(1, 2), (10, 11)])            # seq 0
+    update_clusters(spark.createDataFrame([(2, 3)], "id_a long, id_b long"),
+                    dest, epoch_id=1)                        # seq 1
+    remove_docs(spark.createDataFrame([(2,)], "id long"), dest)  # seq 2
+
+    def at(seq):
+        return {(r.id, r.cluster_id)
+                for r in load_clusters(spark, dest, as_of_seq=seq).collect()}
+
+    assert at(-1) == set()                                   # no flat base
+    assert at(0) == {(1, 1), (2, 1), (10, 10), (11, 10)}
+    assert at(1) == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert at(2) == {(10, 10), (11, 10)}                     # 2 deleted: 1,3 pairless
+    assert at(None) == at(2)                                 # latest
+
+
+def test_deletion_stream_propagates_and_replays(spark, tmp_path):
+    """The compliance queue shape: deletion-request drops drain into
+    remove_docs per micro-batch; the resolved view repairs
+    continuously and a checkpointed re-run ingests nothing."""
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        load_pairs)
+    from hackmd_data_pipeline_spark.streaming.neardup import (
+        run_deletion_stream)
+
+    dest = str(tmp_path / "store")
+    _seed_pairs(spark, dest, [(1, 2), (1, 3), (2, 3), (10, 11)])
+    reqs = str(tmp_path / "reqs")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame([(1,)], "doc_id long").coalesce(1) \
+        .write.mode("append").parquet(reqs)
+    c1 = run_deletion_stream(spark, reqs, ckpt, dest)
+    assert c1 == {"requests": 1, "retired": 1, "relabeled": 2}
+    assert _resolved(spark, dest) == {(2, 2), (3, 2), (10, 10), (11, 10)}
+
+    spark.createDataFrame([(10,), (11,)], "doc_id long").coalesce(1) \
+        .write.mode("append").parquet(reqs)
+    c2 = run_deletion_stream(spark, reqs, ckpt, dest)
+    assert c2 == {"requests": 2, "retired": 2, "relabeled": 0}
+    assert _resolved(spark, dest) == {(2, 2), (3, 2)}
+    # invariant after streamed deletes
+    assert _resolved(spark, dest) == _scratch(
+        load_pairs(spark, dest).select("id_a", "id_b"))
+
+    # exactly-once: same checkpoint, nothing pending
+    c3 = run_deletion_stream(spark, reqs, ckpt, dest)
+    assert c3 == {"requests": 0, "retired": 0, "relabeled": 0}
