@@ -243,6 +243,11 @@ class CorpusPipeline:
         int64 topic sums), so the overwrite is byte-stable across
         reruns — the exactly-once-by-determinism contract every other
         stage rides."""
+        from .operators.dsir import PINNED_DSIR_WEIGHTS, dsir_importance
+        from .operators.textmodel import (
+            PINNED_DOMAIN_WEIGHTS,
+            classifier_scores,
+        )
         from .operators.topics import PINNED_TOPIC_TERMS, topic_scores
         from .plans.extensions import tfidf_keywords
         resolved = self.spark.read.parquet(
@@ -259,9 +264,25 @@ class CorpusPipeline:
         topics = (topic_scores(resolved, PINNED_TOPIC_TERMS)
                   .select("doc_id",
                           F.col("topic_id").cast("string").alias("topic")))
+        # model-based enrichment (r08): the frozen quality/domain
+        # classifier verdict and the DSIR importance score land as
+        # columns, so downstream selection (a training-mix builder,
+        # the finalize packer's input filter) can threshold without
+        # re-scanning text — left joins, docs with no scorable tokens
+        # keep NULLs (the reference's declared-default posture)
+        quality = (classifier_scores(resolved, PINNED_DOMAIN_WEIGHTS)
+                   .select("doc_id",
+                           F.col("score_micros").alias("quality_micros"),
+                           F.col("keep").alias("quality_keep")))
+        dsir = (dsir_importance(resolved, PINNED_DSIR_WEIGHTS)
+                .select("doc_id",
+                        F.col("importance_micros")
+                        .alias("dsir_importance_micros")))
         annotated = (
             resolved.join(kw, "doc_id", "left")
             .join(topics, "doc_id", "left")
+            .join(quality, "doc_id", "left")
+            .join(dsir, "doc_id", "left")
             .withColumn("keywords", F.coalesce(
                 F.col("keywords"), F.array().cast("array<string>")))
         )
@@ -270,7 +291,8 @@ class CorpusPipeline:
         out = self.spark.read.parquet(
             f"{self.root}/corpus/annotated_documents.parquet")
         return {"annotated": out.count(),
-                "with_topic": out.filter(F.col("topic").isNotNull()).count()}
+                "with_topic": out.filter(F.col("topic").isNotNull()).count(),
+                "quality_kept": out.filter(F.col("quality_keep")).count()}
 
     def _stage_finalize(self) -> dict:
         """Deterministic split + greedy packing, written as the final

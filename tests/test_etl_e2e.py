@@ -211,6 +211,12 @@ def test_composed_pipeline_kill_restart_exactly_once(spark, tmp_path):
     assert all(r.keywords is not None and len(r.keywords) <= 3 for r in ann)
     assert all(r.topic is None or r.topic in {"0", "1", "2", "3", "4"}
                for r in ann)
+    # r08 model-based enrichment: the frozen classifier verdict and
+    # the DSIR importance ride the same stage (exact int64 scores;
+    # NULL only when a doc has no scorable tokens)
+    assert all(r.quality_keep == (r.quality_micros > 0)
+               for r in ann if r.quality_micros is not None)
+    assert any(r.dsir_importance_micros is not None for r in ann)
     # the final corpus carries the annotations through finalize
     out_cols = spark.read.parquet(faulty.outputs()["corpus"]).columns
     assert {"keywords", "topic"} <= set(out_cols)
