@@ -111,3 +111,36 @@ def maintenance_due(spark: SparkSession, index_path: str,
     and swap pointers (read amplification is what accumulates; an
     uncompacted index stays correct)."""
     return len(ivf_delta_epochs(spark, index_path)) > max_deltas
+
+
+def run_vector_deletion_stream(spark: SparkSession, requests_path: str,
+                               checkpoint: str,
+                               index_path: str) -> dict[str, int]:
+    """Right-to-be-forgotten propagation for the vector index (the
+    ``streaming/neardup.py::run_deletion_stream`` twin): drain
+    deletion-request parquet drops (``vec_id`` rows) into
+    ``remove_vectors`` per micro-batch — tombstones commit
+    continuously, every search excludes the ids immediately, and the
+    next ``compact_ivf_index`` drops the rows physically.
+    At-least-once replay converges (re-tombstoning dead ids is a
+    cumulative-distinct no-op). Returns ``{"requests": n}``."""
+    from pyspark.sql import types as T
+
+    from ..operators.similarity import remove_vectors
+
+    counts = {"requests": 0}
+    schema = T.StructType().add("vec_id", T.LongType())
+
+    def handle_batch(batch: DataFrame, epoch_id: int) -> None:
+        batch = batch.dropDuplicates(["vec_id"])
+        if not batch.count():
+            return
+        counts["requests"] += remove_vectors(batch, index_path)
+
+    stream = spark.readStream.schema(schema).parquet(requests_path)
+    q = (stream.writeStream.foreachBatch(handle_batch)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return counts

@@ -102,3 +102,32 @@ def test_ann_index_stream_compaction_cycle(spark, tmp_path):
     hit = ivf_search_index(spark, folded, _probe_for(emb, 399), k=3,
                            nprobe=2).collect()
     assert hit[0].vec_id == 399 and hit[0].cosine > 0.999999
+
+
+def test_vector_deletion_stream_propagates(spark, tmp_path):
+    """Deletion requests drain into index tombstones continuously: a
+    deleted vector vanishes from search between drains, and a
+    checkpointed re-run ingests nothing."""
+    from hackmd_data_pipeline_spark.streaming.annindex import (
+        run_vector_deletion_stream,
+    )
+
+    vecs_in = str(tmp_path / "in")
+    idx = str(tmp_path / "idx")
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    _write_drop(emb.filter(F.col("vec_id") < 200), vecs_in)
+    run_ann_index_ingest(spark, vecs_in, idx, str(tmp_path / "ck1"), nlist=8)
+
+    reqs = str(tmp_path / "reqs")
+    ckpt = str(tmp_path / "ck2")
+    spark.createDataFrame([(7,), (8,)], "vec_id long").coalesce(1) \
+        .write.mode("append").parquet(reqs)
+    c1 = run_vector_deletion_stream(spark, reqs, ckpt, idx)
+    assert c1 == {"requests": 2}
+    assert ivf_index_data(spark, idx).count() == 198
+    got = ivf_search_index(spark, idx, _probe_for(emb, 7), k=3,
+                           nprobe=8).collect()
+    assert 7 not in {r.vec_id for r in got}
+
+    c2 = run_vector_deletion_stream(spark, reqs, ckpt, idx)
+    assert c2 == {"requests": 0}
