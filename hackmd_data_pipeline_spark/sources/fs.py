@@ -74,3 +74,51 @@ def fs_list_dirs(spark: SparkSession, path: str) -> list[str]:
         return []
     return [st.getPath().getName() for st in fs.listStatus(hpath)
             if st.isDirectory()]
+
+
+def pointer_versions(spark: SparkSession, ptr_dir: str) -> list[int]:
+    """Committed versions of a versioned pointer directory — files
+    named ``v=<n>`` each holding one target path. Versioned files
+    sidestep the rename-over-existing ambiguity (Hadoop's
+    ``FileSystem.rename`` refuses an existing destination on most
+    implementations, POSIX overwrites): a publish renames a staged
+    file to a FRESH name, which is atomic on every backend, and
+    readers resolve MAX(version)."""
+    fs, hpath = _fs_and_path(spark, ptr_dir)
+    if not fs.exists(hpath):
+        return []
+    out = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if name.startswith("v=") and name[2:].isdigit():
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def pointer_current(spark: SparkSession, ptr_dir: str) -> str | None:
+    """The newest committed pointer target, or None if never
+    published."""
+    vs = pointer_versions(spark, ptr_dir)
+    if not vs:
+        return None
+    return fs_read_text(spark, f"{ptr_dir}/v={vs[-1]}").strip()
+
+
+def pointer_publish(spark: SparkSession, ptr_dir: str, target: str) -> int:
+    """Atomically publish ``target`` as the pointer's new current
+    value; returns the new version id. Stage-then-rename: the staged
+    file carries the pid, the rename lands a fresh ``v=<n>`` name, and
+    a lost race (two publishers picking the same n) falls through to
+    n+1 — the last successful rename is the newest version either
+    way. Superseded versions stay readable (pointer history) until
+    the caller prunes them."""
+    import os
+
+    vs = pointer_versions(spark, ptr_dir)
+    n = (vs[-1] + 1) if vs else 0
+    stage = f"{ptr_dir}/.stage_p{os.getpid()}"
+    while True:
+        fs_write_text(spark, stage, target + "\n")
+        if fs_rename(spark, stage, f"{ptr_dir}/v={n}"):
+            return n
+        n += 1

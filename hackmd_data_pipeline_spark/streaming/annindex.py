@@ -113,6 +113,71 @@ def maintenance_due(spark: SparkSession, index_path: str,
     return len(ivf_delta_epochs(spark, index_path)) > max_deltas
 
 
+def maintain_ivf_index(spark: SparkSession, ptr_dir: str,
+                       max_deltas: int = 16,
+                       max_drift: float | None = None,
+                       keep_versions: int = 2) -> dict:
+    """The full index-maintenance cycle behind a VERSIONED POINTER —
+    the concrete form of every compaction docstring's "the caller
+    swaps pointers": readers resolve ``pointer_current(ptr_dir)`` and
+    search that path; this maintainer, when compaction is due
+    (outstanding deltas > ``max_deltas``, or quantizer drift above
+    ``max_drift``), folds base + deltas + tombstones into a fresh
+    ``<target>_g<version>`` directory (``compact_ivf_index`` — the
+    quantizer retrains, healing drift), atomically publishes it as
+    the new pointer version, and prunes generation directories older
+    than ``keep_versions`` (in-flight readers of the previous
+    generation keep a valid directory; the pointer file history
+    records the lineage).
+
+    Returns ``{"compacted": bool, "current": path, ...}``. No-op when
+    nothing is due — safe to call after every drain."""
+    from ..operators.similarity import (
+        compact_ivf_index,
+        ivf_delta_epochs,
+        quantizer_drift,
+    )
+    from ..sources.fs import (
+        fs_delete,
+        fs_read_text,
+        pointer_current,
+        pointer_publish,
+        pointer_versions,
+    )
+
+    cur = pointer_current(spark, ptr_dir)
+    if cur is None:
+        raise ValueError(f"pointer {ptr_dir} was never published")
+    n_deltas = len(ivf_delta_epochs(spark, cur))
+    due = n_deltas > max_deltas
+    drift = None
+    if not due and max_drift is not None:
+        drift = quantizer_drift(spark, cur)["l1_drift"]
+        due = drift > max_drift
+    if not due:
+        return {"compacted": False, "current": cur,
+                "n_deltas": n_deltas, "l1_drift": drift}
+
+    vs = pointer_versions(spark, ptr_dir)
+    base = cur.rstrip("/").rsplit("_g", 1)[0]
+    fresh = f"{base}_g{vs[-1] + 1}"
+    compact_ivf_index(spark, cur, fresh)
+    pointer_publish(spark, ptr_dir, fresh)
+
+    vs = pointer_versions(spark, ptr_dir)
+    kept = vs[-keep_versions:] if keep_versions > 0 else vs
+    kept_targets = {fs_read_text(spark, f"{ptr_dir}/v={v}").strip()
+                    for v in kept}
+    for v in vs:
+        if v in kept:
+            continue
+        old = fs_read_text(spark, f"{ptr_dir}/v={v}").strip()
+        if old not in kept_targets:
+            fs_delete(spark, old)
+    return {"compacted": True, "current": fresh, "previous": cur,
+            "n_deltas": n_deltas, "l1_drift": drift}
+
+
 def run_vector_deletion_stream(spark: SparkSession, requests_path: str,
                                checkpoint: str,
                                index_path: str) -> dict[str, int]:

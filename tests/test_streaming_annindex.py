@@ -131,3 +131,65 @@ def test_vector_deletion_stream_propagates(spark, tmp_path):
 
     c2 = run_vector_deletion_stream(spark, reqs, ckpt, idx)
     assert c2 == {"requests": 0}
+
+
+def test_pointer_maintained_index_cycle(spark, tmp_path):
+    """The versioned-pointer maintenance cycle (the concrete 'caller
+    swaps pointers'): readers resolve pointer_current and search that
+    path; maintain_ivf_index compacts when due, publishes the fresh
+    generation atomically, keeps the previous generation directory
+    for in-flight readers, and prunes older ones."""
+    import os
+
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        upsert_ivf_index,
+    )
+    from hackmd_data_pipeline_spark.sources.fs import (
+        pointer_current,
+        pointer_publish,
+        pointer_versions,
+    )
+    from hackmd_data_pipeline_spark.streaming.annindex import (
+        maintain_ivf_index,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    ptr = str(tmp_path / "ptr")
+    g0 = str(tmp_path / "index_g0")
+    build_ivf_index(emb.filter(F.col("vec_id") < 200), g0, nlist=8)
+    pointer_publish(spark, ptr, g0)
+    assert pointer_current(spark, ptr) == g0
+
+    # not due: no-op
+    r = maintain_ivf_index(spark, ptr, max_deltas=2)
+    assert not r["compacted"] and r["current"] == g0
+
+    for epoch, (lo, hi) in enumerate(((200, 260), (260, 320), (320, 380))):
+        upsert_ivf_index(emb.filter((F.col("vec_id") >= lo)
+                                    & (F.col("vec_id") < hi)),
+                         pointer_current(spark, ptr), epoch_id=epoch)
+    r = maintain_ivf_index(spark, ptr, max_deltas=2, keep_versions=2)
+    assert r["compacted"] and r["previous"] == g0
+    cur = pointer_current(spark, ptr)
+    assert cur == r["current"] != g0
+    assert os.path.exists(g0)  # in-flight readers keep a valid dir
+
+    # search through the maintained pointer: everything indexed so far
+    assert ivf_index_data(spark, cur).count() == 380
+    hit = ivf_search_index(spark, cur, _probe_for(emb, 350), k=3,
+                           nprobe=4).collect()
+    assert hit[0].vec_id == 350 and hit[0].cosine > 0.999999
+
+    # another cycle: g0 falls out of the keep window and is pruned
+    upsert_ivf_index(emb.filter((F.col("vec_id") >= 380)
+                                & (F.col("vec_id") < 400)), cur, epoch_id=0)
+    for epoch in (1, 2, 3):
+        upsert_ivf_index(emb.filter(F.col("vec_id") == 400 + epoch),
+                         cur, epoch_id=epoch)
+    r2 = maintain_ivf_index(spark, ptr, max_deltas=2, keep_versions=2)
+    assert r2["compacted"]
+    assert not os.path.exists(g0)
+    assert os.path.exists(cur)  # previous generation survives
+    assert len(pointer_versions(spark, ptr)) == 3
+    assert ivf_index_data(spark, pointer_current(spark, ptr)).count() == 403
