@@ -108,30 +108,14 @@ _ROWS_ONLY_PRIORITY = [
 # green row from a previous round certifies the OLD form, so they must
 # re-enter the driver's sample window even though an artifact row
 # exists. Prune entries once the corresponding round's artifact lands.
-_FORCE_REGATE = frozenset({
-    # (r07 entries pruned — CORRECTNESS_r07.json records green hash
-    # rows for all eight re-gated forms.)
-    # r08: warm-store build published via atomic rename + pid-staged
-    # build dir (r07 ADVICE concurrency fix) — values identical,
-    # builder changed:
-    "dedup_incremental_batch",
-    # r08: fresh/cycle store paths gained a pid component (same
-    # ADVICE item) — values identical, builder changed:
-    "dedup_incremental_store",
-    "dedup_store_commit_cycle",
-    # r08: encode kernel's ws split rewritten translate+split (r07
-    # VERDICT item 5 perf recovery) — token-identical by test, but the
-    # hot kernel changed:
-    "docs_bpe_encode",
-    # r08: dedup_clusters gained per-round reliable-checkpoint
-    # rotation (no-op in local mode, but the iterative core changed):
-    "dedup_cluster_resolve",
-    "dedup_cc_clusters",
-    # r08: recall floors raised to just-under-measured-minimum (r07
-    # VERDICT item 7) — recall_ok stays TRUE, builder changed:
-    "sim_ann_ivf_recall",
-    "sim_ann_lsh_recall",
-    "sim_ann_ivfpq_recall",
+_FORCE_REGATE: frozenset = frozenset({
+    # (r08 entries pruned — CORRECTNESS_r08.json records green hash
+    # rows for all nine re-gated forms.)
+    # r09: SemDeDup rebuilt to read its cells from the persisted IVF
+    # index instead of an in-session quantizer (r08 VERDICT item 3) —
+    # values identical by pinned-centroid construction, but the
+    # builder's data path changed:
+    "dedup_semantic_semdedup",
 })
 
 _GATE_COVERED = (_covered_from_artifacts() - _FORCE_REGATE) or _R01_COVERED

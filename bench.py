@@ -240,6 +240,13 @@ def main() -> None:
     # sf0.01 pass can never clobber the round's official sf0.1 record
     tag = "" if out["sf"] == 0.1 else f"_sf{sf}"
     artifact = f"BENCH_LOCAL_r{rnd:02d}{tag}.json"
+    # collision-safe (r08 verdict item 6): a second run at the same
+    # round (e.g. a judge re-bench) must NOT clobber the driver run's
+    # per-query artifact — append a run suffix until the name is free.
+    run = 1
+    while (repo / artifact).exists():
+        run += 1
+        artifact = f"BENCH_LOCAL_r{rnd:02d}{tag}_run{run}.json"
     (repo / artifact).write_text(json.dumps(out, indent=1))
 
     # stop the JVM BEFORE emitting the parse-critical lines so no
