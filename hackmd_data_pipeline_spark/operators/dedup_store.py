@@ -176,15 +176,31 @@ def compact_store(spark: SparkSession, src: str, dest: str,
     ids' rows are dropped from the folded generation and the fresh
     store starts tombstone-free (readers were already excluding them
     logically; this is where the bytes actually leave disk — the
-    right-to-be-forgotten completion step). Returns before/after file
-    stats per table."""
+    right-to-be-forgotten completion step).
+
+    The PAIR and CLUSTER stages compact too (r08 ADVICE — a compacted
+    store must be SELF-CONTAINED, or the pointer swap would either
+    lose the pair set or resurrect deleted ids' pairs): when ``src``
+    has any persisted pairs (flat stage and/or ``pair_deltas``), the
+    complete tombstone-filtered ``load_pairs`` view is rewritten flat
+    at ``dest/pairs``, and the resolved ``load_clusters`` view (which
+    already excludes retired ids) lands flat at ``dest/clusters`` when
+    a cluster stage exists — so on the compacted store
+    ``load_clusters == CC(load_pairs)`` holds with zero outstanding
+    deltas and zero tombstones. A ``spans`` stage (``commit_spans``)
+    folds like shingles/signatures. Returns before/after file stats
+    per rewritten table."""
     import math
 
+    from ..sources.fs import fs_exists, fs_list_dirs
     from .maintenance import table_file_stats
 
     dead = load_tombstones(spark, src)
     out: dict = {}
-    for table in ("shingles", "signatures"):
+    tables = ["shingles", "signatures"]
+    if fs_exists(spark, src + "/spans"):
+        tables.append("spans")
+    for table in tables:
         before = table_file_stats(spark, f"{src}/{table}")
         df = spark.read.parquet(f"{src}/{table}")
         cols = [c for c in df.columns if c != "epoch"]
@@ -198,6 +214,26 @@ def compact_store(spark: SparkSession, src: str, dest: str,
          .write.mode("overwrite").parquet(f"{dest}/{table}/epoch=-1"))
         out[table] = {"before": before,
                       "after": table_file_stats(spark, f"{dest}/{table}")}
+
+    has_pairs = (fs_exists(spark, src + "/pairs/_SUCCESS")
+                 or any(n.startswith("epoch=")
+                        for n in fs_list_dirs(spark, src + "/pair_deltas")))
+    if has_pairs:
+        # load_pairs is already the complete committed pair set with
+        # every tombstone-touching pair dropped — the physical form of
+        # the logical exclusion readers have been applying
+        p_bytes = (table_file_stats(spark, f"{src}/pairs")["total_bytes"]
+                   + table_file_stats(spark, f"{src}/pair_deltas")["total_bytes"])
+        (load_pairs(spark, src)
+         .coalesce(max(1, math.ceil(p_bytes / target_file_bytes)))
+         .write.mode("overwrite").parquet(f"{dest}/pairs"))
+        out["pairs"] = {"after": table_file_stats(spark, f"{dest}/pairs")}
+        if (fs_exists(spark, src + "/clusters/_SUCCESS")
+                or _cluster_delta_seqs(spark, src)):
+            (load_clusters(spark, src)
+             .write.mode("overwrite").parquet(f"{dest}/clusters"))
+            out["clusters"] = {
+                "after": table_file_stats(spark, f"{dest}/clusters")}
     return out
 
 
@@ -543,7 +579,21 @@ def remove_docs(ids: DataFrame, dest: str,
 
     Precondition: the clusters stage is CURRENT (every prior pair
     delta merged via update_clusters) — the repair trusts resolved
-    membership to bound the subgraph."""
+    membership to bound the subgraph.
+
+    Crash-atomicity (r08 ADVICE): the tombstone seq and the cluster
+    overlay are two separate commits, so a crash between them leaves
+    load_pairs filtered while load_clusters still resolves the dead
+    ids — and no later update_clusters would touch those components.
+    The repair is therefore SELF-HEALING: the touched-component set is
+    computed from EVERY tombstoned id still present in the resolved
+    view (this batch's ids plus any leftover from a crashed prior
+    call), so any remove_docs — including a replay of the crashed
+    one — reconciles the orphaned deletion. Ids from fully-completed
+    deletions are already absent from the resolved view, so the
+    reconciliation scan costs nothing beyond the one broadcast
+    semi-join the repair does anyway (the tombstone set is bounded —
+    compaction clears it)."""
     from .dedup import dedup_clusters
 
     spark = ids.sparkSession
@@ -557,7 +607,10 @@ def remove_docs(ids: DataFrame, dest: str,
     dead = spark.read.parquet(f"{root}/tombstones/seq={nxt_t}")
 
     base = load_clusters(spark, dest, delta_root=root)
-    touched = (base.join(F.broadcast(dead), "id", "left_semi")
+    # detect-and-repair: every committed tombstone whose id still
+    # resolves (not just this batch) marks a component needing repair
+    all_dead = load_tombstones(spark, dest, delta_root=root)
+    touched = (base.join(F.broadcast(all_dead), "id", "left_semi")
                .select("cluster_id").distinct())
     members = base.join(F.broadcast(touched), "cluster_id", "left_semi")
     mem_ids = members.select("id")

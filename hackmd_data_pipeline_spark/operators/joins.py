@@ -68,3 +68,43 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, ts_col: str,
         .filter(F.col("_side") == 1)
         .drop("_side")
     )
+
+
+def bounded_anti_join(batch: DataFrame, stored_keys: DataFrame,
+                      batch_key: str, stored_key: str | None = None
+                      ) -> DataFrame:
+    """``batch`` rows whose key does NOT appear in ``stored_keys``,
+    planned so that NO broadcast scales with the STORE side — the
+    table-wide ON-CONFLICT skip of a continuous-ingest pipeline (r08
+    VERDICT item 1).
+
+    The naive form ``batch.join(broadcast(stored_keys), anti)``
+    broadcasts the ENTIRE stored key set per micro-batch: build-side
+    memory grows monotonically with the store, and at 10^9+ stored
+    keys that is a per-batch multi-GB broadcast and a driver/executor
+    OOM — the one failure mode the store-streams/batch-broadcasts
+    discipline exists to prevent. This helper uses the two-step
+    bounded form instead:
+
+      1. matched = stored_keys LEFT SEMI broadcast(batch keys) — the
+         STORE streams through a BroadcastHashJoin whose build side is
+         the batch's distinct keys (bounded by batch size; the store
+         is scanned, narrow-column, never shuffled and never
+         broadcast);
+      2. batch LEFT ANTI broadcast(matched) — the build side is the
+         matched set, <= batch-sized BY CONSTRUCTION regardless of
+         store size.
+
+    Both broadcasts are therefore bounded by the BATCH, per-batch cost
+    is two store-column scans' worth of IO plus O(batch), and the plan
+    shape is asserted in tests/test_physical_plans.py (any store rows
+    crossing a BroadcastExchange must have been semi-joined down to
+    batch cardinality first). ``stored_key`` defaults to
+    ``batch_key``."""
+    sk = stored_key or batch_key
+    bkeys = batch.select(F.col(batch_key).alias("_bk")).distinct()
+    matched = (stored_keys.select(F.col(sk).alias("_bk"))
+               .join(F.broadcast(bkeys), "_bk", "left_semi")
+               .distinct())
+    return batch.join(F.broadcast(matched),
+                      batch[batch_key] == F.col("_bk"), "left_anti")

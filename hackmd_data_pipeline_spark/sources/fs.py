@@ -107,18 +107,30 @@ def pointer_current(spark: SparkSession, ptr_dir: str) -> str | None:
 def pointer_publish(spark: SparkSession, ptr_dir: str, target: str) -> int:
     """Atomically publish ``target`` as the pointer's new current
     value; returns the new version id. Stage-then-rename: the staged
-    file carries the pid, the rename lands a fresh ``v=<n>`` name, and
-    a lost race (two publishers picking the same n) falls through to
-    n+1 — the last successful rename is the newest version either
-    way. Superseded versions stay readable (pointer history) until
-    the caller prunes them."""
+    file carries the pid and the rename lands a fresh ``v=<n>`` name.
+    A lost race (two publishers picking the same n) falls through to
+    n+1 — detected THREE ways, because rename-onto-existing is
+    backend-dependent (r08 ADVICE): HDFS rename REFUSES an existing
+    destination (rename returns false), but file:// delegates to POSIX
+    renameTo which silently OVERWRITES — so an exists() probe runs
+    before the rename, and a read-back after it verifies THIS
+    publisher's target actually landed. Each publisher loops until
+    some version file holds its own target, so a clobbered publish is
+    re-attempted at n+1 instead of silently lost; both racers'
+    targets end up in the history. Superseded versions stay readable
+    (pointer history) until the caller prunes them."""
     import os
 
     vs = pointer_versions(spark, ptr_dir)
     n = (vs[-1] + 1) if vs else 0
     stage = f"{ptr_dir}/.stage_p{os.getpid()}"
     while True:
+        dst = f"{ptr_dir}/v={n}"
+        if fs_exists(spark, dst):
+            n += 1
+            continue
         fs_write_text(spark, stage, target + "\n")
-        if fs_rename(spark, stage, f"{ptr_dir}/v={n}"):
+        if (fs_rename(spark, stage, dst)
+                and fs_read_text(spark, dst).strip() == target):
             return n
         n += 1

@@ -16,8 +16,10 @@ Effectively-once side effects, the neardup-ingest discipline:
 overwrite, and a retry wipes its own epoch's partials first, so
 replays converge to the same files. Exact-id dedup is table-wide (the
 reference's ON CONFLICT DO NOTHING posture, reference
-src/core/pg_engine.py:113): ids already indexed are skipped via a
-broadcast anti-join against the index's column-pruned id read.
+src/core/pg_engine.py:113): ids already indexed are skipped via the
+bounded two-step anti-join (``operators/joins.bounded_anti_join`` —
+the index's id column streams, only batch-sized sets broadcast; r08
+VERDICT item 1 retired the table-wide stored-id broadcast).
 
 Contract shared with ``operators/dedup_store.commit_batch``: epoch ids
 come from the stream's checkpoint, so REBOOTSTRAPPING with a fresh
@@ -30,9 +32,12 @@ delta generation.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.joins import bounded_anti_join
 from ..operators.similarity import (
     build_ivf_index,
     ivf_delta_epochs,
@@ -80,11 +85,12 @@ def run_ann_index_ingest(spark: SparkSession, vecs_path: str,
             batch.unpersist()
             return
 
-        indexed_ids = (ivf_index_data(spark, index_path)
-                       .select(F.col(id_col).alias("_iid")))
-        fresh = batch.join(F.broadcast(indexed_ids),
-                           batch[id_col] == F.col("_iid"),
-                           "left_anti").persist()
+        # bounded id skip (r08 VERDICT item 1): the index's id column
+        # streams through a semi-join against the broadcast batch
+        # keys; only the matched (<= batch-sized) set is broadcast for
+        # the anti-join — no broadcast scales with index size
+        indexed_ids = ivf_index_data(spark, index_path).select(id_col)
+        fresh = bounded_anti_join(batch, indexed_ids, id_col).persist()
         n_fresh = fresh.count()
         if n_fresh:
             upsert_ivf_index(fresh, index_path, epoch_id,
@@ -159,7 +165,12 @@ def maintain_ivf_index(spark: SparkSession, ptr_dir: str,
                 "n_deltas": n_deltas, "l1_drift": drift}
 
     vs = pointer_versions(spark, ptr_dir)
-    base = cur.rstrip("/").rsplit("_g", 1)[0]
+    # strict generation-suffix parse (r08 ADVICE): only a TRAILING
+    # _g<digits> is a generation marker — a path merely containing
+    # "_g" elsewhere (e.g. ".../prod_graph_index") must not be
+    # truncated mid-name; without a suffix the path itself is the base
+    m = re.fullmatch(r"(.*)_g(\d+)", cur.rstrip("/"))
+    base = m.group(1) if m else cur.rstrip("/")
     fresh = f"{base}_g{vs[-1] + 1}"
     compact_ivf_index(spark, cur, fresh)
     pointer_publish(spark, ptr_dir, fresh)

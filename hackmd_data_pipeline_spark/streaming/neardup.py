@@ -51,6 +51,7 @@ from ..operators.dedup_store import (
     incremental_pairs,
     update_clusters,
 )
+from ..operators.joins import bounded_anti_join
 from ..sources.fs import fs_delete, fs_exists
 
 
@@ -108,13 +109,17 @@ def run_neardup_ingest(spark: SparkSession, docs_path: str, out_root: str,
         store_exists = fs_exists(spark, store_dest + "/signatures")
         if store_exists:
             # exact-id dedup vs the WHOLE store (reference
-            # pg_engine.py ON CONFLICT semantics are table-wide)
+            # pg_engine.py ON CONFLICT semantics are table-wide),
+            # bounded form (r08 VERDICT item 1): the store's id column
+            # STREAMS through a semi-join against the broadcast batch
+            # keys, then only the matched (<= batch-sized) set is
+            # broadcast for the anti-join — no broadcast here scales
+            # with store size (the old form shipped the entire stored
+            # id set per micro-batch: OOM at 10^9+ stored ids)
             stored_ids = _read_clean(
-                spark, store_dest + "/signatures", [id_col]
-            ).select(F.col(id_col).alias("_sid"))
-            batch_new = batch.join(
-                F.broadcast(stored_ids), batch[id_col] == F.col("_sid"),
-                "left_anti").persist()
+                spark, store_dest + "/signatures", [id_col])
+            batch_new = bounded_anti_join(
+                batch, stored_ids, id_col).persist()
             n_new = batch_new.count()
         else:
             batch_new, n_new = batch, n_in

@@ -548,3 +548,78 @@ def test_deletion_stream_propagates_and_replays(spark, tmp_path):
     # exactly-once: same checkpoint, nothing pending
     c3 = run_deletion_stream(spark, reqs, ckpt, dest)
     assert c3 == {"requests": 0, "retired": 0, "relabeled": 0}
+
+
+def test_compact_store_folds_pairs_and_clusters_tombstone_free(
+        spark, tmp_path):
+    """A compacted store must be SELF-CONTAINED (r08 ADVICE): pairs
+    (flat + deltas) and clusters compact alongside shingles/signatures
+    with the tombstone anti-join applied physically, so after the
+    pointer swap load_pairs neither raises nor resurrects deleted ids
+    and load_clusters == CC(load_pairs) holds with zero deltas."""
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        build_dedup_store, compact_store, load_pairs, load_tombstones,
+        remove_docs, update_clusters)
+
+    d = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    stored = d.filter(F.col("doc_id") < 100)
+    dest = str(tmp_path / "store")
+    build_dedup_store(stored, dest, jaccard_threshold=0.3)
+    # grow: a pair delta, then delete a doc that has pairs
+    update_clusters(
+        spark.createDataFrame([(3, 900, 0.9), (900, 901, 0.9)],
+                              "id_a long, id_b long, jaccard double"),
+        dest, epoch_id=0)
+    victim = next(r.id_a for r in
+                  load_pairs(spark, dest).select("id_a").limit(1).collect())
+    remove_docs(spark.createDataFrame([(int(victim),)], "id long"), dest)
+
+    src_pairs = {(r.id_a, r.id_b)
+                 for r in load_pairs(spark, dest).select("id_a", "id_b").collect()}
+    src_clusters = _resolved(spark, dest)
+
+    folded = str(tmp_path / "folded")
+    stats = compact_store(spark, dest, folded)
+    assert "pairs" in stats and "clusters" in stats
+
+    # the folded store answers identically with NO deltas/tombstones
+    assert load_tombstones(spark, folded) is None
+    folded_pairs = {(r.id_a, r.id_b)
+                    for r in load_pairs(spark, folded)
+                    .select("id_a", "id_b").collect()}
+    assert folded_pairs == src_pairs
+    assert not any(victim in p for p in folded_pairs)
+    assert _resolved(spark, folded) == src_clusters
+    # invariant holds on the folded store itself
+    assert _resolved(spark, folded) == _scratch(
+        load_pairs(spark, folded).select("id_a", "id_b"))
+
+
+def test_remove_docs_repairs_crashed_prior_deletion(spark, tmp_path):
+    """Crash window (r08 ADVICE): a tombstone seq committed without
+    its cluster overlay leaves load_pairs filtered while load_clusters
+    still resolves the dead id. The NEXT remove_docs — any ids, even
+    unrelated — must detect the orphaned tombstone and repair its
+    component too (self-healing), restoring the CC invariant."""
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        load_pairs, remove_docs)
+
+    dest = str(tmp_path / "store")
+    _seed_pairs(spark, dest, [(1, 2), (2, 3), (10, 11)])
+    # simulate the crash: tombstone for the bridge node 2 commits
+    # (with _SUCCESS) but the overlay never lands
+    spark.createDataFrame([(2,)], "id long").coalesce(1) \
+        .write.parquet(dest + "/tombstones/seq=0")
+    # the invariant is violated at this point: pairs exclude 2...
+    assert not any(2 in (r.id_a, r.id_b)
+                   for r in load_pairs(spark, dest).collect())
+    # ...but the resolved view still carries it
+    assert (2, 1) in _resolved(spark, dest)
+
+    # an unrelated later deletion reconciles the orphan
+    out = remove_docs(spark.createDataFrame([(10,)], "id long"), dest)
+    assert out["n_deleted"] == 1
+    expect = _scratch(load_pairs(spark, dest).select("id_a", "id_b"))
+    assert _resolved(spark, dest) == expect
+    # bridge delete split 1-2-3 -> 1 and 3 pairless; 10 deleted -> 11 pairless
+    assert _resolved(spark, dest) == set()

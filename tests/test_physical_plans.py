@@ -398,3 +398,99 @@ def test_cluster_update_resolution_shape(spark):
         "overlay resolution should shuffle once on id")
     # one id window shuffle + the presentation range sort, nothing else
     assert n_exchanges(plan) <= 2, plan
+
+
+def _jwalk(node):
+    yield node
+    cs = node.children()
+    for i in range(cs.length()):
+        yield from _jwalk(cs.apply(i))
+
+
+def _scan_paths(node):
+    """Root paths of every FileSourceScan in ``node``'s subtree."""
+    out = []
+    for n in _jwalk(node):
+        if n.getClass().getSimpleName() == "FileSourceScanExec":
+            rp = n.relation().location().rootPaths()
+            out.extend(rp.apply(i).toString() for i in range(rp.length()))
+    return out
+
+
+def _assert_store_never_broadcast_raw(df, store_path: str) -> None:
+    """The bounded-id-skip invariant (r08 VERDICT item 1): any store
+    rows crossing a broadcast BUILD side must first have been
+    semi-joined down to batch cardinality — i.e. every
+    BroadcastHashJoin whose build subtree scans the store must carry a
+    LeftSemi join inside that subtree (the two-step form). A build
+    subtree scanning the store with NO semi-reduction is the
+    table-wide broadcast that OOMs at 10^9 stored ids."""
+    plan = df._jdf.queryExecution().sparkPlan()
+    bhjs = [n for n in _jwalk(plan)
+            if n.getClass().getSimpleName() == "BroadcastHashJoinExec"]
+    assert bhjs, "expected broadcast hash joins in the id-skip plan"
+    checked = 0
+    for j in bhjs:
+        side = j.buildSide().toString()
+        build = j.children().apply(1 if side == "BuildRight" else 0)
+        if any(store_path in p for p in _scan_paths(build)):
+            semi = [n for n in _jwalk(build)
+                    if n.getClass().getSimpleName() == "BroadcastHashJoinExec"
+                    and n.joinType().toString() == "LeftSemi"]
+            assert semi, (
+                "store rows broadcast WITHOUT a bounding semi-join:\n"
+                + plan.toString())
+            # and the semi join's own build side must NOT scan the store
+            # (its build side is the batch key set)
+            for s in semi:
+                sside = s.buildSide().toString()
+                sbuild = s.children().apply(1 if sside == "BuildRight" else 0)
+                assert not any(store_path in p for p in _scan_paths(sbuild)), (
+                    "the bounding semi-join broadcasts the store itself:\n"
+                    + plan.toString())
+            checked += 1
+    assert checked, "no broadcast build subtree touched the store " \
+        "(test wiring is wrong)"
+
+
+def test_ingest_id_skip_broadcast_bounded_by_batch(spark, tmp_path):
+    """Both ingest streams' table-wide exact-id skip (r08 VERDICT item
+    1): the stored-id set must STREAM through a semi-join against the
+    broadcast batch keys, with only the matched (<= batch-sized) set
+    broadcast for the anti-join — no broadcast may scale with
+    store/index size. Exercises the exact expressions the streams
+    build: the neardup skip over the signature store's id column and
+    the ANN skip over ivf_index_data."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.operators.joins import bounded_anti_join
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_data,
+    )
+    from hackmd_data_pipeline_spark.tables import load_table
+
+    # --- neardup stream shape: signatures store id column
+    sig_store = str(tmp_path / "store" / "signatures")
+    spark.range(0, 5000).select(F.col("id").alias("doc_id")) \
+        .write.parquet(sig_store + "/epoch=0")
+    batch = str(tmp_path / "batch")
+    spark.range(4990, 5010).select(F.col("id").alias("doc_id")) \
+        .write.parquet(batch)
+    bdf = spark.read.parquet(batch)
+    skipped = bounded_anti_join(
+        bdf, spark.read.parquet(sig_store).select("doc_id"), "doc_id")
+    _assert_store_never_broadcast_raw(skipped, sig_store)
+    assert sorted(r.doc_id for r in skipped.collect()) == list(
+        range(5000, 5010))
+
+    # --- ANN stream shape: the index data table's id column
+    idx = str(tmp_path / "idx")
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    build_ivf_index(emb.filter(F.col("vec_id") < 200), idx, nlist=4)
+    vbatch = emb.filter((F.col("vec_id") >= 195) & (F.col("vec_id") < 205))
+    fresh = bounded_anti_join(
+        vbatch, ivf_index_data(spark, idx).select("vec_id"), "vec_id")
+    _assert_store_never_broadcast_raw(fresh, idx)
+    assert sorted(r.vec_id for r in fresh.select("vec_id").collect()) == list(
+        range(200, 205))

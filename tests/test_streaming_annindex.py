@@ -193,3 +193,76 @@ def test_pointer_maintained_index_cycle(spark, tmp_path):
     assert os.path.exists(cur)  # previous generation survives
     assert len(pointer_versions(spark, ptr)) == 3
     assert ivf_index_data(spark, pointer_current(spark, ptr)).count() == 403
+
+
+def test_pointer_publish_detects_lost_race(spark, tmp_path, monkeypatch):
+    """file:// rename-onto-existing OVERWRITES (POSIX renameTo), so a
+    publisher racing on the same version id would silently clobber the
+    other's target (r08 ADVICE). The publish loop must probe for an
+    existing destination AND verify its own target after the rename,
+    falling through to n+1 instead of losing a publish."""
+    import hackmd_data_pipeline_spark.sources.fs as fsmod
+
+    ptr = str(tmp_path / "ptr")
+    assert fsmod.pointer_publish(spark, ptr, "target-a") == 0
+
+    # stale-listing race: a second publisher computed its version from
+    # a listing taken BEFORE v=0 landed (simulated by forcing the
+    # in-call listing to look empty once)
+    real = fsmod.pointer_versions
+    calls = {"n": 0}
+
+    def stale_once(spark_, ptr_dir):
+        calls["n"] += 1
+        return [] if calls["n"] == 1 else real(spark_, ptr_dir)
+
+    monkeypatch.setattr(fsmod, "pointer_versions", stale_once)
+    assert fsmod.pointer_publish(spark, ptr, "target-b") == 1
+    monkeypatch.setattr(fsmod, "pointer_versions", real)
+
+    # NEITHER publish was lost: v=0 still holds a, v=1 holds b
+    assert fsmod.fs_read_text(spark, f"{ptr}/v=0").strip() == "target-a"
+    assert fsmod.fs_read_text(spark, f"{ptr}/v=1").strip() == "target-b"
+    assert fsmod.pointer_current(spark, ptr) == "target-b"
+
+
+def test_maintain_ivf_index_generation_suffix_parse(spark, tmp_path):
+    """A pointer target whose path contains '_g' NOT as a trailing
+    generation marker (e.g. .../prod_graph_index) must not be
+    truncated mid-name when deriving the fresh generation directory
+    (r08 ADVICE): the fresh dir is <target>_g<version>, and a proper
+    _g<digits> suffix still swaps in place of the old one."""
+    import os
+
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        upsert_ivf_index,
+    )
+    from hackmd_data_pipeline_spark.sources.fs import (
+        pointer_current,
+        pointer_publish,
+    )
+    from hackmd_data_pipeline_spark.streaming.annindex import (
+        maintain_ivf_index,
+    )
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    ptr = str(tmp_path / "ptr")
+    g0 = str(tmp_path / "prod_graph_index")
+    build_ivf_index(emb.filter(F.col("vec_id") < 100), g0, nlist=4)
+    pointer_publish(spark, ptr, g0)
+    for epoch in (0, 1):
+        upsert_ivf_index(emb.filter(F.col("vec_id") == 100 + epoch),
+                         pointer_current(spark, ptr), epoch_id=epoch)
+    r = maintain_ivf_index(spark, ptr, max_deltas=1)
+    assert r["compacted"]
+    assert r["current"] == str(tmp_path / "prod_graph_index_g1")
+    assert os.path.exists(r["current"] + "/centroids/_SUCCESS")
+    assert ivf_index_data(spark, r["current"]).count() == 102
+
+    # and a real _g<n> suffix is REPLACED, not stacked
+    for epoch in (0, 1):
+        upsert_ivf_index(emb.filter(F.col("vec_id") == 102 + epoch),
+                         pointer_current(spark, ptr), epoch_id=epoch)
+    r2 = maintain_ivf_index(spark, ptr, max_deltas=1)
+    assert r2["current"] == str(tmp_path / "prod_graph_index_g2")
