@@ -116,6 +116,10 @@ _FORCE_REGATE: frozenset = frozenset({
     # values identical by pinned-centroid construction, but the
     # builder's data path changed:
     "dedup_semantic_semdedup",
+    # r09: oracle SQL regenerated from the parameterized helper
+    # (oracle_helpers.exact_substring_oracle) — byte-identical by
+    # construction, but the oracle string changed:
+    "docs_exact_substring_dedup",
 })
 
 _GATE_COVERED = (_covered_from_artifacts() - _FORCE_REGATE) or _R01_COVERED

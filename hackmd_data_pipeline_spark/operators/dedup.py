@@ -891,6 +891,31 @@ def exact_substring_spans(df: DataFrame, id_col: str = "doc_id",
     strictly increasing, so overlap-with-union-so-far reduces to
     ``i - lag(i) <= k`` (lag(i) is the max previous position).
     """
+    t, w = span_hash_windows(df, id_col, text_col, k)
+    dup = (w.groupBy("h")
+           .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+           .filter(F.col("nd") >= 2))
+    pos = w.join(dup.select("h"), "h")
+    return dup_span_report(t, pos, id_col, k)
+
+
+def span_hash_windows(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      k: int = 32) -> tuple[DataFrame, DataFrame]:
+    """The span-hashing front half of ``exact_substring_spans``,
+    shared with the persisted span store (``dedup_store.commit_spans``
+    / ``incremental_spans``) so stored span hashes are definitionally
+    consistent with the ad-hoc audit. Returns ``(t, w)``: the per-doc
+    token frame ``id | toks | n_tokens`` (every non-empty doc) and the
+    window frame ``id | i | h`` — one row per k-token window position,
+    ``h`` the 8-byte xxhash64 of the space-joined span.
+
+    ``w`` is lazily lineage-truncated (``iter_checkpoint``): two
+    consumers (dup-hash agg + position join) would each re-run the
+    k-token slice+join+hash explode — the dominant cost — because the
+    agg side partial-aggregates before its exchange and ReuseExchange
+    can't unify the two shapes. LAZY, so no job runs at plan build
+    time (the r03 ADVICE lifecycle concern)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), "[ \\t\\n\\x0B\\f\\r]+")
     t = (df.filter(F.length(F.trim(text_col)) > 0)
          .select(F.col(id_col), toks.alias("toks"))
@@ -902,20 +927,20 @@ def exact_substring_spans(df: DataFrame, id_col: str = "doc_id",
          .select(id_col, "i",
                  F.xxhash64(F.array_join(F.slice("toks", F.col("i"), F.lit(k)),
                                          " ")).alias("h"))
-         # two consumers (dup-hash agg + position join) would each
-         # re-run the k-token slice+join+hash explode — the dominant
-         # cost — because the agg side partial-aggregates before its
-         # exchange and ReuseExchange can't unify the two shapes.
-         # LAZY localCheckpoint materializes the (id, i, h) rows once
-         # on first use (24 bytes/row — the span strings are already
-         # gone); lazy, unlike the eager form, runs no job at plan
-         # build time (the r03 ADVICE lifecycle concern).
          .transform(iter_checkpoint))
-    dup = (w.groupBy("h")
-           .agg(F.count_distinct(F.col(id_col)).alias("nd"))
-           .filter(F.col("nd") >= 2))
+    return t, w
+
+
+def dup_span_report(t: DataFrame, pos: DataFrame, id_col: str = "doc_id",
+                    k: int = 32) -> DataFrame:
+    """The interval-merge back half of ``exact_substring_spans``:
+    given the per-doc token frame ``t`` and the DUPLICATED window
+    positions ``pos`` (``id | i``), fuse consecutive-or-overlapping
+    positions (gap <= k) into maximal covered intervals and emit the
+    per-doc report ``(n_tokens, n_dup_spans, n_dup_tokens,
+    dup_fraction)`` for every doc in ``t`` (zeros when no dup span).
+    Shared by the ad-hoc audit and the incremental span-store form."""
     win = W.partitionBy(id_col).orderBy("i")
-    pos = w.join(dup.select("h"), "h")
     islands = (
         pos.withColumn(
             "brk",

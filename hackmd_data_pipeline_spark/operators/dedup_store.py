@@ -146,6 +146,89 @@ def commit_batch(batch: DataFrame, dest: str, epoch_id: int,
     sh.unpersist()
 
 
+def commit_spans(batch: DataFrame, dest: str, epoch_id: int,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 k: int = 32, out_partitions: int | None = None) -> None:
+    """GROW the persisted SPAN store by one batch (r08 VERDICT item
+    2): the batch's distinct ``(id, span-hash)`` rows land under
+    ``dest/spans/epoch=<n>`` in overwrite mode — the ``commit_batch``
+    posture applied to the Lee et al. exact-substring pipeline
+    (operators/dedup.py::exact_substring_spans), so cross-epoch
+    VERBATIM leakage is detectable per batch without ever rescanning
+    the corpus (before this, the span audit was a full-corpus
+    recompute per run — the one dedup family without an incremental
+    form).
+
+    Stored rows are ``(id, h)`` distinct-per-doc: the incremental read
+    side needs only per-hash distinct-doc counts, never stored
+    positions, so a doc repeating a span internally costs one stored
+    row and the store is ~8 bytes/hash + id — the span TEXT never
+    persists (the suffix-array stand-in stays hash-sized at 100 TB).
+    Epoch-keyed overwrite = replay-convergent (the streaming
+    discipline); ``epoch=-1`` stays reserved for ``compact_store``'s
+    folded generation, which compacts a ``spans`` table exactly like
+    shingles/signatures (tombstone anti-join applied)."""
+    from .dedup import span_hash_windows
+
+    if epoch_id < 0:
+        raise ValueError(f"epoch_id must be >= 0, got {epoch_id}")
+    _t, w = span_hash_windows(batch, id_col, text_col, k)
+    rows = w.select(id_col, "h").distinct()
+    if out_partitions is not None:
+        rows = rows.coalesce(out_partitions)
+    rows.write.mode("overwrite").parquet(f"{dest}/spans/epoch={epoch_id}")
+
+
+def incremental_spans(new_docs: DataFrame, dest: str,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      k: int = 32,
+                      broadcast_batch: bool = True) -> DataFrame:
+    """Per-NEW-doc duplicated-substring report against the persisted
+    span store AND the batch itself — the incremental form of
+    ``exact_substring_spans`` (r08 VERDICT item 2): identical output
+    schema/semantics for the batch docs as the full-corpus audit
+    (a k-token span is duplicated iff >= 2 distinct docs anywhere in
+    store ∪ batch contain it), per-batch cost O(batch spans), the
+    stored corpus never rescanned.
+
+    Scale shape (the ``incremental_pairs`` discipline): the batch's
+    per-hash distinct-doc counts aggregate map-side; the STORE's span
+    table STREAMS through a semi-join against the broadcast batch hash
+    set (store-side rows matching no batch span are never read past
+    the scan), then partial-aggregates to <= |batch hashes| count
+    rows. No broadcast scales with store size; ``broadcast_batch``
+    mirrors incremental_pairs' mega-batch escape hatch. Tombstoned
+    (``remove_docs``) ids' spans are excluded, so a deleted doc stops
+    witnessing duplication immediately.
+
+    Precondition (shared with the exact-id ingest skip): batch ids are
+    fresh — a doc present in both store and batch would be counted as
+    two distinct docs."""
+    from .dedup import dup_span_report, span_hash_windows
+
+    spark = new_docs.sparkSession
+    t, w = span_hash_windows(new_docs, id_col, text_col, k)
+    bh = w.groupBy("h").agg(F.count_distinct(F.col(id_col)).alias("n_new"))
+
+    stored = spark.read.parquet(dest + "/spans").select(id_col, "h")
+    dead = load_tombstones(spark, dest)
+    if dead is not None:
+        stored = stored.join(
+            F.broadcast(dead.select(F.col("id").alias(id_col))),
+            id_col, "left_anti")
+    probe = bh.select("h")
+    if broadcast_batch:
+        probe = F.broadcast(probe)
+    n_old = (stored.join(probe, "h", "left_semi")
+             .groupBy("h").agg(F.count_distinct(F.col(id_col)).alias("n_old")))
+
+    dup = (bh.join(n_old, "h", "left")
+           .filter(F.col("n_new") + F.coalesce(F.col("n_old"), F.lit(0)) >= 2)
+           .select("h"))
+    pos = w.join(F.broadcast(dup), "h")
+    return dup_span_report(t, pos, id_col, k)
+
+
 def compact_store(spark: SparkSession, src: str, dest: str,
                   target_file_bytes: int = 128 << 20) -> dict:
     """Fold an epoch-GROWN store (one ``epoch=<n>`` directory per
@@ -197,9 +280,8 @@ def compact_store(spark: SparkSession, src: str, dest: str,
 
     dead = load_tombstones(spark, src)
     out: dict = {}
-    tables = ["shingles", "signatures"]
-    if fs_exists(spark, src + "/spans"):
-        tables.append("spans")
+    tables = [t for t in ("shingles", "signatures", "spans")
+              if fs_exists(spark, f"{src}/{t}")]
     for table in tables:
         before = table_file_stats(spark, f"{src}/{table}")
         df = spark.read.parquet(f"{src}/{table}")
@@ -605,6 +687,21 @@ def remove_docs(ids: DataFrame, dest: str,
     dead_in.coalesce(1).write.mode("overwrite").parquet(
         f"{root}/tombstones/seq={nxt_t}")
     dead = spark.read.parquet(f"{root}/tombstones/seq={nxt_t}")
+
+    from ..sources.fs import fs_exists, fs_list_dirs
+
+    has_pairs = (fs_exists(spark, dest + "/pairs/_SUCCESS")
+                 or any(n.startswith("epoch=")
+                        for n in fs_list_dirs(spark, root + "/pair_deltas")))
+    if not has_pairs:
+        # pairless store (e.g. a spans-only or signatures-only ingest
+        # layout): the tombstone commit IS the whole deletion — every
+        # reader (incremental_pairs/incremental_spans/compact_store)
+        # excludes the ids from here on; there is no cluster stage to
+        # repair
+        return {"tombstone_seq": nxt_t, "seq": None,
+                "n_deleted": dead.count(),
+                "n_relabeled": 0, "n_retired": 0}
 
     base = load_clusters(spark, dest, delta_root=root)
     # detect-and-repair: every committed tombstone whose id still

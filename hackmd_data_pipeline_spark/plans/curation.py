@@ -268,33 +268,50 @@ _SD_NORM = (
     """,
 )
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023) semantic dedup over the embedding
-    table: quantizer cells -> within-cell cosine pairs (vectorized
-    per-cell kernel, never a cross-join) -> connected components ->
-    keep the group member FARTHEST from its cluster centroid.
+    """SemDeDup (Abbas et al. 2023) semantic dedup THROUGH the shared
+    persisted IVF index (r08 VERDICT item 3): quantizer cells ->
+    within-cell cosine pairs (vectorized per-cell kernel, never a
+    cross-join) -> connected components -> keep the group member
+    FARTHEST from its cluster centroid.
 
-    PROMOTED rows-only -> full oracle in r06 (the last clustering
-    holdout): the registry form injects a PINNED quantizer (the 16
-    lowest-id vectors, unit-normalized — the uuid/clock-pinning recipe
-    of ingest_history_record) so cell argmax, pair generation, CC and
-    the keep-farthest window are all deterministic, and DuckDB
-    restates the whole pipeline: fold-arithmetic cosine against the
-    same 16 centroids, ROW_NUMBER argmax (ties -> lowest cell, numpy
-    argmax's first-max rule), within-cell threshold pairs, recursive-
-    CTE transitive closure with MIN-label (the dedup_cc_clusters
-    pattern), and the keep-farthest window over the ROUNDED cosine.
-    The paper-faithful k-means default path stays the operator default
-    (property-tested in tests/test_similarity.py); what this entry
-    pins cross-engine is every downstream semantic given a quantizer.
+    r09 rebuilt the data path onto the deployment shape: the cells
+    come from ``ivf_index_data`` (the cell-partitioned index the kNN
+    joins already search — built once per dataset with the PINNED
+    quantizer injected, the rename-published cache artifact) and the
+    quantizer from ``load_ivf_centroids``, so no per-run training and
+    no standalone cell-assignment pass — SemDeDup reads the corpus
+    once from the index (operators/similarity.py::semdedup_from_index;
+    equality with the in-session operator under the same quantizer is
+    pinned in tests/test_similarity.py, and the in-session k-means
+    default stays the operator default for index-less callers).
+
+    The r06 oracle is unchanged — it pins every semantic given the
+    quantizer: fold-arithmetic cosine against the same 16 pinned
+    centroids (lowest-id vectors, unit-normalized), ROW_NUMBER argmax
+    (ties -> lowest cell, numpy argmax's first-max rule), within-cell
+    threshold pairs, recursive-CTE transitive closure with MIN-label,
+    keep-farthest window over the ROUNDED cosine. An index whose cell
+    assignment, delta resolution, or tombstone filter diverged would
+    hash-mismatch.
 
     Scale: pairwise work confined to cells; CC min-label propagation;
-    no full-corpus collect (pinned quantizer = bounded 16-row
-    TakeOrdered, same class as the capped k-means sample)."""
-    from ..operators.similarity import pinned_centroids, semdedup
+    no full-corpus collect (centroids = kilobyte driver read; the
+    pinned quantizer build = bounded 16-row TakeOrdered)."""
+    from ..operators.similarity import (
+        build_ivf_index,
+        pinned_centroids,
+        semdedup_from_index,
+    )
+    from .similarity import _ensure_index, _index_cache_path
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = pinned_centroids(emb, k=16)
-    return semdedup(emb, n_clusters=16, threshold=0.45, centroids=cents)
+    dest = _index_cache_path(sf_dir, "semdedup_pinned16")
+    _ensure_index(
+        emb, dest,
+        lambda df, p: build_ivf_index(df, p, nlist=16, centroids=cents),
+        ("data", "centroids"))
+    return semdedup_from_index(spark, dest, threshold=0.45)
 
 
 @query(
@@ -876,49 +893,12 @@ def docs_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .oracle_helpers import exact_substring_oracle  # noqa: E402
+
+
 @query(
     "docs_exact_substring_dedup",
-    oracle="""
-    WITH t AS (
-        SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
-        FROM documents WHERE LENGTH(TRIM(text)) > 0
-    ), sized AS (
-        SELECT doc_id, toks, len(toks) AS n_tokens FROM t
-    ), w AS (
-        SELECT doc_id, u.i AS i,
-               array_to_string(toks[u.i : u.i + 31], ' ') AS span
-        FROM sized, UNNEST(range(1, n_tokens - 30)) AS u(i)
-        WHERE n_tokens >= 32
-    ), dup AS (
-        SELECT span FROM w GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
-    ), pos AS (
-        SELECT w.doc_id, w.i FROM w JOIN dup USING (span)
-    ), flagged AS (
-        SELECT doc_id, i,
-               CASE WHEN LAG(i) OVER win IS NULL
-                    OR i - LAG(i) OVER win > 32 THEN 1 ELSE 0 END AS brk
-        FROM pos WINDOW win AS (PARTITION BY doc_id ORDER BY i)
-    ), grp AS (
-        SELECT doc_id, i,
-               SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
-                              ROWS UNBOUNDED PRECEDING) AS g
-        FROM flagged
-    ), islands AS (
-        SELECT doc_id, COUNT(DISTINCT g) AS n_dup_spans,
-               SUM(span_tokens) AS n_dup_tokens
-        FROM (SELECT doc_id, g, MAX(i) - MIN(i) + 32 AS span_tokens
-              FROM grp GROUP BY doc_id, g)
-        GROUP BY doc_id
-    )
-    SELECT s.doc_id,
-           CAST(s.n_tokens AS INT)                   AS n_tokens,
-           CAST(COALESCE(n_dup_spans, 0) AS BIGINT)  AS n_dup_spans,
-           CAST(COALESCE(n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
-           ROUND(CAST(COALESCE(n_dup_tokens, 0) AS DOUBLE) / s.n_tokens, 4)
-                                                     AS dup_fraction
-    FROM sized s LEFT JOIN islands ON islands.doc_id = s.doc_id
-    ORDER BY s.doc_id
-    """,
+    oracle=exact_substring_oracle(k=32),
 )
 def docs_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring audit (operators/dedup.py::

@@ -605,3 +605,57 @@ def km_pos_expr(h_col: str, i_expr: str, num_slots: int) -> str:
     return (f"CAST((({h_col} >> 32) + CAST({i_expr} AS UBIGINT) * "
             f"(({h_col} & CAST(4294967295 AS UBIGINT)) | CAST(1 AS UBIGINT))) "
             f"% CAST({num_slots} AS UBIGINT) AS BIGINT)")
+
+
+def exact_substring_oracle(k: int = 32, final_where: str = "") -> str:
+    """DuckDB restatement of operators/dedup.py::exact_substring_spans
+    (Lee et al. 2022 span audit): k-token windows grouped by SPAN TEXT
+    (so a Spark-side xxh64 collision would surface as a gate mismatch
+    rather than hide), >= 2 distinct docs => duplicated, per-doc
+    interval merge with exact union coverage. ``final_where`` filters
+    the REPORT rows only — duplication is always judged over the full
+    corpus — which is exactly the incremental-form contract
+    (dedup_incremental_spans: report the new batch, witness
+    everywhere)."""
+    return f"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
+        FROM documents WHERE LENGTH(TRIM(text)) > 0
+    ), sized AS (
+        SELECT doc_id, toks, len(toks) AS n_tokens FROM t
+    ), w AS (
+        SELECT doc_id, u.i AS i,
+               array_to_string(toks[u.i : u.i + {k - 1}], ' ') AS span
+        FROM sized, UNNEST(range(1, n_tokens - {k - 2})) AS u(i)
+        WHERE n_tokens >= {k}
+    ), dup AS (
+        SELECT span FROM w GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+    ), pos AS (
+        SELECT w.doc_id, w.i FROM w JOIN dup USING (span)
+    ), flagged AS (
+        SELECT doc_id, i,
+               CASE WHEN LAG(i) OVER win IS NULL
+                    OR i - LAG(i) OVER win > {k} THEN 1 ELSE 0 END AS brk
+        FROM pos WINDOW win AS (PARTITION BY doc_id ORDER BY i)
+    ), grp AS (
+        SELECT doc_id, i,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                              ROWS UNBOUNDED PRECEDING) AS g
+        FROM flagged
+    ), islands AS (
+        SELECT doc_id, COUNT(DISTINCT g) AS n_dup_spans,
+               SUM(span_tokens) AS n_dup_tokens
+        FROM (SELECT doc_id, g, MAX(i) - MIN(i) + {k} AS span_tokens
+              FROM grp GROUP BY doc_id, g)
+        GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.n_tokens AS INT)                   AS n_tokens,
+           CAST(COALESCE(n_dup_spans, 0) AS BIGINT)  AS n_dup_spans,
+           CAST(COALESCE(n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+           ROUND(CAST(COALESCE(n_dup_tokens, 0) AS DOUBLE) / s.n_tokens, 4)
+                                                     AS dup_fraction
+    FROM sized s LEFT JOIN islands ON islands.doc_id = s.doc_id
+    {final_where}
+    ORDER BY s.doc_id
+    """

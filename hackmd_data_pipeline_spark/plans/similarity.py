@@ -356,6 +356,72 @@ def dedup_store_commit_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("id_a", "id_b"))
 
 
+def _ensure_warm_span_store(stored, dest: str, k: int = 32) -> None:
+    """Build the shared warm SPAN store once per dataset, publish-by-
+    rename (the _ensure_warm_store recipe applied to commit_spans):
+    the stored corpus lands as one epoch-0 span-hash generation."""
+    import os
+
+    from ..operators.dedup_store import commit_spans
+
+    def complete(path: str) -> bool:
+        return os.path.exists(os.path.join(path, "spans", "epoch=0",
+                                           "_SUCCESS"))
+
+    if complete(dest):
+        return
+    stage = f"{dest}.build_p{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    commit_spans(stored, stage, epoch_id=0, k=k, out_partitions=8)
+    try:
+        os.rename(stage, dest)
+    except OSError:
+        if complete(dest):
+            shutil.rmtree(stage, ignore_errors=True)
+        else:
+            shutil.rmtree(dest, ignore_errors=True)
+            os.rename(stage, dest)
+
+
+from .oracle_helpers import exact_substring_oracle  # noqa: E402
+
+
+@query(
+    "dedup_incremental_spans",
+    oracle=exact_substring_oracle(
+        k=32, final_where="WHERE s.doc_id % 4 = 0"),
+)
+def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL exact-substring dedup against a persisted span
+    store (r08 VERDICT item 2) — the Lee et al. verbatim-leakage audit
+    in the form a continuously-ingesting pipeline runs: the stored
+    corpus (doc_id % 4 != 0) is committed ONCE as distinct
+    (id, span-hash) rows (operators/dedup_store.py::commit_spans, the
+    commit_batch posture; warm per-dataset cache like
+    dedup_incremental_batch); per batch (doc_id % 4 == 0),
+    ``incremental_spans`` joins the batch's span hashes against the
+    store — batch hashes broadcast, the store STREAMS through a
+    semi-join and partial-aggregates to per-hash doc counts — and
+    emits the per-new-doc duplicated-span report. Cross-epoch verbatim
+    leakage is caught per batch; before this the span audit was a
+    full-corpus rescan per run.
+
+    Fully oracled: duplication semantics over store ∪ batch equal the
+    full-corpus audit's by construction (distinct-doc counts
+    partition by side), so the oracle is the docs_exact_substring_dedup
+    SQL — span TEXT grouping, so a Spark-side xxh64 collision would
+    trip the gate — with the REPORT filtered to the batch docs.
+    SCALE.md records the fixed-batch 1x/10x/100x store sweep."""
+    from ..operators.dedup_store import incremental_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    stored = d.filter(F.col("doc_id") % 4 != 0)
+    new_batch = d.filter(F.col("doc_id") % 4 == 0)
+    dest = _store_cache_path(sf_dir, "spans_warm")
+    _ensure_warm_span_store(stored, dest, k=32)
+    return incremental_spans(new_batch, dest, k=32).orderBy("doc_id")
+
+
 from .oracle_helpers import minhash_cluster_oracle as _cluster_oracle  # noqa: E402
 
 

@@ -93,3 +93,113 @@ def test_adjacent_islands_merge(spark):
            for r in exact_substring_spans(df, k=8).collect()}
     assert out[10]["n_dup_spans"] == 1
     assert out[10]["n_dup_tokens"] == 12
+
+
+# --------------------------- persisted span store (r09, VERDICT item 2)
+
+
+def test_incremental_spans_equal_full_corpus_restricted(spark, tmp_path):
+    """The incremental identity contract (the dedup_incremental_store
+    recipe): commit the stored half's span hashes once, then the
+    batch's incremental report must equal the FULL-corpus audit
+    restricted to batch docs — duplication witnessed across the
+    store/batch boundary, inside the store, and inside the batch
+    alike."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        commit_spans, incremental_spans)
+    from hackmd_data_pipeline_spark.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    d = load_table(spark, SF_CORRECT, "documents").select("doc_id", "text")
+    stored = d.filter(F.col("doc_id") % 4 != 0)
+    batch = d.filter(F.col("doc_id") % 4 == 0)
+    dest = str(tmp_path / "spanstore")
+    commit_spans(stored, dest, epoch_id=0)
+
+    inc = {r.doc_id: (r.n_tokens, r.n_dup_spans, r.n_dup_tokens,
+                      r.dup_fraction)
+           for r in incremental_spans(batch, dest).collect()}
+    full = {r.doc_id: (r.n_tokens, r.n_dup_spans, r.n_dup_tokens,
+                       r.dup_fraction)
+            for r in exact_substring_spans(d).collect()
+            if r.doc_id % 4 == 0}
+    assert inc == full and len(inc) > 0
+
+
+def test_span_store_planted_cross_epoch_leak(spark, tmp_path):
+    """The deployment scenario the store exists for: an epoch-1 batch
+    doc quoting an epoch-0 stored doc VERBATIM is flagged without any
+    store rescan; a clean batch doc is not; a batch-internal dup pair
+    is caught too; and epoch commits are replay-idempotent."""
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        commit_spans, incremental_spans)
+
+    leak = _words("L", 10)
+    store_docs = spark.createDataFrame(
+        [(1, _words("a", 10) + " " + leak + " " + _words("b", 10))],
+        "doc_id long, text string")
+    dest = str(tmp_path / "spanstore")
+    commit_spans(store_docs, dest, epoch_id=0, k=K)
+    # replayed commit converges (overwrite, not append)
+    commit_spans(store_docs, dest, epoch_id=0, k=K)
+    n0 = spark.read.parquet(dest + "/spans").count()
+    commit_spans(store_docs, dest, epoch_id=0, k=K)
+    assert spark.read.parquet(dest + "/spans").count() == n0
+
+    twin = _words("T", 9)
+    batch = spark.createDataFrame(
+        [(10, _words("x", 6) + " " + leak + " " + _words("y", 6)),
+         (11, _words("q", 30)),
+         (12, twin + " " + _words("u", 8)),
+         (13, twin + " " + _words("v", 8))],
+        "doc_id long, text string")
+    got = {r.doc_id: r.asDict()
+           for r in incremental_spans(batch, dest, k=K).collect()}
+    assert got[10]["n_dup_tokens"] == 10 and got[10]["n_dup_spans"] == 1
+    assert got[11]["n_dup_tokens"] == 0
+    assert got[12]["n_dup_tokens"] == 9 and got[13]["n_dup_tokens"] == 9
+
+    # growing the store by the batch epoch makes a LATER quoting batch
+    # see it (the cross-epoch lifecycle)
+    commit_spans(batch, dest, epoch_id=1, k=K)
+    later = spark.createDataFrame(
+        [(20, twin + " " + _words("w", 3))], "doc_id long, text string")
+    got2 = incremental_spans(later, dest, k=K).collect()[0]
+    assert got2.n_dup_tokens == 9
+
+
+def test_span_store_tombstone_and_compaction(spark, tmp_path):
+    """remove_docs excludes a deleted doc's spans from witnessing
+    immediately, and compact_store folds the spans table physically
+    (deleted rows gone, one generation)."""
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        commit_spans, compact_store, incremental_spans, remove_docs)
+
+    leak = _words("L", 10)
+    store_docs = spark.createDataFrame(
+        [(1, _words("a", 10) + " " + leak),
+         (2, _words("c", 30))],
+        "doc_id long, text string")
+    dest = str(tmp_path / "spanstore")
+    commit_spans(store_docs, dest, epoch_id=0, k=K)
+
+    batch = spark.createDataFrame(
+        [(10, leak + " " + _words("y", 6))], "doc_id long, text string")
+    assert incremental_spans(batch, dest, k=K).collect()[0].n_dup_tokens == 10
+
+    remove_docs(spark.createDataFrame([(1,)], "id long"), dest)
+    assert incremental_spans(batch, dest, k=K).collect()[0].n_dup_tokens == 0
+
+    folded = str(tmp_path / "folded")
+    stats = compact_store(spark, dest, folded)
+    assert "spans" in stats
+    rows = spark.read.parquet(folded + "/spans")
+    assert rows.filter(F.col("doc_id") == 1).count() == 0
+    assert rows.filter(F.col("doc_id") == 2).count() > 0
+    assert incremental_spans(batch, folded, k=K).collect()[0].n_dup_tokens == 0

@@ -757,3 +757,52 @@ def test_quantizer_drift_flags_skewed_upserts(spark, tmp_path):
     high = quantizer_drift(spark, idx)
     assert high["l1_drift"] > low["l1_drift"]
     assert high["max_delta_cell_share"] > 0.5, high
+
+
+def test_semdedup_from_index_equals_in_session(spark, tmp_path):
+    """SemDeDup through the persisted IVF index (r09, VERDICT item 3)
+    must equal the in-session operator under the SAME quantizer —
+    cell assignment, centroid cosine, pair groups, keep-farthest —
+    and must see upserted vectors while excluding tombstoned ones."""
+    import numpy as np
+
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        pinned_centroids,
+        remove_vectors,
+        semdedup,
+        semdedup_from_index,
+        upsert_ivf_index,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(60)]
+    # planted dup pair so is_kept has real discrimination
+    base = np.asarray(rows[0][1])
+    rows.append((100, [float(x) for x in base + 1e-4]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cents = pinned_centroids(emb, k=4)
+    idx = str(tmp_path / "idx")
+    build_ivf_index(emb, idx, nlist=4, centroids=cents)
+
+    via_index = semdedup_from_index(spark, idx, threshold=0.9).collect()
+    in_session = semdedup(emb, threshold=0.9, centroids=cents).collect()
+    assert via_index == in_session
+
+    # upserted vectors join the semantic-dedup view...
+    extra = spark.createDataFrame(
+        [(200, [float(x) for x in base - 1e-4])],
+        "vec_id long, embedding array<double>")
+    upsert_ivf_index(extra, idx, epoch_id=0)
+    grown = {r.vec_id: r for r in
+             semdedup_from_index(spark, idx, threshold=0.9).collect()}
+    assert 200 in grown
+    assert grown[200].cluster_id == grown[0].cluster_id == grown[100].cluster_id
+    assert sum(grown[i].is_kept for i in (0, 100, 200)) == 1
+
+    # ...and tombstoned ones leave it
+    remove_vectors(spark.createDataFrame([(100,)], "vec_id long"), idx)
+    pruned = {r.vec_id for r in
+              semdedup_from_index(spark, idx, threshold=0.9).collect()}
+    assert 100 not in pruned and 200 in pruned
