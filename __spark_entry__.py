@@ -120,6 +120,14 @@ _FORCE_REGATE: frozenset = frozenset({
     # (oracle_helpers.exact_substring_oracle) — byte-identical by
     # construction, but the oracle string changed:
     "docs_exact_substring_dedup",
+    # r09: ivf_index_data gained as_of_epoch/as_of_seq time-travel
+    # params (default None = previous behavior) — the shared read
+    # path of every index search changed, so the four kNN entries
+    # re-enter the window:
+    "sim_knn_join_ivf",
+    "sim_knn_join_ivfpq",
+    "sim_knn_join_ivf_upsert",
+    "sim_knn_join_ivfpq_upsert",
 })
 
 _GATE_COVERED = (_covered_from_artifacts() - _FORCE_REGATE) or _R01_COVERED

@@ -540,21 +540,40 @@ def remove_vectors(ids: DataFrame, index_path: str,
 
 
 def ivf_index_data(spark: SparkSession, index_path: str,
-                   delta_root: str | None = None) -> DataFrame:
+                   delta_root: str | None = None,
+                   as_of_epoch: int | None = None,
+                   as_of_seq: int | None = None) -> DataFrame:
     """The index's data table: flat base ∪ committed upsert deltas,
     MINUS any ``remove_vectors`` tombstoned ids (a deleted vector
     must stop being retrievable the moment its tombstone commits —
     the anti-join is skipped entirely until the first deletion). A
     filter on ``cell`` pushes through the union into EVERY child
     scan's PartitionFilters, so delta generations prune exactly like
-    the base (plan-asserted in tests/test_physical_plans.py)."""
+    the base (plan-asserted in tests/test_physical_plans.py).
+
+    ``as_of_epoch`` / ``as_of_seq`` are TIME TRAVEL over the two
+    generation timelines (r08 VERDICT item 4 — the
+    ``load_clusters(as_of_seq=...)`` twin for the retrieval surface):
+    resolve upsert deltas up to ``as_of_epoch`` only (-1 = the base
+    generation alone) and deletion tombstones up to ``as_of_seq``
+    only (-1 = none applied), reproducing the exact searchable set
+    after any past upsert or deletion — the compliance-audit read
+    ("what could this query retrieve last Tuesday?"), free because
+    both delta families are append-only committed generations.
+    ``None`` (the default) means latest for both. Compaction folds
+    history away; travel reaches only as far back as the oldest
+    un-compacted generation."""
     root = delta_root or index_path
     df = spark.read.parquet(index_path + "/data")
     for e in ivf_delta_epochs(spark, root):
+        if as_of_epoch is not None and e > as_of_epoch:
+            continue
         df = df.unionByName(
             spark.read.parquet(f"{root}/deltas/epoch={e}")
             .select(*df.columns))
     tseqs = ivf_tombstone_seqs(spark, root)
+    if as_of_seq is not None:
+        tseqs = [s for s in tseqs if s <= as_of_seq]
     if tseqs:
         id_col = df.columns[0]
         dead = spark.read.parquet(f"{root}/tombstones/seq={tseqs[0]}")

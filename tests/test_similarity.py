@@ -806,3 +806,49 @@ def test_semdedup_from_index_equals_in_session(spark, tmp_path):
     pruned = {r.vec_id for r in
               semdedup_from_index(spark, idx, threshold=0.9).collect()}
     assert 100 not in pruned and 200 in pruned
+
+
+def test_ivf_index_time_travel(spark, tmp_path):
+    """as_of_epoch / as_of_seq reproduce the exact searchable set
+    after any past upsert or deletion (r09, VERDICT item 4 — the
+    load_clusters(as_of_seq) twin): -1 = base-only / no deletions,
+    None = latest, and the two timelines compose."""
+    import numpy as np
+
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_index_data,
+        remove_vectors,
+        upsert_ivf_index,
+    )
+
+    rng = np.random.default_rng(5)
+
+    def vecs(lo, hi):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in rng.normal(size=8)])
+             for i in range(lo, hi)],
+            "vec_id long, embedding array<double>")
+
+    idx = str(tmp_path / "idx")
+    build_ivf_index(vecs(0, 20), idx, nlist=4)          # base: 0..19
+    upsert_ivf_index(vecs(20, 30), idx, epoch_id=0)     # epoch 0: 20..29
+    remove_vectors(spark.createDataFrame([(3,)], "vec_id long"), idx)  # seq 0
+    upsert_ivf_index(vecs(30, 35), idx, epoch_id=1)     # epoch 1: 30..34
+    remove_vectors(spark.createDataFrame([(25,)], "vec_id long"), idx)  # seq 1
+
+    def ids(**kw):
+        return {r.vec_id for r in
+                ivf_index_data(spark, idx, **kw).select("vec_id").collect()}
+
+    full = set(range(35)) - {3, 25}
+    assert ids() == full                                         # latest
+    assert ids(as_of_epoch=-1, as_of_seq=-1) == set(range(20))   # at build
+    assert ids(as_of_epoch=0, as_of_seq=-1) == set(range(30))    # after upsert 0
+    assert ids(as_of_epoch=0, as_of_seq=0) == set(range(30)) - {3}
+    assert ids(as_of_epoch=1, as_of_seq=0) == set(range(35)) - {3}
+    assert ids(as_of_epoch=1, as_of_seq=1) == full
+    # timelines are independent: deletions can be replayed against an
+    # older index state and vice versa
+    assert ids(as_of_epoch=-1, as_of_seq=None) == set(range(20)) - {3, 25}
+    assert ids(as_of_epoch=None, as_of_seq=0) == set(range(35)) - {3}
