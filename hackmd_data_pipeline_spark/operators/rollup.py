@@ -383,7 +383,12 @@ def _compact_generic(spark: SparkSession, dest: str, read_fn) -> dict:
     new_gen = gen + 1
     merged.write.mode("overwrite").parquet(f"{dest}/gen-{new_gen}/data")
     all_epochs = sorted(absorbed | set(pending))
-    (spark.createDataFrame([(e,) for e in all_epochs], "epoch long")
+    from ..session import arrow_local_df
+
+    # Arrow local relation: plain createDataFrame + coalesce(1) pays
+    # ~0.2 s per Python partition sequentially (session.arrow_local_df)
+    (arrow_local_df(spark, {"epoch": [int(e) for e in all_epochs]},
+                    "epoch long")
      .coalesce(1).write.mode("overwrite")
      .parquet(f"{dest}/gen-{new_gen}/epochs"))
     fs_write_text(spark, dest + "/_current", f"gen-{new_gen}")

@@ -277,9 +277,7 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         assign_cells, schema=out_schema)
 
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
-        "cell int, centroid array<double>")
+    cent_df = _centroid_df(spark, cents)
 
     # nprobe nearest cells per query (query set and centroids are tiny)
     qc = (
@@ -433,10 +431,8 @@ def build_ivf_index(corpus: DataFrame, dest: str, nlist: int = 16,
      .write.partitionBy("cell").mode("overwrite").parquet(dest + "/data"))
 
     spark = corpus.sparkSession
-    spark.createDataFrame(
-        [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
-        "cell int, centroid array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(dest + "/centroids")
+    (_centroid_df(spark, cents)
+     .coalesce(1).write.mode("overwrite").parquet(dest + "/centroids"))
 
 
 def load_ivf_centroids(spark: SparkSession, index_path: str):
@@ -1090,8 +1086,15 @@ def ivfpq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
 
 def _centroid_df(spark: SparkSession, cents) -> DataFrame:
-    return spark.createDataFrame(
-        [(int(i), [float(v) for v in c]) for i, c in enumerate(cents)],
+    # Arrow local relation (session.arrow_local_df): a plain
+    # createDataFrame + coalesce(1) write costs ~5-6 s for 16 rows on
+    # local[32] (sequential Python partition evaluation, r09)
+    from ..session import arrow_local_df
+
+    return arrow_local_df(
+        spark,
+        {"cell": [int(i) for i in range(len(cents))],
+         "centroid": [[float(v) for v in c] for c in cents]},
         "cell int, centroid array<double>")
 
 
@@ -1255,9 +1258,14 @@ def build_ivfpq_index(corpus: DataFrame, dest: str, nlist: int = 16,
     spark = corpus.sparkSession
     _centroid_df(spark, cents).coalesce(1).write.mode("overwrite").parquet(
         dest + "/centroids")
-    spark.createDataFrame(
-        [(j, int(c), [float(v) for v in books[j][c]])
-         for j in range(len(books)) for c in range(len(books[j]))],
+    from ..session import arrow_local_df
+
+    arrow_local_df(
+        spark,
+        {"j": [j for j in range(len(books)) for _ in books[j]],
+         "code": [int(c) for j in range(len(books)) for c in range(len(books[j]))],
+         "vec": [[float(v) for v in books[j][c]]
+                 for j in range(len(books)) for c in range(len(books[j]))]},
         "j int, code int, vec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(dest + "/codebooks")
 
