@@ -200,3 +200,74 @@ def test_cluster_maintained_ingest_resolve_never_stale(spark, tmp_path):
     c3 = run_cluster_maintained_ingest(spark, docs_in, out_root, ckpt, store)
     assert c3["ingested"] == 0
     assert resolve() == before
+
+
+def _tok(tag, n):
+    return " ".join(f"{tag}{j}" for j in range(n))
+
+
+def _doc(template, did, text):
+    return (template.withColumn("doc_id", F.lit(did).cast("long"))
+            .withColumn("text", F.lit(text)))
+
+
+def test_span_ingest_stream_drops_verbatim_leaks(spark, tmp_path):
+    """Streaming exact-substring ingest (r09): a doc that mostly
+    verbatim-quotes already-ingested text is dropped at the door
+    (dup_fraction > threshold), cross-epoch quotes are caught against
+    the persisted span store, DROPPED docs never poison the store,
+    short docs pass, repeated ids skip via the bounded id ledger, and
+    the checkpoint makes re-drains no-ops."""
+    from hackmd_data_pipeline_spark.streaming.neardup import run_span_ingest
+
+    docs_in = str(tmp_path / "in")
+    out_root = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "spanstore")
+    tpl = (load_table(spark, SF_CORRECT, "documents")
+           .filter(F.col("doc_id") == 0).limit(1))
+
+    A = _tok("a", 30)
+    B = _tok("b", 30)
+    drop1 = _doc(tpl, 1, A).unionByName(_doc(tpl, 2, B))
+    _write_drop(drop1, docs_in)
+    c1 = run_span_ingest(spark, docs_in, out_root, ckpt, store, k=8,
+                         max_dup_fraction=0.5)
+    assert c1 == {"kept": 2, "dropped_dup": 0, "skipped_ids": 0}
+
+    a_toks, b_toks = A.split(), B.split()
+    C = " ".join(a_toks[:16] + [f"c{j}" for j in range(14)])   # 16/30 > 0.5
+    D = " ".join(b_toks[:8] + [f"d{j}" for j in range(22)])    # 8/30 <= 0.5
+    E_repeat_id = _doc(tpl, 1, _tok("e", 30))                  # id 1 again
+    S = "one two three"                                        # < k tokens
+    drop2 = (_doc(tpl, 3, C).unionByName(_doc(tpl, 4, D))
+             .unionByName(E_repeat_id)
+             .unionByName(_doc(tpl, 6, _tok("f", 30)))
+             .unionByName(_doc(tpl, 9, S)))
+    _write_drop(drop2, docs_in)
+    c2 = run_span_ingest(spark, docs_in, out_root, ckpt, store, k=8,
+                         max_dup_fraction=0.5)
+    assert c2 == {"kept": 3, "dropped_dup": 1, "skipped_ids": 1}
+    corpus_ids = {r.doc_id for r in
+                  spark.read.parquet(out_root + "/corpus")
+                  .select("doc_id").collect()}
+    assert corpus_ids == {1, 2, 4, 6, 9}
+
+    # epoch 3: G quotes F (committed LAST epoch -> caught cross-epoch);
+    # H quotes only the unique tail of the DROPPED doc C -> C's spans
+    # never entered the store, so H is kept
+    G = " ".join(_tok("f", 30).split()[:16] + [f"g{j}" for j in range(14)])
+    H = " ".join([f"c{j}" for j in range(14)] + [f"h{j}" for j in range(16)])
+    _write_drop(_doc(tpl, 7, G).unionByName(_doc(tpl, 8, H)), docs_in)
+    c3 = run_span_ingest(spark, docs_in, out_root, ckpt, store, k=8,
+                         max_dup_fraction=0.5)
+    assert c3 == {"kept": 1, "dropped_dup": 1, "skipped_ids": 0}
+    corpus_ids = {r.doc_id for r in
+                  spark.read.parquet(out_root + "/corpus")
+                  .select("doc_id").collect()}
+    assert 8 in corpus_ids and 7 not in corpus_ids
+
+    # checkpointed re-drain: nothing to do
+    c4 = run_span_ingest(spark, docs_in, out_root, ckpt, store, k=8,
+                         max_dup_fraction=0.5)
+    assert c4 == {"kept": 0, "dropped_dup": 0, "skipped_ids": 0}
