@@ -280,7 +280,9 @@ def compact_store(spark: SparkSession, src: str, dest: str,
 
     dead = load_tombstones(spark, src)
     out: dict = {}
-    tables = [t for t in ("shingles", "signatures", "spans")
+    # "docs" is the span-ingest stream's id ledger (run_span_ingest):
+    # a compacted span store without it would re-admit every id
+    tables = [t for t in ("shingles", "signatures", "spans", "docs")
               if fs_exists(spark, f"{src}/{t}")]
     for table in tables:
         before = table_file_stats(spark, f"{src}/{table}")

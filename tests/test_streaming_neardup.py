@@ -271,3 +271,39 @@ def test_span_ingest_stream_drops_verbatim_leaks(spark, tmp_path):
     c4 = run_span_ingest(spark, docs_in, out_root, ckpt, store, k=8,
                          max_dup_fraction=0.5)
     assert c4 == {"kept": 0, "dropped_dup": 0, "skipped_ids": 0}
+
+
+def test_span_ingest_store_compacts_with_ledger(spark, tmp_path):
+    """compact_store folds a span-ingest store (spans + docs ledger)
+    into one generation, and the stream continues against the folded
+    store WITHOUT re-admitting already-ingested ids (the ledger
+    survives compaction)."""
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        compact_store)
+    from hackmd_data_pipeline_spark.streaming.neardup import run_span_ingest
+
+    docs_in = str(tmp_path / "in")
+    out_root = str(tmp_path / "out")
+    store = str(tmp_path / "spanstore")
+    tpl = (load_table(spark, SF_CORRECT, "documents")
+           .filter(F.col("doc_id") == 0).limit(1))
+    for i, did in enumerate((1, 2)):
+        _write_drop(_doc(tpl, did, _tok(f"t{did}_", 30)), docs_in)
+        run_span_ingest(spark, docs_in, out_root,
+                        str(tmp_path / "ckpt"), store, k=8)
+
+    folded = str(tmp_path / "folded")
+    stats = compact_store(spark, store, folded)
+    assert "spans" in stats and "docs" in stats
+    ledger = spark.read.parquet(folded + "/docs")
+    assert {r.doc_id for r in ledger.select("doc_id").collect()} == {1, 2}
+
+    # fresh checkpoint over the folded store: replayed drops skip via
+    # the compacted ledger; a quoting doc is still caught
+    leak = " ".join(_tok("t1_", 30).split()[:16] + ["z%d" % j
+                                                    for j in range(14)])
+    _write_drop(_doc(tpl, 5, leak), docs_in)
+    c = run_span_ingest(spark, docs_in, out_root + "2",
+                        str(tmp_path / "ckpt2"), folded, k=8,
+                        max_dup_fraction=0.5)
+    assert c == {"kept": 0, "dropped_dup": 1, "skipped_ids": 2}
