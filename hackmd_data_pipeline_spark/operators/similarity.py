@@ -704,7 +704,9 @@ def ivf_search_index(spark: SparkSession, index_path: str, queries: DataFrame,
                      k: int = 10, nprobe: int = 4,
                      id_col: str = "vec_id", vec_col: str = "embedding",
                      query_id_col: str = "query_id",
-                     delta_root: str | None = None) -> DataFrame:
+                     delta_root: str | None = None,
+                     as_of_epoch: int | None = None,
+                     as_of_seq: int | None = None) -> DataFrame:
     """Top-k cosine search against a persisted IVF index.
 
     Probed cells arrive as an IN-list filter on the partition column,
@@ -717,12 +719,18 @@ def ivf_search_index(spark: SparkSession, index_path: str, queries: DataFrame,
     (``probe_cells``), MATERIALIZED once (localCheckpoint) so the
     pruning collect and the candidate join share it instead of
     recomputing the batch x centroid pass twice.
+
+    ``as_of_epoch`` / ``as_of_seq`` pass through to ``ivf_index_data``
+    — a time-travel SEARCH over any past index state (r09): "what
+    could this query retrieve before upsert N / deletion M", the
+    executable form of the compliance-audit read.
     """
     cents = load_ivf_centroids(spark, index_path)
     probe = probe_cells(queries, cents, nprobe, query_id_col,
                         vec_col).localCheckpoint(eager=True)
     cells = [int(r.cell) for r in probe.select("cell").distinct().collect()]
-    data = (ivf_index_data(spark, index_path, delta_root=delta_root)
+    data = (ivf_index_data(spark, index_path, delta_root=delta_root,
+                           as_of_epoch=as_of_epoch, as_of_seq=as_of_seq)
             .filter(F.col("cell").isin(cells)))   # -> partition pruning
     scored = (
         data.withColumn("_cvec", _as_double(F.col(vec_col)))

@@ -422,6 +422,41 @@ def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_spans(new_batch, dest, k=32).orderBy("doc_id")
 
 
+@query(
+    "dedup_span_commit_cycle",
+    oracle=exact_substring_oracle(
+        k=32, final_where="WHERE s.doc_id % 4 = 0"),
+)
+def dedup_span_commit_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span store's GROW-BY-COMMIT lifecycle, value-checked (the
+    dedup_store_commit_cycle recipe applied to exact-substring dedup,
+    r09): the store is grown by three epoch-keyed ``commit_spans``
+    calls (% 4 == 1, 2, 3 — the exact code ``run_span_ingest``'s
+    foreachBatch runs), then the % 4 == 0 batch's duplicated-span
+    report is computed against the grown store via
+    ``incremental_spans``.
+
+    Same oracle as dedup_incremental_spans (output is epoch-structure
+    independent by construction) — but here a broken COMMIT is what
+    would trip it: a missing epoch's span hashes would silently erase
+    every duplication witnessed only by that epoch's docs, shrinking
+    dup counts and mismatching the hash. Together the two entries
+    gate build-once (warm store) and grow-by-commit — the span
+    store's whole persistence surface. Cycle store rebuilt per run at
+    a wiped pid-keyed path (honest composed cost; epoch overwrites
+    make a crashed run's replay converge)."""
+    from ..operators.dedup_store import commit_spans, incremental_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    dest = _store_cache_path(sf_dir, "spancycle")
+    shutil.rmtree(dest, ignore_errors=True)
+    for epoch, residue in enumerate((1, 2, 3)):
+        commit_spans(d.filter(F.col("doc_id") % 4 == residue), dest, epoch,
+                     out_partitions=4)
+    return (incremental_spans(d.filter(F.col("doc_id") % 4 == 0), dest)
+            .orderBy("doc_id"))
+
+
 from .oracle_helpers import minhash_cluster_oracle as _cluster_oracle  # noqa: E402
 
 
@@ -1009,6 +1044,52 @@ def sim_knn_join_ivfpq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = ivfpq_search_index(spark, dest, batch, corpus=stored, k=10,
                              nprobe=6, refine=4, delta_root=droot)
     return _ann_recall_frame(exact, ann, bound=0.60)
+
+
+@query("sim_knn_join_ivf_asof",
+       oracle=_exact_topk_sql(where_q="vec_id % 4 = 0",
+                              where_c="e.vec_id % 4 IN (1, 2)"))
+def sim_knn_join_ivf_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-TRAVEL search hash-gated on the data path (r09, the
+    driver-facing form of VERDICT item 4): the shared cached base
+    index holds %4 ∈ {1,2}; per run, the %4 == 3 batch is UPSERTED as
+    an epoch-0 delta AND every 5th base vector is tombstoned
+    (``remove_vectors``) — then the %4 == 0 batch searches with
+    ``as_of_epoch=-1, as_of_seq=-1``: the state BEFORE either
+    mutation. Ground truth is the exact top-10 over the BASE
+    generation only, so the gate trips in both failure directions: a
+    leaked delta displaces base neighbors (contamination ~1/3 of the
+    searchable set), and a leaked tombstone erases ~20% of true
+    hits — either craters recall through the floor: measured
+    leaky-world recall is 0.523 / 0.546 / 0.511 vs the correct
+    0.682 / 0.694 / 0.680 at sf0.001/0.01/0.1 (seed-pinned base
+    quantizer), so the 0.60 floor separates the two worlds with
+    margin on both sides. The audit read costs what a CURRENT read
+    costs: generation filters, no extra scans."""
+    from ..operators.similarity import (
+        brute_force_topk_blocked,
+        ivf_search_index,
+        remove_vectors,
+        upsert_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter((F.col("vec_id") % 4).isin(1, 2))
+    late = emb.filter(F.col("vec_id") % 4 == 3)
+    batch = emb.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    dest = _index_cache_path(sf_dir, "knn_ivf16_b12")
+    _ensure_ivf_index(base, dest, nlist=16)
+    droot = _upsert_delta_root(sf_dir, "knn_ivf16_b12_asof")
+    shutil.rmtree(droot, ignore_errors=True)
+    upsert_ivf_index(late, dest, epoch_id=0, delta_root=droot,
+                     out_partitions=4)
+    remove_vectors(base.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
+                   dest, delta_root=droot)
+    exact_base = brute_force_topk_blocked(base, batch, k=10)
+    ann = ivf_search_index(spark, dest, batch, k=10, nprobe=6,
+                           delta_root=droot, as_of_epoch=-1, as_of_seq=-1)
+    return _ann_recall_frame(exact_base, ann, bound=0.60)
 
 
 @query("sim_knn_join_pointer_cycle",
