@@ -179,6 +179,8 @@ _BNLJ_OK = {
     "sim_knn_join_ivfpq",          # 1-row corpus-recall scalar cross join
     "sim_knn_join_ivf_upsert",     # 1-row corpus-recall scalar cross join
     "sim_knn_join_ivfpq_upsert",   # 1-row corpus-recall scalar cross join
+    "sim_knn_join_pointer_cycle",  # 1-row corpus-recall scalar cross join (r09)
+    "sim_knn_join_ivf_asof",       # 1-row corpus-recall scalar cross join (r09)
 }
 
 
