@@ -182,7 +182,8 @@ def commit_spans(batch: DataFrame, dest: str, epoch_id: int,
 def incremental_spans(new_docs: DataFrame, dest: str,
                       id_col: str = "doc_id", text_col: str = "text",
                       k: int = 32,
-                      broadcast_batch: bool = True) -> DataFrame:
+                      broadcast_batch: bool = True,
+                      delta_root: str | None = None) -> DataFrame:
     """Per-NEW-doc duplicated-substring report against the persisted
     span store AND the batch itself — the incremental form of
     ``exact_substring_spans`` (r08 VERDICT item 2): identical output
@@ -199,7 +200,9 @@ def incremental_spans(new_docs: DataFrame, dest: str,
     rows. No broadcast scales with store size; ``broadcast_batch``
     mirrors incremental_pairs' mega-batch escape hatch. Tombstoned
     (``remove_docs``) ids' spans are excluded, so a deleted doc stops
-    witnessing duplication immediately.
+    witnessing duplication immediately; ``delta_root`` redirects the
+    tombstone directory (a scratch deletion overlay over a shared
+    read-only store — the update_clusters delta_root posture).
 
     Precondition (shared with the exact-id ingest skip): batch ids are
     fresh — a doc present in both store and batch would be counted as
@@ -211,7 +214,7 @@ def incremental_spans(new_docs: DataFrame, dest: str,
     bh = w.groupBy("h").agg(F.count_distinct(F.col(id_col)).alias("n_new"))
 
     stored = spark.read.parquet(dest + "/spans").select(id_col, "h")
-    dead = load_tombstones(spark, dest)
+    dead = load_tombstones(spark, dest, delta_root=delta_root)
     if dead is not None:
         stored = stored.join(
             F.broadcast(dead.select(F.col("id").alias(id_col))),

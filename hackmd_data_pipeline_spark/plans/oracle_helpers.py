@@ -607,7 +607,8 @@ def km_pos_expr(h_col: str, i_expr: str, num_slots: int) -> str:
             f"% CAST({num_slots} AS UBIGINT) AS BIGINT)")
 
 
-def exact_substring_oracle(k: int = 32, final_where: str = "") -> str:
+def exact_substring_oracle(k: int = 32, final_where: str = "",
+                           corpus_where: str = "") -> str:
     """DuckDB restatement of operators/dedup.py::exact_substring_spans
     (Lee et al. 2022 span audit): k-token windows grouped by SPAN TEXT
     (so a Spark-side xxh64 collision would surface as a gate mismatch
@@ -616,11 +617,14 @@ def exact_substring_oracle(k: int = 32, final_where: str = "") -> str:
     the REPORT rows only — duplication is always judged over the full
     corpus — which is exactly the incremental-form contract
     (dedup_incremental_spans: report the new batch, witness
-    everywhere)."""
+    everywhere). ``corpus_where`` (an ``AND ...`` clause) removes docs
+    from the WITNESS set too — the right-to-be-forgotten restatement
+    (dedup_span_store_delete: a tombstoned doc's spans must stop
+    witnessing duplication entirely)."""
     return f"""
     WITH t AS (
         SELECT doc_id, regexp_split_to_array(TRIM(LOWER(text)), '[ \\t\\n\\x0B\\f\\r]+') AS toks
-        FROM documents WHERE LENGTH(TRIM(text)) > 0
+        FROM documents WHERE LENGTH(TRIM(text)) > 0 {corpus_where}
     ), sized AS (
         SELECT doc_id, toks, len(toks) AS n_tokens FROM t
     ), w AS (

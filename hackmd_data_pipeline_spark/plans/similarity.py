@@ -457,6 +457,45 @@ def dedup_span_commit_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
+@query(
+    "dedup_span_store_delete",
+    oracle=exact_substring_oracle(
+        k=32, corpus_where="AND doc_id % 4 <> 1",
+        final_where="WHERE s.doc_id % 4 = 0"),
+)
+def dedup_span_store_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten on the SPAN store, hash-gated (r09 — the
+    dedup_store_delete twin for exact-substring dedup): the stored
+    % 4 == 1 third is tombstoned via ``remove_docs`` (pairless store
+    => tombstone-only deletion; the tombstones land in a per-run
+    scratch ``delta_root`` overlay so the shared warm store the
+    sibling entries read stays untouched), then the % 4 == 0 batch's
+    duplicated-span report is recomputed — every span whose ONLY other
+    witness was a deleted doc must flip back to unique.
+
+    The oracle restates exactly that: the full span-text pipeline with
+    the deleted docs removed from the WITNESS set (corpus_where) and
+    the report filtered to batch docs. Deleting the % 4 == 1 third
+    changes 3 / 3 / 27 report rows at sf0.001/0.01/0.1 (measured), so
+    a tombstone filter that silently stopped applying would
+    hash-mismatch at every scale. Per-run cost: one tombstone commit +
+    the standard per-batch report — deletion costs what a read costs,
+    no store rewrite (compact_store does the physical drop later)."""
+    from ..operators.dedup_store import incremental_spans, remove_docs
+
+    d = load_table(spark, sf_dir, "documents")
+    stored = d.filter(F.col("doc_id") % 4 != 0)
+    dest = _store_cache_path(sf_dir, "spans_warm")
+    _ensure_warm_span_store(stored, dest, k=32)
+    droot = _store_cache_path(sf_dir, "spans_del")
+    shutil.rmtree(droot, ignore_errors=True)
+    remove_docs(d.filter(F.col("doc_id") % 4 == 1).select("doc_id"),
+                dest, delta_root=droot)
+    return (incremental_spans(d.filter(F.col("doc_id") % 4 == 0), dest,
+                              delta_root=droot)
+            .orderBy("doc_id"))
+
+
 from .oracle_helpers import minhash_cluster_oracle as _cluster_oracle  # noqa: E402
 
 
