@@ -17,10 +17,21 @@ once and reused across query batches.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# ceiling for broadcasting the tombstone set into anti-joins (r09
+# VERDICT item 5): under it, the exclusion is a broadcast the data
+# side streams through; over it (years of right-to-be-forgotten
+# deletions between compactions), the join falls back to the
+# planner's shuffle strategies. Env-overridable so the SCALE.md sweep
+# can force the large-set posture on small fixtures.
+TOMBSTONE_BROADCAST_MAX_BYTES = int(_os.environ.get(
+    "SPARK_GRAFT_TOMBSTONE_BROADCAST_MAX_BYTES", str(64 << 20)))
 
 
 def _as_double(col: Column) -> Column:
@@ -435,22 +446,52 @@ def build_ivf_index(corpus: DataFrame, dest: str, nlist: int = 16,
      .coalesce(1).write.mode("overwrite").parquet(dest + "/centroids"))
 
 
+# driver-side quantizer cache: a published index's centroids are
+# immutable (rename-publish / fresh-generation discipline), yet every
+# upsert + search call re-read the same kilobyte parquet — ~0.2-0.3 s
+# of driver latency apiece on the composed registry entries (r09
+# VERDICT item 1). Keyed by (realpath, _SUCCESS mtime_ns) so an
+# in-place rebuild (tests inject centroids at the same path)
+# invalidates; non-local schemes fall through to an uncached read.
+_CENTROID_CACHE: dict = {}
+
+
 def load_ivf_centroids(spark: SparkSession, index_path: str):
     """The persisted quantizer as an (nlist, dim) float64 array ordered
     by cell id — kilobytes by construction (nlist x dim doubles), a
-    bounded driver read."""
+    bounded driver read (cached per (path, mtime) within the
+    process; the returned array is read-only)."""
+    import os
+
     import numpy as np
 
-    rows = (spark.read.parquet(index_path + "/centroids")
+    cdir = index_path + "/centroids"
+    try:
+        key = (os.path.realpath(cdir),
+               os.stat(os.path.join(cdir, "_SUCCESS")).st_mtime_ns)
+    except OSError:
+        key = None
+    if key is not None and key in _CENTROID_CACHE:
+        return _CENTROID_CACHE[key]
+    rows = (spark.read.parquet(cdir)
             .orderBy("cell").collect())
-    return np.asarray([r.centroid for r in rows], dtype=np.float64)
+    cents = np.asarray([r.centroid for r in rows], dtype=np.float64)
+    cents.setflags(write=False)
+    if key is not None:
+        if len(_CENTROID_CACHE) > 64:
+            _CENTROID_CACHE.clear()
+        _CENTROID_CACHE[key] = cents
+    return cents
 
 
-def ivf_delta_epochs(spark: SparkSession, root: str) -> list[int]:
-    """COMMITTED upsert generations under ``root/deltas`` (_SUCCESS
-    marker present) — the dedup store's committed-deltas discipline: a
-    crashed upsert leaves a partial epoch dir whose task-committed
-    subset must stay invisible until the epoch replay overwrites it."""
+_MANIFEST_DIR = "_manifest"
+
+
+def _list_delta_epochs(spark: SparkSession, root: str) -> list[int]:
+    """Committed upsert generations by DIRECTORY LISTING (_SUCCESS
+    probe per epoch) — the fallback path for stores without a
+    manifest, and the fresh ground truth every manifest publish
+    re-derives."""
     from ..sources.fs import fs_exists, fs_list_dirs
 
     return sorted(
@@ -458,6 +499,71 @@ def ivf_delta_epochs(spark: SparkSession, root: str) -> list[int]:
         for n in fs_list_dirs(spark, root + "/deltas")
         if n.startswith("epoch=")
         and fs_exists(spark, f"{root}/deltas/{n}/_SUCCESS"))
+
+
+def _list_tombstone_seqs(spark: SparkSession, root: str) -> list[int]:
+    from ..sources.fs import fs_exists, fs_list_dirs
+
+    return sorted(
+        int(n.split("=", 1)[1])
+        for n in fs_list_dirs(spark, root + "/tombstones")
+        if n.startswith("seq=")
+        and fs_exists(spark, f"{root}/tombstones/{n}/_SUCCESS"))
+
+
+def publish_gen_manifest(spark: SparkSession, root: str) -> int:
+    """Publish the COMMITTED-GENERATION MANIFEST for an index root —
+    one versioned JSON pointer holding both generation timelines
+    (``{"epochs": [...], "tombstone_seqs": [...]}``), re-derived from
+    a FRESH listing at every commit (r09 VERDICT item 6: on object
+    storage, a listing + per-generation exists probe on EVERY search
+    is a latency tax and an eventual-consistency hazard; readers now
+    resolve the manifest's newest version — O(1) round trips
+    regardless of generation count). Committers (``upsert_ivf_index``,
+    ``remove_vectors``) call this AFTER their parquet commit: a crash
+    between the two leaves the new generation invisible until the
+    replay converges, exactly the committed-delta discipline the
+    _SUCCESS listing enforced. Deriving from a fresh listing (never
+    from the previous manifest) makes concurrent committers converge:
+    whichever publishes last lists both commits."""
+    import json
+
+    from ..sources.fs import pointer_publish
+
+    state = {"epochs": _list_delta_epochs(spark, root),
+             "tombstone_seqs": _list_tombstone_seqs(spark, root)}
+    return pointer_publish(spark, f"{root}/{_MANIFEST_DIR}",
+                           json.dumps(state))
+
+
+def _gen_state(spark: SparkSession, root: str) -> tuple[list[int], list[int]]:
+    """(committed epochs, committed tombstone seqs) for an index root:
+    the manifest's newest version when one exists (one listing + one
+    read), else the listing fallback (pre-manifest stores, fresh
+    compaction outputs). A generation dir landed WITHOUT its manifest
+    publish (crashed committer, or bytes written around the API) stays
+    invisible until the next commit refreshes the manifest — the same
+    visibility rule a crashed _SUCCESS-less epoch always had."""
+    import json
+
+    from ..sources.fs import pointer_current
+
+    cur = pointer_current(spark, f"{root}/{_MANIFEST_DIR}")
+    if cur is not None:
+        state = json.loads(cur)
+        return (sorted(int(e) for e in state.get("epochs", [])),
+                sorted(int(s) for s in state.get("tombstone_seqs", [])))
+    return (_list_delta_epochs(spark, root),
+            _list_tombstone_seqs(spark, root))
+
+
+def ivf_delta_epochs(spark: SparkSession, root: str) -> list[int]:
+    """COMMITTED upsert generations under ``root/deltas`` — resolved
+    through the generation manifest when present (one read, not a
+    per-epoch _SUCCESS probe), listing fallback otherwise. A crashed
+    upsert leaves a partial epoch dir that stays invisible until the
+    epoch replay commits (and republishes the manifest)."""
+    return _gen_state(spark, root)[0]
 
 
 def upsert_ivf_index(batch: DataFrame, index_path: str, epoch_id: int,
@@ -497,18 +603,13 @@ def upsert_ivf_index(batch: DataFrame, index_path: str, epoch_id: int,
     (assigned.mapInPandas(_cell_assigner(cents, vec_col), schema=out_schema)
      .write.partitionBy("cell").mode("overwrite")
      .parquet(f"{root}/deltas/epoch={epoch_id}"))
+    publish_gen_manifest(spark, root)
 
 
 def ivf_tombstone_seqs(spark: SparkSession, root: str) -> list[int]:
-    """COMMITTED deletion generations under ``root/tombstones``
-    (_SUCCESS marker — the committed-delta discipline)."""
-    from ..sources.fs import fs_exists, fs_list_dirs
-
-    return sorted(
-        int(n.split("=", 1)[1])
-        for n in fs_list_dirs(spark, root + "/tombstones")
-        if n.startswith("seq=")
-        and fs_exists(spark, f"{root}/tombstones/{n}/_SUCCESS"))
+    """COMMITTED deletion generations under ``root/tombstones`` —
+    manifest-resolved like ``ivf_delta_epochs``."""
+    return _gen_state(spark, root)[1]
 
 
 def remove_vectors(ids: DataFrame, index_path: str,
@@ -532,6 +633,7 @@ def remove_vectors(ids: DataFrame, index_path: str,
     nxt = (seqs[-1] + 1) if seqs else 0
     dead.coalesce(1).write.mode("overwrite").parquet(
         f"{root}/tombstones/seq={nxt}")
+    publish_gen_manifest(spark, root)
     return spark.read.parquet(f"{root}/tombstones/seq={nxt}").count()
 
 
@@ -559,25 +661,39 @@ def ivf_index_data(spark: SparkSession, index_path: str,
     ``None`` (the default) means latest for both. Compaction folds
     history away; travel reaches only as far back as the oldest
     un-compacted generation."""
+    from ..sources.fs import fs_total_bytes
+
     root = delta_root or index_path
     df = spark.read.parquet(index_path + "/data")
-    for e in ivf_delta_epochs(spark, root):
-        if as_of_epoch is not None and e > as_of_epoch:
-            continue
+    epochs, tseqs = _gen_state(spark, root)   # ONE manifest read (r09)
+    if as_of_epoch is not None:
+        epochs = [e for e in epochs if e <= as_of_epoch]
+    if epochs:
+        # one multi-path read for every selected generation (not a
+        # per-epoch driver read + unionByName chain): basePath keeps
+        # cell a partition column, so the probed-cell filter still
+        # prunes every generation's directories alike
         df = df.unionByName(
-            spark.read.parquet(f"{root}/deltas/epoch={e}")
+            spark.read.option("basePath", root + "/deltas")
+            .parquet(*[f"{root}/deltas/epoch={e}" for e in epochs])
             .select(*df.columns))
-    tseqs = ivf_tombstone_seqs(spark, root)
     if as_of_seq is not None:
         tseqs = [s for s in tseqs if s <= as_of_seq]
     if tseqs:
         id_col = df.columns[0]
-        dead = spark.read.parquet(f"{root}/tombstones/seq={tseqs[0]}")
-        for s in tseqs[1:]:
-            dead = dead.unionByName(
-                spark.read.parquet(f"{root}/tombstones/seq={s}"))
-        df = df.join(F.broadcast(dead.select(id_col).distinct()),
-                     id_col, "left_anti")
+        dead = (spark.read.option("basePath", root + "/tombstones")
+                .parquet(*[f"{root}/tombstones/seq={s}" for s in tseqs])
+                .select(id_col).distinct())
+        # size-gate the anti-join build side (r09 VERDICT item 5):
+        # tombstones are tiny between compactions, but a heavy
+        # right-to-be-forgotten regime can accumulate an unbounded set
+        # — broadcast only while the bytes stay bounded, else let the
+        # planner shuffle (AQE may still pick broadcast from runtime
+        # stats, but never on our unconditional say-so)
+        if fs_total_bytes(spark, root + "/tombstones") \
+                <= TOMBSTONE_BROADCAST_MAX_BYTES:
+            dead = F.broadcast(dead)
+        df = df.join(dead, id_col, "left_anti")
     return df
 
 

@@ -67,6 +67,41 @@ def fs_read_text(spark: SparkSession, path: str) -> str:
         stream.close()
 
 
+def fs_total_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` (0 if absent) — one metadata call
+    (``getContentSummary``), no job. Size gates (e.g. the tombstone
+    broadcast-vs-shuffle decision) use this instead of a count() so
+    the gate itself never costs a scan."""
+    fs, hpath = _fs_and_path(spark, path)
+    if not fs.exists(hpath):
+        return 0
+    return int(fs.getContentSummary(hpath).getLength())
+
+
+def fs_create_exclusive(spark: SparkSession, path: str) -> bool:
+    """Atomically create an empty marker file; True iff THIS caller
+    created it (the reservation primitive pointer_publish's race-free
+    version claim rides). For ``file:`` URIs this goes through
+    ``java.io.File.createNewFile`` — a true O_CREAT|O_EXCL, no
+    check-then-create window; HDFS ``create(path, overwrite=false)``
+    is atomic server-side (throws if the file exists). Object stores
+    without atomic create-exclusive keep a residual window — front a
+    pointer directory there with a consistent metadata service, as
+    the fs_rename docstring already prescribes."""
+    fs, hpath = _fs_and_path(spark, path)
+    if fs.getUri().getScheme() == "file":
+        f = spark._jvm.java.io.File(hpath.toUri().getPath())
+        parent = f.getParentFile()
+        if parent is not None:
+            parent.mkdirs()
+        return bool(f.createNewFile())
+    try:
+        fs.create(hpath, False).close()
+        return True
+    except Exception:
+        return False
+
+
 def fs_list_dirs(spark: SparkSession, path: str) -> list[str]:
     """Names of immediate subdirectories of ``path`` ([] if absent)."""
     fs, hpath = _fs_and_path(spark, path)
@@ -106,18 +141,20 @@ def pointer_current(spark: SparkSession, ptr_dir: str) -> str | None:
 
 def pointer_publish(spark: SparkSession, ptr_dir: str, target: str) -> int:
     """Atomically publish ``target`` as the pointer's new current
-    value; returns the new version id. Stage-then-rename: the staged
-    file carries the pid and the rename lands a fresh ``v=<n>`` name.
-    A lost race (two publishers picking the same n) falls through to
-    n+1 — detected THREE ways, because rename-onto-existing is
-    backend-dependent (r08 ADVICE): HDFS rename REFUSES an existing
-    destination (rename returns false), but file:// delegates to POSIX
-    renameTo which silently OVERWRITES — so an exists() probe runs
-    before the rename, and a read-back after it verifies THIS
-    publisher's target actually landed. Each publisher loops until
-    some version file holds its own target, so a clobbered publish is
-    re-attempted at n+1 instead of silently lost; both racers'
-    targets end up in the history. Superseded versions stay readable
+    value; returns the new version id. Version claims go through an
+    exclusive-create RESERVATION (r09 ADVICE — the exists-probe +
+    read-back form narrowed but did not close the lost-publish race:
+    on POSIX rename-overwrite, publisher B whose probe ran before A's
+    rename could still clobber A's landed ``v=n`` while both reported
+    success): a publisher first atomically creates
+    ``.v=<n>.claim`` (``fs_create_exclusive`` — O_CREAT|O_EXCL on
+    file://, atomic create on HDFS); only the claim winner ever
+    renames its staged content onto ``v=<n>``, so no two publishers
+    can target the same version and a landed publish can never be
+    overwritten. Losers fall through to n+1 — both racers' targets
+    end up in the history. Claim markers are never deleted (bytes:
+    zero; deleting one would re-open its version for a publisher
+    holding a stale listing). Superseded versions stay readable
     (pointer history) until the caller prunes them."""
     import os
 
@@ -126,11 +163,15 @@ def pointer_publish(spark: SparkSession, ptr_dir: str, target: str) -> int:
     stage = f"{ptr_dir}/.stage_p{os.getpid()}"
     while True:
         dst = f"{ptr_dir}/v={n}"
-        if fs_exists(spark, dst):
+        # exists() first: cheap fast-forward past landed versions a
+        # stale listing missed, without burning a claim probe on each
+        if fs_exists(spark, dst) or not fs_create_exclusive(
+                spark, f"{ptr_dir}/.v={n}.claim"):
             n += 1
             continue
         fs_write_text(spark, stage, target + "\n")
-        if (fs_rename(spark, stage, dst)
-                and fs_read_text(spark, dst).strip() == target):
-            return n
-        n += 1
+        if not fs_rename(spark, stage, dst):
+            raise IOError(
+                f"pointer_publish: rename onto claimed version failed "
+                f"({stage} -> {dst})")
+        return n

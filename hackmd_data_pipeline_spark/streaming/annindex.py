@@ -42,6 +42,7 @@ from ..operators.similarity import (
     build_ivf_index,
     ivf_delta_epochs,
     ivf_index_data,
+    publish_gen_manifest,
     upsert_ivf_index,
 )
 from ..sources.fs import fs_delete, fs_exists
@@ -67,8 +68,12 @@ def run_ann_index_ingest(spark: SparkSession, vecs_path: str,
         # retry safety: wipe this epoch's own partial delta before
         # reading index ids — a partial delta has no _SUCCESS so reads
         # ignore it, but its files would survive the overwrite as
-        # stale cell dirs the replay's partitionBy write doesn't touch
-        fs_delete(spark, f"{index_path}/deltas/epoch={epoch_id}")
+        # stale cell dirs the replay's partitionBy write doesn't touch.
+        # A wiped COMMITTED epoch (replay after a post-commit crash)
+        # must also leave the generation manifest, or the id read
+        # below would chase a path that no longer exists
+        if fs_delete(spark, f"{index_path}/deltas/epoch={epoch_id}"):
+            publish_gen_manifest(spark, index_path)
 
         batch = batch.dropDuplicates([id_col]).persist()
         n_in = batch.count()

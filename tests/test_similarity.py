@@ -852,3 +852,88 @@ def test_ivf_index_time_travel(spark, tmp_path):
     # older index state and vice versa
     assert ids(as_of_epoch=-1, as_of_seq=None) == set(range(20)) - {3, 25}
     assert ids(as_of_epoch=None, as_of_seq=0) == set(range(35)) - {3}
+
+
+def test_gen_manifest_resolution_and_size_gated_tombstones(spark, tmp_path, monkeypatch):
+    """r09 VERDICT items 5+6: (a) after any commit through the API the
+    generation MANIFEST is the visibility source of truth — one read,
+    no per-epoch _SUCCESS probes — and a generation dir landed around
+    the API (no manifest publish) stays invisible until the next
+    commit re-derives; (b) the tombstone anti-join broadcasts only
+    while the tombstone bytes stay under the gate — over it, the plan
+    must not carry OUR unconditional broadcast hint."""
+    import os
+
+    import hackmd_data_pipeline_spark.operators.similarity as simmod
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        build_ivf_index, ivf_delta_epochs, ivf_index_data,
+        ivf_tombstone_seqs, publish_gen_manifest, remove_vectors,
+        upsert_ivf_index)
+    from hackmd_data_pipeline_spark.sources.fs import pointer_current
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    idx = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") % 4 == 1), idx, nlist=4)
+    upsert_ivf_index(emb.filter(F.col("vec_id") % 4 == 2), idx, epoch_id=0)
+    remove_vectors(emb.filter(F.col("vec_id") % 8 == 1).select("vec_id"), idx)
+
+    # the manifest exists and resolves both timelines
+    assert pointer_current(spark, idx + "/_manifest") is not None
+    assert ivf_delta_epochs(spark, idx) == [0]
+    assert ivf_tombstone_seqs(spark, idx) == [0]
+
+    # a committed-looking epoch written AROUND the API is invisible
+    # until a commit republishes the manifest
+    side = emb.filter(F.col("vec_id") % 4 == 3)
+    (side.limit(5).select("vec_id", "embedding")
+     .withColumn("cell", F.lit(0)).withColumn("_cnorm", F.lit(1.0))
+     .write.partitionBy("cell").mode("overwrite")
+     .parquet(idx + "/deltas/epoch=7"))
+    assert os.path.exists(idx + "/deltas/epoch=7/_SUCCESS")
+    assert ivf_delta_epochs(spark, idx) == [0]
+    publish_gen_manifest(spark, idx)
+    assert ivf_delta_epochs(spark, idx) == [0, 7]
+
+    # size gate: under the ceiling we HINT broadcast unconditionally;
+    # over it the hint disappears and the strategy is the planner's
+    # call (stats/AQE may still broadcast a genuinely tiny side —
+    # the gate only retires OUR say-so on an unbounded set)
+    plan_small = ivf_index_data(spark, idx)._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in plan_small
+    monkeypatch.setattr(simmod, "TOMBSTONE_BROADCAST_MAX_BYTES", 0)
+    df_large = ivf_index_data(spark, idx)
+    plan_large = df_large._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan_large
+    # values identical either way: the gate changes strategy, not rows
+    monkeypatch.setattr(simmod, "TOMBSTONE_BROADCAST_MAX_BYTES", 64 << 20)
+    a = sorted(r.vec_id for r in ivf_index_data(spark, idx).select("vec_id").collect())
+    monkeypatch.setattr(simmod, "TOMBSTONE_BROADCAST_MAX_BYTES", 0)
+    b = sorted(r.vec_id for r in df_large.select("vec_id").collect())
+    assert a == b
+
+
+def test_load_ivf_centroids_cached_and_invalidated(spark, tmp_path):
+    """The driver-side quantizer cache returns the identical array for
+    an unchanged index and INVALIDATES when the centroids are
+    rewritten in place (mtime_ns key); cached arrays are read-only."""
+    import numpy as np
+    import pytest
+
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        build_ivf_index, load_ivf_centroids)
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    idx = str(tmp_path / "idx")
+    build_ivf_index(emb.filter(F.col("vec_id") % 4 == 1), idx, nlist=4)
+    c1 = load_ivf_centroids(spark, idx)
+    c2 = load_ivf_centroids(spark, idx)
+    assert c1 is c2                      # cache hit
+    with pytest.raises(ValueError):
+        c1[0, 0] = 99.0                  # read-only
+
+    import time
+    time.sleep(0.01)
+    build_ivf_index(emb.filter(F.col("vec_id") % 4 == 2), idx, nlist=4)
+    c3 = load_ivf_centroids(spark, idx)
+    assert c3 is not c1
+    assert not np.array_equal(np.asarray(c1), np.asarray(c3))

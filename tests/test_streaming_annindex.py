@@ -266,3 +266,48 @@ def test_maintain_ivf_index_generation_suffix_parse(spark, tmp_path):
                          pointer_current(spark, ptr), epoch_id=epoch)
     r2 = maintain_ivf_index(spark, ptr, max_deltas=1)
     assert r2["current"] == str(tmp_path / "prod_graph_index_g2")
+
+
+def test_pointer_publish_claim_closes_overwrite_window(spark, tmp_path, monkeypatch):
+    """r09 ADVICE: the exists-probe + read-back narrowed but did not
+    CLOSE the lost-publish race — publisher B whose probe ran before
+    A's rename could still land on v=n after A's own read-back
+    succeeded, clobbering A on POSIX rename-overwrite. The
+    exclusive-create CLAIM makes version ownership atomic: even a
+    publisher that (simulated here) believes v=1 is absent cannot
+    take it, because A's claim marker already exists."""
+    import hackmd_data_pipeline_spark.sources.fs as fsmod
+
+    ptr = str(tmp_path / "ptr")
+    assert fsmod.pointer_publish(spark, ptr, "target-a0") == 0
+    assert fsmod.pointer_publish(spark, ptr, "target-a1") == 1
+
+    # B raced: its listing predates v=1 AND its exists-probe for v=1
+    # runs "before A's rename" (both simulated) — the old code would
+    # rename onto v=1, silently clobbering target-a1
+    real_exists = fsmod.fs_exists
+    monkeypatch.setattr(fsmod, "pointer_versions", lambda s, p: [0])
+    monkeypatch.setattr(
+        fsmod, "fs_exists",
+        lambda s, p: False if p.endswith("v=1") else real_exists(s, p))
+    assert fsmod.pointer_publish(spark, ptr, "target-b") == 2
+    monkeypatch.undo()
+
+    assert fsmod.fs_read_text(spark, f"{ptr}/v=1").strip() == "target-a1"
+    assert fsmod.pointer_current(spark, ptr) == "target-b"
+
+
+def test_pointer_publish_skips_crashed_claim(spark, tmp_path):
+    """A claim marker whose publisher crashed before landing content
+    permanently retires that version number (markers are never
+    deleted — deleting one would re-open it to stale-listing racers);
+    the next publisher simply lands one higher. Version numbers need
+    not be dense: readers resolve MAX(landed)."""
+    from hackmd_data_pipeline_spark.sources.fs import (
+        fs_create_exclusive, pointer_current, pointer_publish)
+
+    ptr = str(tmp_path / "ptr")
+    assert pointer_publish(spark, ptr, "t0") == 0
+    assert fs_create_exclusive(spark, f"{ptr}/.v=1.claim")  # crashed peer
+    assert pointer_publish(spark, ptr, "t1") == 2
+    assert pointer_current(spark, ptr) == "t1"
