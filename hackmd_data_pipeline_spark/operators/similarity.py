@@ -816,6 +816,30 @@ def probe_cells(queries: DataFrame, cents, nprobe: int,
         probe, schema=schema)
 
 
+def _materialize_probe(probe: DataFrame, query_id_col: str):
+    """Collect the bounded probe frame ONCE (nq x nprobe rows — the
+    search paths broadcast it anyway, so it is driver-bounded by
+    construction) and rebuild it as a JVM-local Arrow relation: one
+    driver round trip replaces the eager localCheckpoint job plus the
+    distinct-cell collect job the search paths used through r09, and
+    the candidate join's build side needs no Python re-evaluation.
+    Returns ``(local probe DataFrame, sorted distinct cell ids)``."""
+    from ..session import arrow_local_df
+
+    rows = probe.collect()
+    cells = sorted({int(r["cell"]) for r in rows})
+    qid_type = probe.schema[query_id_col].dataType.simpleString()
+    local = arrow_local_df(
+        probe.sparkSession,
+        {query_id_col: [r[query_id_col] for r in rows],
+         "_qvec": [list(r["_qvec"]) for r in rows],
+         "_qnorm": [float(r["_qnorm"]) for r in rows],
+         "cell": [int(r["cell"]) for r in rows]},
+        f"{query_id_col} {qid_type}, _qvec array<double>, "
+        f"_qnorm double, cell int")
+    return local, cells
+
+
 def ivf_search_index(spark: SparkSession, index_path: str, queries: DataFrame,
                      k: int = 10, nprobe: int = 4,
                      id_col: str = "vec_id", vec_col: str = "embedding",
@@ -832,9 +856,10 @@ def ivf_search_index(spark: SparkSession, index_path: str, queries: DataFrame,
     (``ivf_index_data``), so freshly-ingested vectors are searchable
     without an index rebuild and the cell filter prunes every
     generation alike. The probe is the vectorized matmul kernel
-    (``probe_cells``), MATERIALIZED once (localCheckpoint) so the
-    pruning collect and the candidate join share it instead of
-    recomputing the batch x centroid pass twice.
+    (``probe_cells``), MATERIALIZED once as a driver-bounded local
+    relation (``_materialize_probe``) shared by the pruning filter
+    and the candidate join — one driver round trip, no
+    checkpoint/distinct jobs, no Python re-evaluation.
 
     ``as_of_epoch`` / ``as_of_seq`` pass through to ``ivf_index_data``
     — a time-travel SEARCH over any past index state (r09): "what
@@ -842,9 +867,9 @@ def ivf_search_index(spark: SparkSession, index_path: str, queries: DataFrame,
     executable form of the compliance-audit read.
     """
     cents = load_ivf_centroids(spark, index_path)
-    probe = probe_cells(queries, cents, nprobe, query_id_col,
-                        vec_col).localCheckpoint(eager=True)
-    cells = [int(r.cell) for r in probe.select("cell").distinct().collect()]
+    probe, cells = _materialize_probe(
+        probe_cells(queries, cents, nprobe, query_id_col, vec_col),
+        query_id_col)
     data = (ivf_index_data(spark, index_path, delta_root=delta_root,
                            as_of_epoch=as_of_epoch, as_of_seq=as_of_seq)
             .filter(F.col("cell").isin(cells)))   # -> partition pruning
@@ -1423,15 +1448,37 @@ def upsert_ivfpq_index(batch: DataFrame, index_path: str, epoch_id: int,
      .parquet(f"{root}/deltas/epoch={epoch_id}"))
 
 
+_CODEBOOK_CACHE: dict = {}
+
+
 def _load_codebooks(spark: SparkSession, index_path: str):
+    """PQ sub-codebooks (kilobytes) — cached per (path, mtime_ns) like
+    ``load_ivf_centroids``; published indexes are immutable so every
+    ADC search was re-reading the same tiny parquet."""
+    import os
+
     import numpy as np
 
-    rows = spark.read.parquet(index_path + "/codebooks").collect()
+    cdir = index_path + "/codebooks"
+    try:
+        key = (os.path.realpath(cdir),
+               os.stat(os.path.join(cdir, "_SUCCESS")).st_mtime_ns)
+    except OSError:
+        key = None
+    if key is not None and key in _CODEBOOK_CACHE:
+        return _CODEBOOK_CACHE[key]
+    rows = spark.read.parquet(cdir).collect()
     m_sub = 1 + max(r.j for r in rows)
     books = []
     for j in range(m_sub):
         entries = sorted((r for r in rows if r.j == j), key=lambda r: r.code)
-        books.append(np.asarray([e.vec for e in entries], dtype=np.float64))
+        book = np.asarray([e.vec for e in entries], dtype=np.float64)
+        book.setflags(write=False)
+        books.append(book)
+    if key is not None:
+        if len(_CODEBOOK_CACHE) > 64:
+            _CODEBOOK_CACHE.clear()
+        _CODEBOOK_CACHE[key] = books
     return books
 
 
@@ -1455,9 +1502,9 @@ def ivfpq_search_index(spark: SparkSession, index_path: str,
     cents = load_ivf_centroids(spark, index_path)
     books = _load_codebooks(spark, index_path)
 
-    probe = probe_cells(queries, cents, nprobe, query_id_col,
-                        vec_col).localCheckpoint(eager=True)
-    cells = [int(r.cell) for r in probe.select("cell").distinct().collect()]
+    probe, cells = _materialize_probe(
+        probe_cells(queries, cents, nprobe, query_id_col, vec_col),
+        query_id_col)
     data = (ivf_index_data(spark, index_path, delta_root=delta_root)
             .filter(F.col("cell").isin(cells)))   # -> partition pruning
     cand = (data.join(F.broadcast(probe), "cell")

@@ -182,7 +182,12 @@ def _store_cache_path(sf_dir: str, kind: str) -> str:
     except OSError:
         mtime = "0"
     key = hashlib.md5(f"{docs}|{mtime}".encode()).hexdigest()[:12]
-    pid = "" if kind == "warm" else f"_p{os.getpid()}"
+    # every "warm"-family kind is SHARED/pid-free (r09 ADVICE: the
+    # exact-match rule left spans_warm/warmfull/warmall per-process,
+    # so the rename-publish guard was moot and cross-process reuse —
+    # the stated point of a warm store — never happened, one /tmp dir
+    # per live pid per dataset); wiped-per-run kinds keep the pid
+    pid = "" if "warm" in kind else f"_p{os.getpid()}"
     return os.path.join(tempfile.gettempdir(),
                         f"graft_dedup_store_{key}_{kind}{pid}")
 
@@ -915,6 +920,30 @@ def _ensure_ivf_index(stored, dest: str, nlist: int) -> None:
                   ("data", "centroids"))
 
 
+def _ensure_exact_topk(sf_dir: str, kind: str, corpus, batch,
+                       k: int = 10) -> DataFrame:
+    """The kNN family's EXACT ground truth as a shared per-dataset
+    cache artifact (r09 VERDICT item 2): seven registry entries gate
+    their index path against the same deterministic full-corpus exact
+    top-k, and each was recomputing the blocked matmul per entry per
+    bench iteration — ~10-15 s of the bench total was repeated eval
+    arithmetic. The frame (seed-free exact math, row_number
+    tie-broken by vec_id — deterministic by construction) is built
+    once per (dataset, corpus-slice, k) into the rename-published
+    index cache and read back thereafter; the provenance test pins
+    cached == freshly-computed row-for-row."""
+    from ..operators.similarity import brute_force_topk_blocked
+
+    dest = _index_cache_path(sf_dir, f"exact_{kind}_k{k}")
+
+    def build(df, path):
+        (brute_force_topk_blocked(corpus, batch, k=k)
+         .coalesce(1).write.mode("overwrite").parquet(path + "/topk"))
+
+    _ensure_index(corpus, dest, build, ("topk",))
+    return corpus.sparkSession.read.parquet(dest + "/topk")
+
+
 @query("sim_knn_join_ivf",
        oracle=_exact_topk_sql(where_q="vec_id % 4 = 0",
                               where_c="e.vec_id % 4 <> 0"))
@@ -940,10 +969,7 @@ def sim_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses the matmul-blocked kernel (brute_force_topk_blocked — per-
     partition local top-k, the map-side combine of exact kNN); still
     eval-shaped cost the index path alone doesn't pay in deployment."""
-    from ..operators.similarity import (
-        brute_force_topk_blocked,
-        ivf_search_index,
-    )
+    from ..operators.similarity import ivf_search_index
 
     emb = load_table(spark, sf_dir, "embeddings")
     stored = emb.filter(F.col("vec_id") % 4 != 0)
@@ -951,7 +977,7 @@ def sim_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding")
     dest = _index_cache_path(sf_dir, "knn_ivf16")
     _ensure_ivf_index(stored, dest, nlist=16)
-    exact = brute_force_topk_blocked(stored, batch, k=10)
+    exact = _ensure_exact_topk(sf_dir, "m4ne0", stored, batch, k=10)
     ann = ivf_search_index(spark, dest, batch, k=10, nprobe=6)
     return _ann_recall_frame(exact, ann, bound=0.60)
 
@@ -972,7 +998,6 @@ def sim_knn_join_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor 0.60. Bench note: eval-shaped — the exact ground truth plus
     the deliberately-full ADC + refine pipeline."""
     from ..operators.similarity import (
-        brute_force_topk_blocked,
         build_ivfpq_index,
         ivfpq_search_index,
     )
@@ -985,7 +1010,7 @@ def sim_knn_join_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ensure_index(stored, dest,
                   lambda df, p: build_ivfpq_index(df, p, nlist=16),
                   ("data", "centroids", "codebooks"))
-    exact = brute_force_topk_blocked(stored, batch, k=10)
+    exact = _ensure_exact_topk(sf_dir, "m4ne0", stored, batch, k=10)
     ann = ivfpq_search_index(spark, dest, batch, corpus=stored, k=10,
                              nprobe=6, refine=4)
     return _ann_recall_frame(exact, ann, bound=0.60)
@@ -1022,7 +1047,6 @@ def sim_knn_join_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline). The upsert itself is charged per run (scratch
     pid-keyed delta over the shared cached base)."""
     from ..operators.similarity import (
-        brute_force_topk_blocked,
         ivf_search_index,
         upsert_ivf_index,
     )
@@ -1039,7 +1063,7 @@ def sim_knn_join_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert_ivf_index(late, dest, epoch_id=0, delta_root=droot,
                      out_partitions=4)
     stored = emb.filter(F.col("vec_id") % 4 != 0)
-    exact = brute_force_topk_blocked(stored, batch, k=10)
+    exact = _ensure_exact_topk(sf_dir, "m4ne0", stored, batch, k=10)
     ann = ivf_search_index(spark, dest, batch, k=10, nprobe=6,
                            delta_root=droot)
     return _ann_recall_frame(exact, ann, bound=0.62)
@@ -1059,7 +1083,6 @@ def sim_knn_join_ivfpq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.001/0.01/0.1 (seed-pinned), floor 0.60 just under the
     minimum."""
     from ..operators.similarity import (
-        brute_force_topk_blocked,
         build_ivfpq_index,
         ivfpq_search_index,
         upsert_ivfpq_index,
@@ -1079,7 +1102,7 @@ def sim_knn_join_ivfpq_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     upsert_ivfpq_index(late, dest, epoch_id=0, delta_root=droot,
                        out_partitions=4)
     stored = emb.filter(F.col("vec_id") % 4 != 0)
-    exact = brute_force_topk_blocked(stored, batch, k=10)
+    exact = _ensure_exact_topk(sf_dir, "m4ne0", stored, batch, k=10)
     ann = ivfpq_search_index(spark, dest, batch, corpus=stored, k=10,
                              nprobe=6, refine=4, delta_root=droot)
     return _ann_recall_frame(exact, ann, bound=0.60)
@@ -1106,7 +1129,6 @@ def sim_knn_join_ivf_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin on both sides. The audit read costs what a CURRENT read
     costs: generation filters, no extra scans."""
     from ..operators.similarity import (
-        brute_force_topk_blocked,
         ivf_search_index,
         remove_vectors,
         upsert_ivf_index,
@@ -1125,7 +1147,7 @@ def sim_knn_join_ivf_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                      out_partitions=4)
     remove_vectors(base.filter(F.col("vec_id") % 5 == 0).select("vec_id"),
                    dest, delta_root=droot)
-    exact_base = brute_force_topk_blocked(base, batch, k=10)
+    exact_base = _ensure_exact_topk(sf_dir, "m4in12", base, batch, k=10)
     ann = ivf_search_index(spark, dest, batch, k=10, nprobe=6,
                            delta_root=droot, as_of_epoch=-1, as_of_seq=-1)
     return _ann_recall_frame(exact_base, ann, bound=0.60)
@@ -1161,7 +1183,6 @@ def sim_knn_join_pointer_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from ..operators.similarity import (
-        brute_force_topk_blocked,
         ivf_search_index,
         upsert_ivf_index,
     )
@@ -1186,7 +1207,7 @@ def sim_knn_join_pointer_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = pointer_current(spark, ptr)
 
     stored = emb.filter(F.col("vec_id") % 4 != 0)
-    exact = brute_force_topk_blocked(stored, batch, k=10)
+    exact = _ensure_exact_topk(sf_dir, "m4ne0", stored, batch, k=10)
     ann = ivf_search_index(spark, cur, batch, k=10, nprobe=6)
     return _ann_recall_frame(exact, ann, bound=0.60)
 

@@ -937,3 +937,26 @@ def test_load_ivf_centroids_cached_and_invalidated(spark, tmp_path):
     c3 = load_ivf_centroids(spark, idx)
     assert c3 is not c1
     assert not np.array_equal(np.asarray(c1), np.asarray(c3))
+
+
+def test_exact_topk_cache_provenance(spark, tmp_path):
+    """r09 VERDICT item 2: the cached exact ground truth the kNN
+    family reads must be row-for-row identical to a fresh
+    brute_force_topk_blocked computation over the same slices —
+    the cache amortizes eval arithmetic, never changes the gate."""
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        brute_force_topk_blocked)
+    from hackmd_data_pipeline_spark.plans.similarity import (
+        _ensure_exact_topk)
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    stored = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    cached = _ensure_exact_topk(SF_CORRECT, "m4ne0", stored, batch, k=10)
+    again = _ensure_exact_topk(SF_CORRECT, "m4ne0", stored, batch, k=10)
+    fresh = brute_force_topk_blocked(stored, batch, k=10)
+    want = sorted(map(tuple, fresh.collect()))
+    assert sorted(map(tuple, cached.collect())) == want
+    assert sorted(map(tuple, again.collect())) == want
