@@ -217,7 +217,8 @@ def incremental_spans(new_docs: DataFrame, dest: str,
     dead = load_tombstones(spark, dest, delta_root=delta_root)
     if dead is not None:
         stored = stored.join(
-            F.broadcast(dead.select(F.col("id").alias(id_col))),
+            _gate_dead(spark, delta_root or dest,
+                       dead.select(F.col("id").alias(id_col))),
             id_col, "left_anti")
     probe = bh.select("h")
     if broadcast_batch:
@@ -274,8 +275,13 @@ def compact_store(spark: SparkSession, src: str, dest: str,
     a cluster stage exists — so on the compacted store
     ``load_clusters == CC(load_pairs)`` holds with zero outstanding
     deltas and zero tombstones. A ``spans`` stage (``commit_spans``)
-    folds like shingles/signatures. Returns before/after file stats
-    per rewritten table."""
+    folds like shingles/signatures. ORPHANED tombstones — a
+    ``remove_docs`` that crashed between its tombstone commit and its
+    overlay commit, leaving the dead id still resolving — are repaired
+    inline before the fold (r09 ADVICE: folding the stale view would
+    write the deleted id into a tombstone-free store where nothing
+    can ever heal it). Returns before/after file stats per rewritten
+    table."""
     import math
 
     from ..sources.fs import fs_exists, fs_list_dirs
@@ -294,7 +300,8 @@ def compact_store(spark: SparkSession, src: str, dest: str,
         df = df.select(*cols)
         if dead is not None:
             df = df.join(
-                F.broadcast(dead.select(F.col("id").alias(cols[0]))),
+                _gate_dead(spark, src,
+                           dead.select(F.col("id").alias(cols[0]))),
                 cols[0], "left_anti")
         n_files = max(1, math.ceil(before["total_bytes"] / target_file_bytes))
         (df.coalesce(n_files)
@@ -317,8 +324,44 @@ def compact_store(spark: SparkSession, src: str, dest: str,
         out["pairs"] = {"after": table_file_stats(spark, f"{dest}/pairs")}
         if (fs_exists(spark, src + "/clusters/_SUCCESS")
                 or _cluster_delta_seqs(spark, src)):
-            (load_clusters(spark, src)
-             .write.mode("overwrite").parquet(f"{dest}/clusters"))
+            resolved = load_clusters(spark, src)
+            if dead is not None:
+                # ORPHANED-TOMBSTONE repair (r09 ADVICE): a remove_docs
+                # that crashed between its tombstone commit and its
+                # overlay commit leaves the dead id still resolving
+                # here — folding that view would write the deleted id
+                # (and its component's stale labels) into a store that
+                # starts tombstone-free, where no later remove_docs can
+                # ever see or heal it: load_clusters == CC(load_pairs)
+                # and right-to-be-forgotten would be PERMANENTLY broken
+                # on the compacted store. Run remove_docs' own repair
+                # inline: recompute every tombstone-touched component
+                # from its surviving (already tombstone-filtered)
+                # pairs; untouched components keep their labels;
+                # members that lost their last pair leave the table.
+                # Healthy stores (completed deletions) have no dead id
+                # resolving, so `touched` is empty and the fold is the
+                # plain resolved view.
+                from .dedup import dedup_clusters
+
+                touched = (resolved
+                           .join(_gate_dead(spark, src, dead), "id",
+                                 "left_semi")
+                           .select("cluster_id").distinct())
+                if touched.limit(1).count():
+                    members = resolved.join(F.broadcast(touched),
+                                            "cluster_id", "left_semi")
+                    survivors = resolved.join(F.broadcast(touched),
+                                              "cluster_id", "left_anti")
+                    sub_pairs = (load_pairs(spark, src)
+                                 .select("id_a", "id_b")
+                                 .join(F.broadcast(
+                                     members.select(
+                                         F.col("id").alias("id_a"))),
+                                     "id_a", "left_semi"))
+                    resolved = survivors.unionByName(
+                        dedup_clusters(sub_pairs))
+            resolved.write.mode("overwrite").parquet(f"{dest}/clusters")
             out["clusters"] = {
                 "after": table_file_stats(spark, f"{dest}/clusters")}
     return out
@@ -334,6 +377,23 @@ def _tombstone_seqs(spark: SparkSession, root: str) -> list[int]:
         for n in fs_list_dirs(spark, root + "/tombstones")
         if n.startswith("seq=")
         and fs_exists(spark, f"{root}/tombstones/{n}/_SUCCESS"))
+
+
+def _gate_dead(spark: SparkSession, root: str, dead: DataFrame) -> DataFrame:
+    """Size-gate the tombstone broadcast (r09 VERDICT item 5): the
+    exclusion set is tiny between compactions, but nothing bounds it
+    under a heavy right-to-be-forgotten regime — broadcast only while
+    the tombstone directory's bytes stay under the ceiling (one
+    getContentSummary metadata call, no scan), else hand the join
+    strategy back to the planner. Values are strategy-independent;
+    the SCALE.md sweep pins the large-set posture."""
+    from ..sources.fs import fs_total_bytes
+    from . import joins as _joins
+
+    if fs_total_bytes(spark, root + "/tombstones") \
+            <= _joins.TOMBSTONE_BROADCAST_MAX_BYTES:
+        return F.broadcast(dead)
+    return dead
 
 
 def load_tombstones(spark: SparkSession, dest: str,
@@ -387,11 +447,11 @@ def load_pairs(spark: SparkSession, dest: str,
         df = df.unionByName(p)
     dead = load_tombstones(spark, dest, delta_root=root)
     if dead is not None:
-        da = dead.select(F.col("id").alias("_dead_a"))
-        db = dead.select(F.col("id").alias("_dead_b"))
-        df = (df.join(F.broadcast(da),
+        da = _gate_dead(spark, root, dead.select(F.col("id").alias("_dead_a")))
+        db = _gate_dead(spark, root, dead.select(F.col("id").alias("_dead_b")))
+        df = (df.join(da,
                       F.col("id_a") == F.col("_dead_a"), "left_anti")
-              .join(F.broadcast(db),
+              .join(db,
                     F.col("id_b") == F.col("_dead_b"), "left_anti"))
     return df
 
@@ -508,7 +568,8 @@ def incremental_pairs(new_docs: DataFrame, dest: str,
         if dead is None:
             return df
         return df.join(
-            F.broadcast(dead.select(F.col("id").alias(id_col))),
+            _gate_dead(spark, dest,
+                       dead.select(F.col("id").alias(id_col))),
             id_col, "left_anti")
 
     # project to the logical schema: a store written by the streaming
@@ -597,11 +658,11 @@ def update_clusters(new_pairs: DataFrame, dest: str, epoch_id: int,
         # resurrect it into the overlay: load_pairs drops such pairs,
         # so the subgraph recompute must too (invariant symmetry; the
         # ingest path can emit one if a deleted id is reused)
-        da = dead.select(F.col("id").alias("_dead_a"))
-        db = dead.select(F.col("id").alias("_dead_b"))
-        p = (p.join(F.broadcast(da),
+        da = _gate_dead(spark, root, dead.select(F.col("id").alias("_dead_a")))
+        db = _gate_dead(spark, root, dead.select(F.col("id").alias("_dead_b")))
+        p = (p.join(da,
                     F.col("id_a") == F.col("_dead_a"), "left_anti")
-             .join(F.broadcast(db),
+             .join(db,
                    F.col("id_b") == F.col("_dead_b"), "left_anti"))
 
     base = load_clusters(spark, dest, delta_root=root)
@@ -712,7 +773,7 @@ def remove_docs(ids: DataFrame, dest: str,
     # detect-and-repair: every committed tombstone whose id still
     # resolves (not just this batch) marks a component needing repair
     all_dead = load_tombstones(spark, dest, delta_root=root)
-    touched = (base.join(F.broadcast(all_dead), "id", "left_semi")
+    touched = (base.join(_gate_dead(spark, root, all_dead), "id", "left_semi")
                .select("cluster_id").distinct())
     members = base.join(F.broadcast(touched), "cluster_id", "left_semi")
     mem_ids = members.select("id")

@@ -17,21 +17,15 @@ once and reused across query batches.
 
 from __future__ import annotations
 
-import os as _os
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# ceiling for broadcasting the tombstone set into anti-joins (r09
-# VERDICT item 5): under it, the exclusion is a broadcast the data
-# side streams through; over it (years of right-to-be-forgotten
-# deletions between compactions), the join falls back to the
-# planner's shuffle strategies. Env-overridable so the SCALE.md sweep
-# can force the large-set posture on small fixtures.
-TOMBSTONE_BROADCAST_MAX_BYTES = int(_os.environ.get(
-    "SPARK_GRAFT_TOMBSTONE_BROADCAST_MAX_BYTES", str(64 << 20)))
+# the tombstone broadcast ceiling (r09 VERDICT item 5) — single-
+# sourced in operators/joins.py; re-bound here so the gate in
+# ivf_index_data stays per-module patchable in tests
+from .joins import TOMBSTONE_BROADCAST_MAX_BYTES  # noqa: F401,E402
 
 
 def _as_double(col: Column) -> Column:

@@ -344,13 +344,31 @@ def run_span_ingest(spark: SparkSession, docs_path: str, out_root: str,
     cannot be the id ledger because a shorter-than-k doc has no span
     rows and would be re-admitted on every replay.
 
-    Returns ``{"kept": n, "dropped_dup": n, "skipped_ids": n}``."""
-    from ..operators.dedup_store import commit_spans, incremental_spans
+    Deleted-id policy (r09 ADVICE, documented + observable): a
+    ``remove_docs``-tombstoned id that is RE-SUBMITTED is still
+    skipped while its ledger row physically exists — a deleted id is
+    unreusable until ``compact_store`` separates the generations
+    (re-admitting it earlier would commit span/ledger rows that every
+    reader excludes by id and the next compaction would silently
+    drop). After compaction both the ledger row and the tombstone are
+    physically gone, so the same id is admissible as a fresh doc.
+    The pre-compaction skips are counted separately
+    (``skipped_tombstoned``) so the policy is visible to operators
+    instead of folding into the ordinary duplicate-id skip count.
+
+    Returns ``{"kept": n, "dropped_dup": n, "skipped_ids": n,
+    "skipped_tombstoned": n}``."""
+    from ..operators.dedup_store import (
+        commit_spans,
+        incremental_spans,
+        load_tombstones,
+    )
     from ..operators.joins import bounded_anti_join
     from ..schemas import TPCH_SCHEMAS
 
     doc_schema = TPCH_SCHEMAS["documents"]
-    counts = {"kept": 0, "dropped_dup": 0, "skipped_ids": 0}
+    counts = {"kept": 0, "dropped_dup": 0, "skipped_ids": 0,
+              "skipped_tombstoned": 0}
 
     def handle_batch(batch: DataFrame, epoch_id: int) -> None:
         for root in (out_root + "/corpus", store_dest + "/spans",
@@ -368,6 +386,18 @@ def run_span_ingest(spark: SparkSession, docs_path: str, out_root: str,
             stored_ids = _read_clean(spark, store_dest + "/docs", [id_col])
             fresh = bounded_anti_join(batch, stored_ids, id_col).persist()
             n_fresh = fresh.count()
+            # surface tombstoned-id skips distinctly (the deleted-id
+            # policy above); the tombstone set is broadcast-bounded
+            # between compactions and None in the common case
+            dead = (load_tombstones(spark, store_dest)
+                    if n_fresh != n_in else None)
+            if dead is not None:
+                counts["skipped_tombstoned"] += (
+                    batch.join(
+                        F.broadcast(dead.select(F.col("id").alias(id_col))),
+                        id_col, "left_semi")
+                    .join(fresh.select(id_col), id_col, "left_anti")
+                    .count())
         else:
             fresh, n_fresh = batch, n_in
         counts["skipped_ids"] += n_in - n_fresh

@@ -623,3 +623,36 @@ def test_remove_docs_repairs_crashed_prior_deletion(spark, tmp_path):
     assert _resolved(spark, dest) == expect
     # bridge delete split 1-2-3 -> 1 and 3 pairless; 10 deleted -> 11 pairless
     assert _resolved(spark, dest) == set()
+
+
+def test_compact_store_repairs_orphaned_tombstone(spark, tmp_path):
+    """r09 ADVICE (medium): compacting a store whose remove_docs
+    crashed between the tombstone commit and the overlay commit must
+    NOT fold the still-resolving dead id (or its component's stale
+    labels) into dest/clusters — the folded store starts
+    tombstone-free, so that leak would be permanently unhealable and
+    right-to-be-forgotten silently broken. compact_store now runs the
+    remove_docs repair inline: dead ids leave, touched components
+    relabel from their surviving pairs, untouched components keep
+    their labels, and CC(load_pairs) == load_clusters holds on the
+    folded store."""
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        compact_store, load_pairs, load_tombstones)
+
+    dest = str(tmp_path / "store")
+    _seed_pairs(spark, dest, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)])
+    # crash window: tombstone for bridge node 2 commits (with
+    # _SUCCESS), the cluster overlay never lands
+    spark.createDataFrame([(2,)], "id long").coalesce(1) \
+        .write.parquet(dest + "/tombstones/seq=0")
+    assert (2, 1) in _resolved(spark, dest)   # the orphan is live
+
+    folded = str(tmp_path / "folded")
+    compact_store(spark, dest, folded)
+    got = _resolved(spark, folded)
+    assert all(i != 2 for (i, _) in got), "deleted id resurrected"
+    # bridge delete split 1-2-3: 1 and 3 became pairless and leave the
+    # table; untouched components keep their labels
+    assert got == {(10, 10), (11, 10), (20, 20), (21, 20), (22, 20)}
+    assert got == _scratch(load_pairs(spark, folded).select("id_a", "id_b"))
+    assert load_tombstones(spark, folded) is None

@@ -233,7 +233,7 @@ def test_span_ingest_stream_drops_verbatim_leaks(spark, tmp_path):
     _write_drop(drop1, docs_in)
     c1 = run_span_ingest(spark, docs_in, out_root, ckpt, store, k=8,
                          max_dup_fraction=0.5)
-    assert c1 == {"kept": 2, "dropped_dup": 0, "skipped_ids": 0}
+    assert c1 == {"kept": 2, "dropped_dup": 0, "skipped_ids": 0, "skipped_tombstoned": 0}
 
     a_toks, b_toks = A.split(), B.split()
     C = " ".join(a_toks[:16] + [f"c{j}" for j in range(14)])   # 16/30 > 0.5
@@ -247,7 +247,7 @@ def test_span_ingest_stream_drops_verbatim_leaks(spark, tmp_path):
     _write_drop(drop2, docs_in)
     c2 = run_span_ingest(spark, docs_in, out_root, ckpt, store, k=8,
                          max_dup_fraction=0.5)
-    assert c2 == {"kept": 3, "dropped_dup": 1, "skipped_ids": 1}
+    assert c2 == {"kept": 3, "dropped_dup": 1, "skipped_ids": 1, "skipped_tombstoned": 0}
     corpus_ids = {r.doc_id for r in
                   spark.read.parquet(out_root + "/corpus")
                   .select("doc_id").collect()}
@@ -261,7 +261,7 @@ def test_span_ingest_stream_drops_verbatim_leaks(spark, tmp_path):
     _write_drop(_doc(tpl, 7, G).unionByName(_doc(tpl, 8, H)), docs_in)
     c3 = run_span_ingest(spark, docs_in, out_root, ckpt, store, k=8,
                          max_dup_fraction=0.5)
-    assert c3 == {"kept": 1, "dropped_dup": 1, "skipped_ids": 0}
+    assert c3 == {"kept": 1, "dropped_dup": 1, "skipped_ids": 0, "skipped_tombstoned": 0}
     corpus_ids = {r.doc_id for r in
                   spark.read.parquet(out_root + "/corpus")
                   .select("doc_id").collect()}
@@ -270,7 +270,7 @@ def test_span_ingest_stream_drops_verbatim_leaks(spark, tmp_path):
     # checkpointed re-drain: nothing to do
     c4 = run_span_ingest(spark, docs_in, out_root, ckpt, store, k=8,
                          max_dup_fraction=0.5)
-    assert c4 == {"kept": 0, "dropped_dup": 0, "skipped_ids": 0}
+    assert c4 == {"kept": 0, "dropped_dup": 0, "skipped_ids": 0, "skipped_tombstoned": 0}
 
 
 def test_span_ingest_store_compacts_with_ledger(spark, tmp_path):
@@ -306,4 +306,56 @@ def test_span_ingest_store_compacts_with_ledger(spark, tmp_path):
     c = run_span_ingest(spark, docs_in, out_root + "2",
                         str(tmp_path / "ckpt2"), folded, k=8,
                         max_dup_fraction=0.5)
-    assert c == {"kept": 0, "dropped_dup": 1, "skipped_ids": 2}
+    assert c == {"kept": 0, "dropped_dup": 1, "skipped_ids": 2, "skipped_tombstoned": 0}
+
+
+def test_span_ingest_deleted_id_policy_across_compaction(spark, tmp_path):
+    """r09 ADVICE: the deleted-id lifecycle is documented and
+    OBSERVABLE — a remove_docs-tombstoned id re-submitted before
+    compaction is skipped (counted as skipped_tombstoned, not folded
+    into the ordinary duplicate-skip count) and its spans stay out of
+    witness duty; after compact_store physically separates the
+    generations, the same id is admissible as a fresh doc."""
+    from hackmd_data_pipeline_spark.operators.dedup_store import (
+        compact_store, remove_docs)
+    from hackmd_data_pipeline_spark.streaming.neardup import run_span_ingest
+
+    docs_in = str(tmp_path / "in")
+    out_root = str(tmp_path / "out")
+    store = str(tmp_path / "spanstore")
+    tpl = (load_table(spark, SF_CORRECT, "documents")
+           .filter(F.col("doc_id") == 0).limit(1))
+
+    _write_drop(_doc(tpl, 1, _tok("a", 30)).unionByName(
+        _doc(tpl, 2, _tok("b", 30))), docs_in)
+    c1 = run_span_ingest(spark, docs_in, out_root,
+                         str(tmp_path / "ckpt"), store, k=8)
+    assert c1["kept"] == 2
+
+    # right-to-be-forgotten on doc 1 (pairless store: tombstone-only)
+    remove_docs(spark.createDataFrame([(1,)], "id long"), store)
+
+    # re-submission BEFORE compaction: skipped, and visibly so
+    _write_drop(_doc(tpl, 1, _tok("n", 30)), docs_in)
+    c2 = run_span_ingest(spark, docs_in, out_root,
+                         str(tmp_path / "ckpt"), store, k=8)
+    assert c2 == {"kept": 0, "dropped_dup": 0, "skipped_ids": 1,
+                  "skipped_tombstoned": 1}
+
+    # after compaction the ledger row and tombstone are physically
+    # gone: the same id is fresh again
+    folded = str(tmp_path / "folded")
+    compact_store(spark, store, folded)
+    assert {r.doc_id for r in spark.read.parquet(folded + "/docs")
+            .select("doc_id").collect()} == {2}
+    _write_drop(_doc(tpl, 1, _tok("p", 30)), docs_in)
+    c3 = run_span_ingest(spark, docs_in, out_root + "2",
+                         str(tmp_path / "ckpt2"), folded, k=8)
+    # the fresh checkpoint replays all drops: doc 2 skips via the
+    # compacted ledger, the re-used id 1 is ADMITTED as a fresh doc
+    assert c3["skipped_tombstoned"] == 0
+    assert c3["kept"] >= 1
+    kept_ids = {r.doc_id for r in
+                spark.read.parquet(out_root + "2/corpus")
+                .select("doc_id").collect()}
+    assert 1 in kept_ids
