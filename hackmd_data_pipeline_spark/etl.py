@@ -26,6 +26,14 @@ whole chain idempotent under a kill anywhere:
     overwrite: a re-run after a crash rewrites byte-identical
     content, so "at-least-once execution + deterministic overwrite"
     composes to exactly-once output.
+  * audit_spans / index_embeddings (r09) — the two persisted
+    FRONTIER stores as ledger stages: the exact-substring span store
+    (verbatim-leak audit + drop + commit, run_span_ingest semantics)
+    and the pointer-versioned ANN index (hashing-trick embeddings,
+    bootstrap/upsert behind pointer_current, maintenance-due check) —
+    so the composed pipeline exercises every persisted store the
+    repo ships, with the same kill-anywhere convergence (own-epoch
+    wipes + bounded id-skips make replays converge).
 
 The stage ledger commits AFTER the stage's sinks — the crash window
 between sink and commit (the Lambda-death window) therefore re-runs
@@ -56,6 +64,47 @@ from .functions.scalars import WS_CLASS
 from .streaming.control import ControlTable
 from .streaming.pipeline import run_ingest_stream
 
+def hashed_embeddings(docs: DataFrame, dim: int = 16,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Deterministic hashing-trick document embeddings — the oracled
+    ``text_feature_hashing`` formulation (Weinberger et al. 2009,
+    arXiv:0902.2206) assembled DENSE and L2-normalized:
+    bucket = xxhash64(term) mod dim, sign = the hash's top bit, the
+    signed occurrence sums become a fixed-dim ``array<float>``. No
+    vocabulary pass, no model state, one map-side-combinable shuffle —
+    the featurizer a 100 TB corpus can afford when no learned encoder
+    is in the loop (and the stand-in for one here: the index stage is
+    encoder-agnostic, any ``vec_id | embedding`` table plugs in).
+    Token-free docs emit no row. Output: ``vec_id | embedding``."""
+    toks = (docs.select(
+        id_col,
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                          WS_CLASS)).alias("term"))
+        .filter(F.length("term") > 0))
+    h = F.xxhash64("term")
+    sparse = (toks.select(
+        id_col,
+        F.pmod(h, F.lit(dim)).alias("bucket"),
+        F.when(F.shiftrightunsigned(h, 63) == 1, F.lit(-1.0))
+        .otherwise(F.lit(1.0)).alias("sign"))
+        .groupBy(id_col, "bucket").agg(F.sum("sign").alias("w")))
+    return (sparse.groupBy(id_col)
+            .agg(F.map_from_entries(
+                F.collect_list(F.struct("bucket", "w"))).alias("_m"))
+            .withColumn("_raw", F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(
+                    F.element_at("_m", i.cast("bigint")), F.lit(0.0))))
+            .withColumn("_n", F.greatest(
+                F.sqrt(F.aggregate("_raw", F.lit(0.0),
+                                   lambda a, x: a + x * x)),
+                F.lit(1e-12)))
+            .select(F.col(id_col).alias("vec_id"),
+                    F.transform("_raw", lambda x: x / F.col("_n"))
+                    .cast("array<float>").alias("embedding")))
+
+
 STAGE_LEDGER_SCHEMA = T.StructType([
     T.StructField("stage", T.StringType(), False),
     T.StructField("status", T.StringType()),      # pending|processing|finished
@@ -85,7 +134,8 @@ class CorpusPipeline:
     """
 
     STAGES = ("collect", "ingest", "build_documents", "curate",
-              "resolve", "annotate", "finalize")
+              "resolve", "audit_spans", "annotate", "index_embeddings",
+              "finalize")
 
     def __init__(self, spark: SparkSession, root: str, fetch: FetchFn,
                  categories: list[str], *,
@@ -93,6 +143,11 @@ class CorpusPipeline:
                  split_fractions: dict[str, float] | None = None,
                  pack_budget: int = 512,
                  lsh_threshold: float = 0.5,
+                 span_k: int = 8,
+                 max_dup_fraction: float = 0.8,
+                 emb_dim: int = 16,
+                 ann_nlist: int = 4,
+                 ann_max_deltas: int = 16,
                  fault_hook: FaultHook | None = None):
         self.spark = spark
         self.root = root
@@ -103,6 +158,11 @@ class CorpusPipeline:
             "train": 0.8, "val": 0.1, "test": 0.1}
         self.pack_budget = pack_budget
         self.lsh_threshold = lsh_threshold
+        self.span_k = span_k
+        self.max_dup_fraction = max_dup_fraction
+        self.emb_dim = emb_dim
+        self.ann_nlist = ann_nlist
+        self.ann_max_deltas = ann_max_deltas
         self.fault_hook = fault_hook
         self.ledger = ControlTable(spark, f"{root}/control/stage_ledger",
                                    STAGE_LEDGER_SCHEMA)
@@ -206,6 +266,60 @@ class CorpusPipeline:
         return {"kept": self.spark.read.parquet(
             f"{self.root}/corpus/kept_documents.parquet").count()}
 
+    def _stage_audit_spans(self) -> dict:
+        """Exact-substring (verbatim-leak) audit THROUGH the persisted
+        span store (r09 VERDICT item 3 — run_span_ingest's batch
+        semantics as a ledger stage), running AFTER fuzzy whole-doc
+        resolution: MinHash/CC removes whole near-duplicates cheaply,
+        this stage catches what doc-level Jaccard is blind to — the
+        QUOTE MOSAIC assembled from verbatim chunks of several
+        different documents (high span coverage, low pairwise
+        Jaccard). The resolved stratum's k-token span
+        report is computed (the Lee et al. audit, oracled as
+        docs_exact_substring_dedup), docs above ``max_dup_fraction``
+        are dropped, and the survivors' span hashes + doc ledger
+        COMMIT to the span store the pipeline carries
+        (``stores/spans`` — later ingest cycles and ad-hoc
+        incremental_spans reads dedup against it without rescanning
+        this corpus). Replay convergence: the stage owns epoch 0 and
+        wipes its own epoch dirs before auditing, so a re-run after a
+        crash between the span commit and the ledger flip never
+        double-counts its own prior commit; every write is a
+        deterministic overwrite."""
+        from .operators.dedup import exact_substring_spans
+        from .operators.dedup_store import commit_spans
+        from .sources.fs import fs_delete
+
+        store = f"{self.root}/stores/spans"
+        for t in ("spans", "docs"):
+            fs_delete(self.spark, f"{store}/{t}/epoch=0")
+        kept = self.spark.read.parquet(
+            f"{self.root}/corpus/resolved_documents.parquet")
+        report = exact_substring_spans(kept, k=self.span_k)
+        report.write.mode("overwrite").parquet(
+            f"{self.root}/corpus/span_report.parquet")
+        keep_ids = (self.spark.read.parquet(
+            f"{self.root}/corpus/span_report.parquet")
+            .filter(F.col("dup_fraction") <= F.lit(self.max_dup_fraction))
+            .select("doc_id"))
+        audited = kept.join(keep_ids, "doc_id", "left_semi")
+        audited.write.mode("overwrite").parquet(
+            f"{self.root}/corpus/audited_documents.parquet")
+        audited = self.spark.read.parquet(
+            f"{self.root}/corpus/audited_documents.parquet")
+        n_kept = audited.count()
+        if n_kept:
+            commit_spans(audited, store, epoch_id=0, k=self.span_k,
+                         out_partitions=4)
+            (audited.select(
+                "doc_id",
+                F.size(F.split(F.lower(F.trim(F.col("text"))),
+                               WS_CLASS)).alias("n_tokens"))
+             .coalesce(4).write.mode("overwrite")
+             .parquet(f"{store}/docs/epoch=0"))
+        n_in = kept.count()
+        return {"audited_kept": n_kept, "dropped_verbatim": n_in - n_kept}
+
     def _stage_resolve(self) -> dict:
         """Near-dup resolution over the kept stratum: MinHash-LSH
         pairs → connected components → keep each cluster's min-id
@@ -251,7 +365,7 @@ class CorpusPipeline:
         from .operators.topics import PINNED_TOPIC_TERMS, topic_scores
         from .plans.extensions import tfidf_keywords
         resolved = self.spark.read.parquet(
-            f"{self.root}/corpus/resolved_documents.parquet")
+            f"{self.root}/corpus/audited_documents.parquet")
         kw = (tfidf_keywords(resolved)
               .groupBy("doc_id")
               .agg(F.transform(
@@ -293,6 +407,64 @@ class CorpusPipeline:
         return {"annotated": out.count(),
                 "with_topic": out.filter(F.col("topic").isNotNull()).count(),
                 "quality_kept": out.filter(F.col("quality_keep")).count()}
+
+    def _stage_index_embeddings(self) -> dict:
+        """Embed the annotated corpus and maintain the RETRIEVAL index
+        behind the versioned pointer (r09 VERDICT item 3 — the ANN
+        index as a ledger stage): deterministic hashing-trick
+        embeddings (the oracled text_feature_hashing formulation,
+        assembled dense + L2-normalized — vocabulary-free, one
+        map-side-combinable shuffle) land as a corpus artifact; then
+        the index lifecycle runs exactly as a deployment would —
+        BOOTSTRAP (build_ivf_index + pointer_publish) when the pointer
+        was never published, otherwise the run_ann_index_ingest
+        posture: wipe this stage's own epoch (replay safety), bounded
+        id-skip against the searchable set, upsert the fresh
+        remainder, and the maintenance-due check folds/republishes/
+        prunes through maintain_ivf_index when outstanding deltas
+        exceed ``ann_max_deltas``. Downstream consumers (SemDeDup,
+        retrieval-decontamination, kNN joins) read
+        ``pointer_current(outputs()['ann_pointer'])``."""
+        from .operators.joins import bounded_anti_join
+        from .operators.similarity import (
+            build_ivf_index,
+            ivf_index_data,
+            publish_gen_manifest,
+            upsert_ivf_index,
+        )
+        from .sources.fs import fs_delete, pointer_current, pointer_publish
+        from .streaming.annindex import maintain_ivf_index
+
+        annotated = self.spark.read.parquet(
+            f"{self.root}/corpus/annotated_documents.parquet")
+        emb = hashed_embeddings(annotated, dim=self.emb_dim)
+        emb.write.mode("overwrite").parquet(
+            f"{self.root}/corpus/embeddings.parquet")
+        emb = self.spark.read.parquet(
+            f"{self.root}/corpus/embeddings.parquet")
+
+        ptr = f"{self.root}/stores/ann/ptr"
+        cur = pointer_current(self.spark, ptr)
+        if cur is None:
+            g0 = f"{self.root}/stores/ann/index_g0"
+            build_ivf_index(emb, g0, nlist=self.ann_nlist)
+            pointer_publish(self.spark, ptr, g0)
+            return {"indexed": emb.count(), "skipped": 0,
+                    "bootstrapped": True, "maintained": False}
+        # replay / later-cycle path: own-epoch wipe, bounded id skip,
+        # upsert only what the searchable set lacks
+        if fs_delete(self.spark, f"{cur}/deltas/epoch=0"):
+            publish_gen_manifest(self.spark, cur)
+        indexed_ids = ivf_index_data(self.spark, cur).select("vec_id")
+        fresh = bounded_anti_join(emb, indexed_ids, "vec_id")
+        n_fresh = fresh.count()
+        if n_fresh:
+            upsert_ivf_index(fresh, cur, epoch_id=0, out_partitions=4)
+        m = maintain_ivf_index(self.spark, ptr,
+                               max_deltas=self.ann_max_deltas)
+        return {"indexed": n_fresh,
+                "skipped": emb.count() - n_fresh,
+                "bootstrapped": False, "maintained": m["compacted"]}
 
     def _stage_finalize(self) -> dict:
         """Deterministic split + greedy packing, written as the final
@@ -339,6 +511,11 @@ class CorpusPipeline:
             "clusters": f"{self.root}/corpus/clusters.parquet",
             "resolved": f"{self.root}/corpus/resolved_documents.parquet",
             "annotated": f"{self.root}/corpus/annotated_documents.parquet",
+            "span_report": f"{self.root}/corpus/span_report.parquet",
+            "audited": f"{self.root}/corpus/audited_documents.parquet",
+            "embeddings": f"{self.root}/corpus/embeddings.parquet",
+            "span_store": f"{self.root}/stores/spans",
+            "ann_pointer": f"{self.root}/stores/ann/ptr",
             "corpus": f"{self.root}/out/corpus",
             "packed": f"{self.root}/out/packed.parquet",
         }

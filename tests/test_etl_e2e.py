@@ -83,14 +83,24 @@ FIXTURE = {
         _rec("S1", "Paper S1", _para(21), "stat.ML"),
         _rec("S2", "Paper S2", _para(22), "stat.ML"),
         _rec("S3", "A near duplicate paper", _NEAR_CORE + " gamma", "stat.ML"),
+        # quote MOSAIC (r09 audit_spans stage): 40 verbatim tokens from
+        # each of two different papers — pairwise Jaccard vs either
+        # parent ~0.3 (below the 0.5 LSH threshold, so resolve keeps
+        # it) but span coverage ~0.95 (above max_dup_fraction, so the
+        # exact-substring audit drops it)
+        _rec("M1", "Mosaic",
+             " ".join(_para(1).split()[:40]) + " "
+             + " ".join(_para(11).split()[:40]), "stat.ML"),
     ],
 }
 
-# 15 fetched records, minus 1 cross-category dup, minus 1 incomplete:
-N_CANONICAL = 13
+# 16 fetched records, minus 1 cross-category dup, minus 1 incomplete:
+N_CANONICAL = 14
 # exact-dup pair loses 1 (curate), near-dup trio loses 2 (resolve),
 # short + lowstop lose 2 (curate):
 N_RESOLVED = N_CANONICAL - 1 - 2 - 2
+# the quote mosaic survives LSH resolve but falls to the span audit:
+N_AUDITED = N_RESOLVED - 1
 
 
 def _fetch(cat: str, max_results: int):
@@ -131,10 +141,29 @@ def _snapshot(spark, p: CorpusPipeline) -> dict:
         (_norm_path(r.source_path, root), r._corrupt_record)
         for r in spark.read.parquet(o["quarantine"]).collect())
     for name in ("documents", "decisions", "clusters", "resolved",
-                 "annotated", "corpus", "packed"):
+                 "annotated", "span_report", "audited", "embeddings",
+                 "corpus", "packed"):
         out[name] = sorted(
             tuple(str(v) for v in row)
             for row in spark.read.parquet(o[name]).collect())
+    # the two frontier stores (r09): the span store's committed
+    # witness rows + ledger, and the ANN index's searchable set
+    # through the pointer — deterministic across kill/restart
+    out["span_store"] = sorted(
+        (r.doc_id, r.h)
+        for r in spark.read.parquet(o["span_store"] + "/spans").collect())
+    out["span_ledger"] = sorted(
+        r.doc_id
+        for r in spark.read.parquet(o["span_store"] + "/docs").collect())
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        ivf_index_data)
+    from hackmd_data_pipeline_spark.sources.fs import pointer_current
+    cur = pointer_current(spark, o["ann_pointer"])
+    assert cur is not None
+    out["ann_searchable"] = sorted(
+        (r.vec_id, int(r.cell))
+        for r in ivf_index_data(spark, cur)
+        .select("vec_id", "cell").collect())
     out["ledger"] = {r.stage: r.status for r in p.ledger.read().collect()}
     out["progress"] = sorted(
         (r.category_name, r.status)
@@ -150,7 +179,11 @@ KILL_SCRIPT = [
     ("claimed", "build_documents"),
     ("done", "curate"),
     ("done", "resolve"),
+    ("claimed", "audit_spans"),
+    ("done", "audit_spans"),     # spans committed, ledger not flipped
     ("done", "annotate"),
+    ("claimed", "index_embeddings"),
+    ("done", "index_embeddings"),  # pointer published, ledger not flipped
     ("done", "finalize"),
 ]
 
@@ -227,6 +260,27 @@ def test_composed_pipeline_kill_restart_exactly_once(spark, tmp_path):
              .agg(F.count("*").alias("n")).collect()]
     assert sizes == [3], f"expected one 3-member near-dup cluster, got {sizes}"
     assert len(snap_a["resolved"]) == N_RESOLVED
+
+    # the span audit (r09): exactly the quote mosaic falls — LSH kept
+    # it (pairwise Jaccard vs either parent ~0.3), the exact-substring
+    # store caught its ~95% verbatim coverage; survivors' spans + the
+    # doc ledger are committed, the index covers every audited doc
+    assert len(snap_a["audited"]) == N_AUDITED
+    rep = spark.read.parquet(faulty.outputs()["span_report"])
+    dropped = {r.doc_id for r in
+               rep.filter(F.col("dup_fraction") > faulty.max_dup_fraction)
+               .collect()}
+    mosaic_id = next(
+        r.doc_id for r in
+        spark.read.parquet(faulty.outputs()["documents"])
+        .filter(F.col("entry_id") == "M1").collect())
+    assert dropped == {mosaic_id}
+    assert len(snap_a["span_ledger"]) == N_AUDITED
+    assert len(snap_a["embeddings"]) == N_AUDITED
+    assert {v for (v, _) in snap_a["ann_searchable"]} == {
+        v for (v,) in ((r.vec_id,) for r in
+                       spark.read.parquet(faulty.outputs()["embeddings"])
+                       .select("vec_id").collect())}
 
     packed = spark.read.parquet(faulty.outputs()["packed"])
     over_budget = (packed.groupBy("seq_id")
