@@ -496,3 +496,27 @@ def test_ingest_id_skip_broadcast_bounded_by_batch(spark, tmp_path):
     _assert_store_never_broadcast_raw(fresh, idx)
     assert sorted(r.vec_id for r in fresh.select("vec_id").collect()) == list(
         range(200, 205))
+
+
+def test_plan_audit_covers_entire_registry():
+    """r09 VERDICT item 4: PLANS.md is the anti-pattern tripwire — it
+    must never lag the registry again (r09 shipped 3 registry entries
+    with no audit row). The audit's row set must equal REGISTRY's key
+    set exactly; regenerate with scripts/plan_audit.py after adding or
+    removing a query."""
+    import re
+    from pathlib import Path
+
+    from hackmd_data_pipeline_spark.plans import REGISTRY
+
+    plans = Path(__file__).resolve().parent.parent / "PLANS.md"
+    assert plans.exists(), "PLANS.md missing — run scripts/plan_audit.py"
+    rows = set()
+    for line in plans.read_text().splitlines():
+        m = re.match(r"\| ([a-z0-9_]+) \| (?:oracle|rows-only) \|", line)
+        if m:
+            rows.add(m.group(1))
+    assert rows == set(REGISTRY), (
+        f"PLANS.md lags the registry — missing: "
+        f"{sorted(set(REGISTRY) - rows)}, stale: {sorted(rows - set(REGISTRY))}"
+        " (regenerate: python scripts/plan_audit.py)")
