@@ -109,25 +109,31 @@ _ROWS_ONLY_PRIORITY = [
 # re-enter the driver's sample window even though an artifact row
 # exists. Prune entries once the corresponding round's artifact lands.
 _FORCE_REGATE: frozenset = frozenset({
-    # (r08 entries pruned — CORRECTNESS_r08.json records green hash
-    # rows for all nine re-gated forms.)
-    # r09: SemDeDup rebuilt to read its cells from the persisted IVF
-    # index instead of an in-session quantizer (r08 VERDICT item 3) —
-    # values identical by pinned-centroid construction, but the
-    # builder's data path changed:
-    "dedup_semantic_semdedup",
-    # r09: oracle SQL regenerated from the parameterized helper
-    # (oracle_helpers.exact_substring_oracle) — byte-identical by
-    # construction, but the oracle string changed:
-    "docs_exact_substring_dedup",
-    # r09: ivf_index_data gained as_of_epoch/as_of_seq time-travel
-    # params (default None = previous behavior) — the shared read
-    # path of every index search changed, so the four kNN entries
-    # re-enter the window:
+    # (r09 entries pruned — CORRECTNESS_r09.json records green hash
+    # rows for all six re-gated forms.)
+    # r10: the kNN family's exact ground truth is now a shared cached
+    # artifact (_ensure_exact_topk), the probe is a driver-materialized
+    # local relation, and ivf_index_data resolves generations through
+    # the committed manifest with one multi-path read — values
+    # identical by construction (provenance-pinned), but every entry's
+    # data path changed:
     "sim_knn_join_ivf",
     "sim_knn_join_ivfpq",
     "sim_knn_join_ivf_upsert",
     "sim_knn_join_ivfpq_upsert",
+    "sim_knn_join_ivf_asof",
+    "sim_knn_join_pointer_cycle",
+    # r10: SemDeDup reads cells through the manifest-resolved
+    # ivf_index_data:
+    "dedup_semantic_semdedup",
+    # r10: the warm span/cluster stores went shared/pid-free and every
+    # tombstone anti-join is size-gated (strategy-only, values
+    # unchanged — but the store read paths changed):
+    "dedup_incremental_spans",
+    "dedup_span_store_delete",
+    "dedup_incremental_batch",
+    "dedup_cluster_update",
+    "dedup_store_delete",
 })
 
 _GATE_COVERED = (_covered_from_artifacts() - _FORCE_REGATE) or _R01_COVERED

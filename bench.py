@@ -156,6 +156,32 @@ def main() -> None:
     iters = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
     max_extra = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_EXTRA", "2"))
 
+    # r10 (VERDICT r09 item 7 — 54/177 queries foreign-flagged in the
+    # driver's r09 run despite the guard): a prior-round per-query
+    # REFERENCE makes the noisy detector absolute as well as relative.
+    # Uniform contamination defeats a spread test (all iterations agree
+    # — all equally hot), so a query that is foreign-flagged AND >1.5x
+    # its last recorded time earns the extra runs and a LONGER bounded
+    # drain (60 s vs 30 s). The reference shapes RETRY POLICY only; the
+    # recorded number is always min(observed runs). Documented ceiling:
+    # if foreign load never drains for the whole bench window, the
+    # guard can only FLAG (foreign_cores_by_query) — it cannot
+    # manufacture a quiet host; cross-check flagged entries against a
+    # prior artifact before reading them as regressions.
+    ref: dict[str, float] = {}
+    ref_name = None
+    try:
+        arts = sorted(Path(__file__).parent.glob("BENCH_LOCAL_r*.json"),
+                      key=lambda p: p.stat().st_mtime)
+        if arts:
+            prior = json.loads(arts[-1].read_text())
+            if str(prior.get("sf")) == str(float(sf) if sf.replace(
+                    ".", "").isdigit() else sf):
+                ref = prior.get("queries", {})
+                ref_name = arts[-1].name
+    except (OSError, ValueError):
+        ref = {}
+
     load_before = os.getloadavg()
     t_run0 = time.perf_counter()
     timings: dict[str, float] = {}
@@ -176,16 +202,22 @@ def main() -> None:
             foreign, sample = _foreign_cores(sample)
             foreign_seen = max(foreign_seen, foreign)
             best = sorted(runs)
+            lagging = (name in ref and best[0] > 0.2
+                       and best[0] > 1.5 * max(float(ref[name]), 0.05)
+                       and foreign_seen >= 0.25)
             noisy = (foreign > 1.0
                      or (len(best) >= 2 and best[0] > 0.15
-                         and best[1] / best[0] > 1.3))
+                         and best[1] / best[0] > 1.3)
+                     or lagging)
             if len(runs) >= iters and noisy and extras > 0:
                 extras -= 1
                 want = len(runs) + 1
                 # re-settle before the extra run: poll in 2 s windows
-                # until foreign CPU drains (bounded)
+                # until foreign CPU drains (bounded; longer leash when
+                # the query is also lagging its prior-round reference)
                 waited = 0.0
-                while foreign > 1.0 and waited < 30.0:
+                drain_max = 60.0 if lagging else 30.0
+                while foreign > 1.0 and waited < drain_max:
                     time.sleep(2)
                     waited += 2
                     foreign, sample = _foreign_cores(sample)
@@ -211,6 +243,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "env": {
             "iters": iters,
+            "retry_reference": ref_name,
             "settle_waited_sec": settled_wait,
             "midrun_resettle_sec": round(resettle_sec, 1),
             "loadavg_before": [round(x, 2) for x in load_before],
