@@ -714,10 +714,14 @@ def quantizer_drift(spark: SparkSession, index_path: str,
     base = (spark.read.parquet(index_path + "/data")
             .groupBy("cell").count().collect())
     root = delta_root or index_path
+    epochs = ivf_delta_epochs(spark, root)
     deltas = []
-    for e in ivf_delta_epochs(spark, root):
-        deltas.extend(spark.read.parquet(f"{root}/deltas/epoch={e}")
-                      .groupBy("cell").count().collect())
+    if epochs:
+        # one multi-path read + one aggregation over every committed
+        # generation (the ivf_index_data read shape)
+        deltas = (spark.read.option("basePath", root + "/deltas")
+                  .parquet(*[f"{root}/deltas/epoch={e}" for e in epochs])
+                  .groupBy("cell").count().collect())
     nlist = spark.read.parquet(index_path + "/centroids").count()
     nb = sum(r["count"] for r in base)
     nd = sum(r["count"] for r in deltas)
