@@ -921,7 +921,7 @@ def _ensure_ivf_index(stored, dest: str, nlist: int) -> None:
 
 
 def _ensure_exact_topk(sf_dir: str, kind: str, corpus, batch,
-                       k: int = 10) -> DataFrame:
+                       k: int = 10, kernel=None) -> DataFrame:
     """The kNN family's EXACT ground truth as a shared per-dataset
     cache artifact (r09 VERDICT item 2): seven registry entries gate
     their index path against the same deterministic full-corpus exact
@@ -931,13 +931,21 @@ def _ensure_exact_topk(sf_dir: str, kind: str, corpus, batch,
     tie-broken by vec_id — deterministic by construction) is built
     once per (dataset, corpus-slice, k) into the rename-published
     index cache and read back thereafter; the provenance test pins
-    cached == freshly-computed row-for-row."""
+    cached == freshly-computed row-for-row.
+
+    ``kernel`` overrides the exact kernel: the default matmul-blocked
+    form is right for continuous high-dim vectors, but coarse
+    integer-derived vectors (the hashed-text family) tie at partition
+    boundaries where argpartition picks arbitrarily — those callers
+    pass the fold+window ``brute_force_topk``, whose tie-break is
+    total."""
     from ..operators.similarity import brute_force_topk_blocked
 
+    kern = kernel or brute_force_topk_blocked
     dest = _index_cache_path(sf_dir, f"exact_{kind}_k{k}")
 
     def build(df, path):
-        (brute_force_topk_blocked(corpus, batch, k=k)
+        (kern(corpus, batch, k=k)
          .coalesce(1).write.mode("overwrite").parquet(path + "/topk"))
 
     _ensure_index(corpus, dest, build, ("topk",))
@@ -1460,6 +1468,26 @@ def emb_hashed_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("vec_id", "i"))
 
 
+def _ensure_hashed_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashed-text embedding table as a shared per-dataset cache
+    artifact (the _ensure_exact_topk rationale: the featurizer is a
+    full corpus scan + shuffle, and one bench entry was recomputing it
+    for the corpus, the batch, the exact truth, AND the index build
+    per run). Deterministic by construction — same pinned xxh64
+    arithmetic emb_hashed_dense hash-gates."""
+    from ..etl import hashed_embeddings
+
+    dest = _index_cache_path(sf_dir, "text16_emb")
+
+    def build(df, path):
+        (hashed_embeddings(df, dim=16)
+         .coalesce(4).write.mode("overwrite").parquet(path + "/emb"))
+
+    _ensure_index(load_table(spark, sf_dir, "documents"), dest, build,
+                  ("emb",))
+    return spark.read.parquet(dest + "/emb")
+
+
 _TEXT_KNN_ORACLE = """
 WITH toks AS (
     SELECT doc_id,
@@ -1538,16 +1566,15 @@ def sim_knn_join_text_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster tightly, so 3/8 probed cells recover most true
     neighbors) — floor 0.88 just under the measured minimum (r07
     VERDICT item 7 discipline), verified under the hostile matrix."""
-    from ..etl import hashed_embeddings
+    from ..operators.similarity import ivf_search_index
 
-    d = load_table(spark, sf_dir, "documents")
-    emb = hashed_embeddings(d, dim=16)
+    emb = _ensure_hashed_emb(spark, sf_dir)
     stored = emb.filter(F.col("vec_id") % 4 != 0)
     batch = emb.filter(F.col("vec_id") % 4 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding")
     dest = _index_cache_path(sf_dir, "knn_text16")
     _ensure_ivf_index(stored, dest, nlist=8)
-    exact = brute_force_topk(stored, batch, k=10)
-    from ..operators.similarity import ivf_search_index
+    exact = _ensure_exact_topk(sf_dir, "text16", stored, batch, k=10,
+                               kernel=brute_force_topk)
     ann = ivf_search_index(spark, dest, batch, k=10, nprobe=3)
     return _ann_recall_frame(exact, ann, bound=0.88)
