@@ -181,6 +181,7 @@ _BNLJ_OK = {
     "sim_knn_join_ivfpq_upsert",   # 1-row corpus-recall scalar cross join
     "sim_knn_join_pointer_cycle",  # 1-row corpus-recall scalar cross join (r09)
     "sim_knn_join_ivf_asof",       # 1-row corpus-recall scalar cross join (r09)
+    "sim_knn_join_text_hashed",    # 1-row corpus-recall scalar cross join (r10)
 }
 
 
