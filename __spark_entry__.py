@@ -109,31 +109,22 @@ _ROWS_ONLY_PRIORITY = [
 # re-enter the driver's sample window even though an artifact row
 # exists. Prune entries once the corresponding round's artifact lands.
 _FORCE_REGATE: frozenset = frozenset({
-    # (r09 entries pruned — CORRECTNESS_r09.json records green hash
-    # rows for all six re-gated forms.)
-    # r10: the kNN family's exact ground truth is now a shared cached
-    # artifact (_ensure_exact_topk), the probe is a driver-materialized
-    # local relation, and ivf_index_data resolves generations through
-    # the committed manifest with one multi-path read — values
-    # identical by construction (provenance-pinned), but every entry's
-    # data path changed:
+    # (r10 entries pruned — CORRECTNESS_r10.json records green hash
+    # rows for all 13 re-gated forms.)
+    # r11: the kNN-family search paths are size-gated on the probe
+    # (distributed cell-shuffled candidate join above the ceiling,
+    # local-relation broadcast below it), the exact ground truth cache
+    # writes via repartition(1), upsert_ivfpq_index republishes the
+    # generation manifest, and the text-hashed caches key on the
+    # documents table — values identical by construction, but every
+    # entry's data path changed:
     "sim_knn_join_ivf",
     "sim_knn_join_ivfpq",
     "sim_knn_join_ivf_upsert",
     "sim_knn_join_ivfpq_upsert",
     "sim_knn_join_ivf_asof",
     "sim_knn_join_pointer_cycle",
-    # r10: SemDeDup reads cells through the manifest-resolved
-    # ivf_index_data:
-    "dedup_semantic_semdedup",
-    # r10: the warm span/cluster stores went shared/pid-free and every
-    # tombstone anti-join is size-gated (strategy-only, values
-    # unchanged — but the store read paths changed):
-    "dedup_incremental_spans",
-    "dedup_span_store_delete",
-    "dedup_incremental_batch",
-    "dedup_cluster_update",
-    "dedup_store_delete",
+    "sim_knn_join_text_hashed",
 })
 
 _GATE_COVERED = (_covered_from_artifacts() - _FORCE_REGATE) or _R01_COVERED

@@ -518,8 +518,14 @@ def publish_gen_manifest(spark: SparkSession, root: str) -> int:
     between the two leaves the new generation invisible until the
     replay converges, exactly the committed-delta discipline the
     _SUCCESS listing enforced. Deriving from a fresh listing (never
-    from the previous manifest) makes concurrent committers converge:
-    whichever publishes last lists both commits."""
+    from the previous manifest) means a later commit picks up earlier
+    ones it can see — but listing and version-claim are NOT atomic, so
+    two simultaneous committers can interleave (A lists before B's
+    commit yet claims the higher version), leaving B's generation
+    hidden until the next publish. The supported regime is therefore
+    SINGLE WRITER PER ROOT (the same discipline every rename-publish
+    pointer in this repo assumes); concurrent writers get eventual —
+    not immediate — convergence, bounded by one commit."""
     import json
 
     from ..sources.fs import pointer_publish
@@ -1444,6 +1450,12 @@ def upsert_ivfpq_index(batch: DataFrame, index_path: str, epoch_id: int,
     (_pq_encoded(src, cents, books, id_col, vec_col)
      .write.partitionBy("cell").mode("overwrite")
      .parquet(f"{root}/deltas/epoch={epoch_id}"))
+    # Committer contract (r10 manifest design): every generation commit
+    # republishes the manifest. Without this, a PQ root that already
+    # acquired a manifest (e.g. via remove_vectors) would resolve
+    # generations through the stale manifest and silently hide this
+    # epoch from every subsequent search.
+    publish_gen_manifest(spark, root)
 
 
 _CODEBOOK_CACHE: dict = {}

@@ -870,19 +870,24 @@ def sim_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_frame(exact, ann, bound=0.55)
 
 
-def _index_cache_path(sf_dir: str, kind: str) -> str:
+def _index_cache_path(sf_dir: str, kind: str,
+                      table: str = "embeddings") -> str:
     """Deterministic persisted-ANN-index location for one dataset —
-    the _store_cache_path recipe keyed on the embeddings table."""
+    the _store_cache_path recipe keyed on the INPUT table's path +
+    mtime. ``table`` names the actual source (r10 ADVICE: the
+    text-hashed family builds from ``documents``, so keying those
+    caches on embeddings.parquet left them stale when documents alone
+    regenerated — every cache must key on what it was built FROM)."""
     import hashlib
     import os
     import tempfile
 
-    emb = os.path.join(os.path.realpath(sf_dir), "embeddings.parquet")
+    src = os.path.join(os.path.realpath(sf_dir), f"{table}.parquet")
     try:
-        mtime = str(int(os.path.getmtime(emb)))
+        mtime = str(int(os.path.getmtime(src)))
     except OSError:
         mtime = "0"
-    key = hashlib.md5(f"{emb}|{mtime}".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{src}|{mtime}".encode()).hexdigest()[:12]
     return os.path.join(tempfile.gettempdir(),
                         f"graft_ann_index_{key}_{kind}")
 
@@ -921,7 +926,8 @@ def _ensure_ivf_index(stored, dest: str, nlist: int) -> None:
 
 
 def _ensure_exact_topk(sf_dir: str, kind: str, corpus, batch,
-                       k: int = 10, kernel=None) -> DataFrame:
+                       k: int = 10, kernel=None,
+                       table: str = "embeddings") -> DataFrame:
     """The kNN family's EXACT ground truth as a shared per-dataset
     cache artifact (r09 VERDICT item 2): seven registry entries gate
     their index path against the same deterministic full-corpus exact
@@ -942,11 +948,17 @@ def _ensure_exact_topk(sf_dir: str, kind: str, corpus, batch,
     from ..operators.similarity import brute_force_topk_blocked
 
     kern = kernel or brute_force_topk_blocked
-    dest = _index_cache_path(sf_dir, f"exact_{kind}_k{k}")
+    dest = _index_cache_path(sf_dir, f"exact_{kind}_k{k}", table=table)
 
     def build(df, path):
+        # repartition(1), not coalesce(1): coalesce folds the WHOLE
+        # upstream exact-kNN compute into a single task (r09's
+        # local-relation finding generalized — measured multi-second
+        # on the blocked matmul at sf0.1), while repartition keeps the
+        # per-partition top-k parallel and shuffles only the tiny
+        # k-per-query result into the one output file.
         (kern(corpus, batch, k=k)
-         .coalesce(1).write.mode("overwrite").parquet(path + "/topk"))
+         .repartition(1).write.mode("overwrite").parquet(path + "/topk"))
 
     _ensure_index(corpus, dest, build, ("topk",))
     return corpus.sparkSession.read.parquet(dest + "/topk")
@@ -1477,7 +1489,7 @@ def _ensure_hashed_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic emb_hashed_dense hash-gates."""
     from ..etl import hashed_embeddings
 
-    dest = _index_cache_path(sf_dir, "text16_emb")
+    dest = _index_cache_path(sf_dir, "text16_emb", table="documents")
 
     def build(df, path):
         (hashed_embeddings(df, dim=16)
@@ -1572,9 +1584,9 @@ def sim_knn_join_text_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored = emb.filter(F.col("vec_id") % 4 != 0)
     batch = emb.filter(F.col("vec_id") % 4 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    dest = _index_cache_path(sf_dir, "knn_text16")
+    dest = _index_cache_path(sf_dir, "knn_text16", table="documents")
     _ensure_ivf_index(stored, dest, nlist=8)
     exact = _ensure_exact_topk(sf_dir, "text16", stored, batch, k=10,
-                               kernel=brute_force_topk)
+                               kernel=brute_force_topk, table="documents")
     ann = ivf_search_index(spark, dest, batch, k=10, nprobe=3)
     return _ann_recall_frame(exact, ann, bound=0.88)

@@ -359,6 +359,7 @@ def run_span_ingest(spark: SparkSession, docs_path: str, out_root: str,
     Returns ``{"kept": n, "dropped_dup": n, "skipped_ids": n,
     "skipped_tombstoned": n}``."""
     from ..operators.dedup_store import (
+        _gate_dead,
         commit_spans,
         incremental_spans,
         load_tombstones,
@@ -387,14 +388,18 @@ def run_span_ingest(spark: SparkSession, docs_path: str, out_root: str,
             fresh = bounded_anti_join(batch, stored_ids, id_col).persist()
             n_fresh = fresh.count()
             # surface tombstoned-id skips distinctly (the deleted-id
-            # policy above); the tombstone set is broadcast-bounded
-            # between compactions and None in the common case
+            # policy above); the tombstone side goes through the same
+            # size-gated posture as every other tombstone anti-join
+            # (_gate_dead: broadcast under the byte ceiling, planner
+            # strategy above it — heavy-deletion regimes must not
+            # force an unbounded driver broadcast here either)
             dead = (load_tombstones(spark, store_dest)
                     if n_fresh != n_in else None)
             if dead is not None:
                 counts["skipped_tombstoned"] += (
                     batch.join(
-                        F.broadcast(dead.select(F.col("id").alias(id_col))),
+                        _gate_dead(spark, store_dest,
+                                   dead.select(F.col("id").alias(id_col))),
                         id_col, "left_semi")
                     .join(fresh.select(id_col), id_col, "left_anti")
                     .count())

@@ -680,6 +680,45 @@ def test_ivfpq_upsert_codes_generation_independent(spark, tmp_path):
     assert hit[0].vec_id == target and hit[0].cosine > 0.999999
 
 
+def test_ivfpq_upsert_republishes_manifest(spark, tmp_path):
+    """r10 ADVICE (medium): a PQ root that acquired a generation
+    manifest (here via remove_vectors) resolves generations THROUGH
+    the manifest — so an upsert_ivfpq_index that failed to republish
+    would leave its committed epoch invisible to every search, with
+    no error. Pin the committer contract: after the upsert, the epoch
+    is manifest-resolved and the upserted vector is retrievable."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        build_ivfpq_index, ivf_delta_epochs, ivfpq_search_index,
+        remove_vectors, upsert_ivfpq_index)
+    from hackmd_data_pipeline_spark.sources.fs import pointer_current
+    from hackmd_data_pipeline_spark.tables import load_table
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    base = emb.filter((F.col("vec_id") % 4).isin(1, 2))
+    late = emb.filter(F.col("vec_id") % 4 == 3)
+
+    idx = str(tmp_path / "idx")
+    build_ivfpq_index(base, idx, nlist=8)
+    # acquire a manifest BEFORE the upsert (the hazard precondition)
+    victim = base.orderBy("vec_id").first().vec_id
+    remove_vectors(spark.createDataFrame([(victim,)], "id long"), idx)
+    assert pointer_current(spark, idx + "/_manifest") is not None
+
+    upsert_ivfpq_index(late, idx, epoch_id=0)
+    # the epoch must resolve through the (republished) manifest ...
+    assert ivf_delta_epochs(spark, idx) == [0]
+    # ... and the upserted vector must be retrievable at rank 1
+    target = late.orderBy("vec_id").first().vec_id
+    probe = (late.orderBy("vec_id").limit(1)
+             .select(F.lit(-1).alias("query_id"), "embedding"))
+    corpus = base.unionByName(late)
+    hit = ivfpq_search_index(spark, idx, probe, corpus=corpus, k=3,
+                             nprobe=8, refine=4).collect()
+    assert hit[0].vec_id == target and hit[0].cosine > 0.999999
+
+
 def test_ivf_remove_vectors_excludes_and_compacts(spark, tmp_path):
     """Right-to-be-forgotten on the vector index (r08): after
     remove_vectors, a deleted vector — base-resident or
