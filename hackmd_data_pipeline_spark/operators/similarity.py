@@ -27,6 +27,24 @@ from pyspark.sql import types as T
 # ivf_index_data stays per-module patchable in tests
 from .joins import TOMBSTONE_BROADCAST_MAX_BYTES  # noqa: F401,E402
 
+import os as _os  # noqa: E402
+
+# ceiling for materializing the PROBE (nq x nprobe rows INCLUDING full
+# query vectors) as a driver-local broadcast relation (r10 VERDICT
+# item 1): the local-relation fast path is one driver round trip and
+# was unconditional — fine for the bounded batches every current
+# caller passes, a driver OOM for a million-query kNN join. Under the
+# ceiling the probe collects and broadcasts (today's path, bit-exact);
+# over it the probe STAYS a distributed DataFrame and the candidate
+# join shuffles on `cell` (AQE may still pick broadcast from runtime
+# stats, never on our unconditional say-so). Bytes, estimated as
+# rows x (dim x 8 + slack) — the collect itself is bounded by a
+# LIMIT, so the driver never holds more than ceiling + 1 rows even
+# while deciding. Env-overridable so tests/SCALE.md can force the
+# distributed posture on small fixtures.
+PROBE_BROADCAST_MAX_BYTES = int(_os.environ.get(
+    "SPARK_GRAFT_PROBE_BROADCAST_MAX_BYTES", str(64 << 20)))
+
 
 def _as_double(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -820,17 +838,29 @@ def probe_cells(queries: DataFrame, cents, nprobe: int,
         probe, schema=schema)
 
 
-def _materialize_probe(probe: DataFrame, query_id_col: str):
-    """Collect the bounded probe frame ONCE (nq x nprobe rows — the
-    search paths broadcast it anyway, so it is driver-bounded by
-    construction) and rebuild it as a JVM-local Arrow relation: one
-    driver round trip replaces the eager localCheckpoint job plus the
-    distinct-cell collect job the search paths used through r09, and
-    the candidate join's build side needs no Python re-evaluation.
+def _materialize_probe(probe: DataFrame, query_id_col: str,
+                       max_rows: int | None = None):
+    """Collect the probe frame ONCE (nq x nprobe rows) and rebuild it
+    as a JVM-local Arrow relation: one driver round trip replaces the
+    eager localCheckpoint job plus the distinct-cell collect job the
+    search paths used through r09, and the candidate join's build side
+    needs no Python re-evaluation.
+
+    ``max_rows`` bounds the collect (r10 VERDICT item 1 — "driver-
+    bounded by construction" was circular: it held only because every
+    caller passed small batches): the fetch runs under a LIMIT of
+    ``max_rows + 1``, and a probe that exceeds the ceiling returns
+    ``(None, None)`` so the caller can keep it distributed — the
+    driver never holds more than ceiling + 1 rows even while deciding.
     Returns ``(local probe DataFrame, sorted distinct cell ids)``."""
     from ..session import arrow_local_df
 
-    rows = probe.collect()
+    if max_rows is not None:
+        rows = probe.limit(max_rows + 1).collect()
+        if len(rows) > max_rows:
+            return None, None
+    else:
+        rows = probe.collect()
     cells = sorted({int(r["cell"]) for r in rows})
     qid_type = probe.schema[query_id_col].dataType.simpleString()
     local = arrow_local_df(
@@ -842,6 +872,38 @@ def _materialize_probe(probe: DataFrame, query_id_col: str):
         f"{query_id_col} {qid_type}, _qvec array<double>, "
         f"_qnorm double, cell int")
     return local, cells
+
+
+def _resolve_probe(probe: DataFrame, query_id_col: str, dim: int):
+    """Size-gated probe strategy for the persisted-index search paths
+    (r10 VERDICT item 1, the tombstone-gate posture applied to the
+    QUERY side): returns ``(probe_df, cells, bounded)``.
+
+    Under the byte ceiling (``PROBE_BROADCAST_MAX_BYTES``, translated
+    to a row ceiling via the known vector width), the probe becomes a
+    broadcast-hinted driver-local relation — today's fast path,
+    bit-exact, one driver round trip. Over it, the probe stays a
+    DISTRIBUTED DataFrame: the pruning IN-list comes from a
+    distinct-cell collect (bounded by nlist regardless of nq) and the
+    candidate join is left to the planner — shuffle on ``cell``, with
+    executors never holding the whole query batch and the driver never
+    holding any of it. The distributed branch recomputes the probe
+    matmul per consumer (distinct + join — two linear passes over the
+    batch); at the scale that triggers it, both passes are distributed
+    and small next to the candidate join itself, and persisting here
+    would leak into the caller's lazily-returned plan.
+
+    Values are strategy-independent (same expressions either side of
+    the gate — result-identity is pinned row-for-row in
+    tests/test_similarity.py)."""
+    row_bytes = dim * 8 + 48
+    max_rows = max(1, PROBE_BROADCAST_MAX_BYTES // row_bytes)
+    local, cells = _materialize_probe(probe, query_id_col, max_rows)
+    if local is not None:
+        return F.broadcast(local), cells, True
+    cells = sorted(int(r["cell"]) for r in
+                   probe.select("cell").distinct().collect())
+    return probe, cells, False
 
 
 def ivf_search_index(spark: SparkSession, index_path: str, queries: DataFrame,
@@ -869,17 +931,23 @@ def ivf_search_index(spark: SparkSession, index_path: str, queries: DataFrame,
     — a time-travel SEARCH over any past index state (r09): "what
     could this query retrieve before upsert N / deletion M", the
     executable form of the compliance-audit read.
+
+    Query batches of ANY size are supported (r10 VERDICT item 1): the
+    probe materialization is size-gated (``_resolve_probe``) — bounded
+    batches ride the driver-local broadcast fast path, unbounded ones
+    keep the probe distributed and shuffle the candidate join on
+    ``cell``, so a million-query kNN join never lands on the driver.
     """
     cents = load_ivf_centroids(spark, index_path)
-    probe, cells = _materialize_probe(
+    probe, cells, _ = _resolve_probe(
         probe_cells(queries, cents, nprobe, query_id_col, vec_col),
-        query_id_col)
+        query_id_col, cents.shape[1] if len(cents) else 1)
     data = (ivf_index_data(spark, index_path, delta_root=delta_root,
                            as_of_epoch=as_of_epoch, as_of_seq=as_of_seq)
             .filter(F.col("cell").isin(cells)))   # -> partition pruning
     scored = (
         data.withColumn("_cvec", _as_double(F.col(vec_col)))
-        .join(F.broadcast(probe), "cell")
+        .join(probe, "cell")
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(query_id_col, id_col,
                 (dot_product_raw(F.col("_cvec"), F.col("_qvec"))
@@ -1347,11 +1415,17 @@ def _adc_scores(cand: DataFrame, cents, books, query_id_col: str,
 
 def _pq_finish(scored: DataFrame, corpus: DataFrame, queries: DataFrame,
                k: int, refine: int, id_col: str, vec_col: str,
-               query_id_col: str) -> DataFrame:
+               query_id_col: str, bounded: bool = True) -> DataFrame:
     """Top-k off the ADC ranking; with ``refine`` the top k*refine are
     exactly re-ranked against their true vectors (the float column is
-    read for shortlist rows only, via a broadcast semi-join — never
-    materialized corpus-wide)."""
+    read for shortlist rows only — never materialized corpus-wide).
+
+    ``bounded`` carries the caller's probe-gate verdict: a query batch
+    small enough to broadcast as a probe is also small enough to
+    broadcast as a shortlist (nq x k x refine id pairs) and as a
+    query-vector side; an over-ceiling batch leaves BOTH refine joins
+    to the planner (shuffle on id / query_id) — the same rule, applied
+    to every query-proportional build side in the search."""
     w = W.partitionBy(query_id_col).orderBy(F.col("_score").desc(), F.col(id_col))
     if not refine:
         return (
@@ -1362,14 +1436,15 @@ def _pq_finish(scored: DataFrame, corpus: DataFrame, queries: DataFrame,
             .orderBy(query_id_col, "rank")
         )
 
+    maybe_b = F.broadcast if bounded else (lambda df: df)
     shortlist = (scored.withColumn("_r", F.row_number().over(w))
                  .filter(F.col("_r") <= k * refine)
                  .select(query_id_col, id_col))
-    qv = F.broadcast(
+    qv = maybe_b(
         queries.select(F.col(query_id_col),
                        _as_double(F.col(vec_col)).alias("_qvec"))
         .withColumn("_qnorm", l2_norm_raw(F.col("_qvec"))))
-    hit = (corpus.join(F.broadcast(shortlist), id_col)
+    hit = (corpus.join(maybe_b(shortlist), id_col)
            .join(qv, query_id_col)
            .select(query_id_col, id_col,
                    (dot_product(F.col(vec_col), F.col("_qvec"))
@@ -1512,14 +1587,14 @@ def ivfpq_search_index(spark: SparkSession, index_path: str,
     cents = load_ivf_centroids(spark, index_path)
     books = _load_codebooks(spark, index_path)
 
-    probe, cells = _materialize_probe(
+    probe, cells, bounded = _resolve_probe(
         probe_cells(queries, cents, nprobe, query_id_col, vec_col),
-        query_id_col)
+        query_id_col, cents.shape[1] if len(cents) else 1)
     data = (ivf_index_data(spark, index_path, delta_root=delta_root)
             .filter(F.col("cell").isin(cells)))   # -> partition pruning
-    cand = (data.join(F.broadcast(probe), "cell")
+    cand = (data.join(probe, "cell")
             .filter(F.col(id_col) != F.col(query_id_col))
             .select(query_id_col, "_qvec", id_col, "cell", "codes"))
     scored = _adc_scores(cand, cents, books, query_id_col, id_col)
     return _pq_finish(scored, corpus, queries, k, refine, id_col, vec_col,
-                      query_id_col)
+                      query_id_col, bounded=bounded)
