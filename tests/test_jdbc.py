@@ -75,6 +75,96 @@ def test_jdbc_banded_read_pushes_filters(spark, tmp_path):
     assert filtered.count() == 10
 
 
+def _sink_rows(spark, url, table):
+    return sorted(r.k for r in read_jdbc(spark, url, table,
+                                         driver=_DERBY_DRIVER)
+                  .select("k").collect())
+
+
+def test_jdbc_exactly_once_sink_replay_and_crash(spark, tmp_path):
+    """The streaming JDBC sink's exactly-once contract against a real
+    transactional engine (r10 VERDICT item 7 — completing O-5's
+    relational story): committed epochs are replay no-ops, a crash
+    between staging and publish converges on retry, and the ledger +
+    data land atomically."""
+    from hackmd_data_pipeline_spark.sources.jdbc import (
+        jdbc_exactly_once_sink, write_jdbc as _w)
+
+    url = f"jdbc:derby:{tmp_path}/sinkdb;create=true"
+    handle = jdbc_exactly_once_sink(url, "graft_sink",
+                                    driver=_DERBY_DRIVER)
+
+    def batch(lo, hi):
+        return spark.range(lo, hi).withColumnRenamed("id", "k")
+
+    handle(batch(0, 10), 0)
+    assert _sink_rows(spark, url, "graft_sink") == list(range(10))
+
+    # replay of a committed epoch: byte-identical no-op
+    handle(batch(0, 10), 0)
+    assert _sink_rows(spark, url, "graft_sink") == list(range(10))
+
+    handle(batch(10, 20), 1)
+    assert _sink_rows(spark, url, "graft_sink") == list(range(20))
+
+    # crash between staging and publish: the stage table holds epoch 2
+    # but neither target nor ledger saw it — the retry must publish
+    # exactly once
+    _w(batch(20, 30).selectExpr("k", "cast(2 as long) as graft_epoch"),
+       url, "graft_sink_stage", mode="overwrite", truncate=False,
+       driver=_DERBY_DRIVER)
+    assert _sink_rows(spark, url, "graft_sink") == list(range(20))
+    handle(batch(20, 30), 2)
+    assert _sink_rows(spark, url, "graft_sink") == list(range(30))
+    # and replaying the recovered epoch is again a no-op
+    handle(batch(20, 30), 2)
+    assert _sink_rows(spark, url, "graft_sink") == list(range(30))
+
+
+def test_jdbc_exactly_once_sink_through_checkpointed_stream(spark, tmp_path):
+    """The sink under a REAL checkpointed file stream with a restart:
+    two availableNow passes over a growing source directory must land
+    every row exactly once — the second run replays nothing and picks
+    up only the new file."""
+    from hackmd_data_pipeline_spark.sources.jdbc import (
+        jdbc_exactly_once_sink)
+
+    url = f"jdbc:derby:{tmp_path}/streamdb;create=true"
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    handle = jdbc_exactly_once_sink(url, "graft_stream_sink",
+                                    driver=_DERBY_DRIVER)
+
+    def run_stream():
+        q = (spark.readStream.schema("k long")
+             .option("recursiveFileLookup", "true")  # writes land as dirs
+             .parquet(src)
+             .writeStream.foreachBatch(handle)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+
+    spark.range(0, 50).withColumnRenamed("id", "k").write.parquet(
+        src + "/a.parquet")
+    run_stream()
+    assert _sink_rows(spark, url, "graft_stream_sink") == list(range(50))
+
+    spark.range(50, 80).withColumnRenamed("id", "k").write.parquet(
+        src + "/b.parquet")
+    run_stream()
+    assert _sink_rows(spark, url, "graft_stream_sink") == list(range(80))
+
+
+def test_jdbc_sink_rejects_unsafe_identifiers():
+    from hackmd_data_pipeline_spark.sources.jdbc import (
+        jdbc_exactly_once_sink)
+
+    with pytest.raises(ValueError):
+        jdbc_exactly_once_sink("jdbc:derby:x", "bad-name; DROP TABLE t")
+
+
 @pytest.mark.skipif(not JDBC_URL, reason="SPARK_GRAFT_JDBC_URL not set")
 def test_jdbc_round_trip(spark):
     df = spark.range(0, 100).withColumnRenamed("id", "k")
