@@ -174,7 +174,8 @@ def main() -> None:
         CHECKOUT time on a fresh clone, so an older round could be
         picked as the reference (r10 ADVICE)."""
         import re
-        m = re.match(r"BENCH_LOCAL_r(\d+).*?(?:_run(\d+))?$", p.stem)
+        m = re.match(r"BENCH_LOCAL_r(\d+)(?:_sf[\d.]+)?(?:_run(\d+))?$",
+                     p.stem)
         return ((int(m.group(1)), int(m.group(2) or 1)) if m else (-1, 0))
 
     ref: dict[str, float] = {}

@@ -116,3 +116,31 @@ class Engine:
         partition-scoped rewrite)."""
         from .operators.maintenance import retention_sweep
         return retention_sweep(self.spark, path, partition_col, keep_from)
+
+    def knn_join(self, index_path: str, queries: DataFrame,
+                 **kwargs) -> DataFrame:
+        """kNN join of any (query_id, embedding) batch through a
+        persisted IVF index — query batches of any size (the probe is
+        size-gated: bounded batches broadcast, unbounded ones stay
+        distributed)."""
+        from .operators.similarity import ivf_search_index
+        return ivf_search_index(self.spark, index_path, queries, **kwargs)
+
+    def decontaminate_ann(self, index_path: str, benchmark: DataFrame,
+                          threshold: float = 0.98, k: int = 10,
+                          **kwargs) -> DataFrame:
+        """Retrieval-based decontamination: kNN-join benchmark
+        embeddings through a persisted train-corpus index and flag
+        train neighbors at/above the cosine threshold. Returns
+        (query_id, vec_id, cosine, rank) of flagged pairs."""
+        from pyspark.sql import functions as F
+        from .operators.similarity import ivf_search_index
+        hits = ivf_search_index(self.spark, index_path, benchmark,
+                                k=k, **kwargs)
+        return hits.filter(F.col("cosine") >= F.lit(threshold))
+
+    def jdbc_stream_sink(self, url: str, table: str, **kwargs):
+        """The exactly-once streaming JDBC sink's foreachBatch handle
+        (sources/jdbc.py::jdbc_exactly_once_sink)."""
+        from .sources.jdbc import jdbc_exactly_once_sink
+        return jdbc_exactly_once_sink(url, table, **kwargs)

@@ -146,6 +146,7 @@ class CorpusPipeline:
                  span_k: int = 8,
                  max_dup_fraction: float = 0.8,
                  emb_dim: int = 16,
+                 emb_quantize: bool = False,
                  ann_nlist: int = 4,
                  ann_max_deltas: int = 16,
                  fault_hook: FaultHook | None = None):
@@ -161,6 +162,7 @@ class CorpusPipeline:
         self.span_k = span_k
         self.max_dup_fraction = max_dup_fraction
         self.emb_dim = emb_dim
+        self.emb_quantize = emb_quantize
         self.ann_nlist = ann_nlist
         self.ann_max_deltas = ann_max_deltas
         self.fault_hook = fault_hook
@@ -438,10 +440,25 @@ class CorpusPipeline:
         annotated = self.spark.read.parquet(
             f"{self.root}/corpus/annotated_documents.parquet")
         emb = hashed_embeddings(annotated, dim=self.emb_dim)
-        emb.write.mode("overwrite").parquet(
-            f"{self.root}/corpus/embeddings.parquet")
-        emb = self.spark.read.parquet(
-            f"{self.root}/corpus/embeddings.parquet")
+        if self.emb_quantize:
+            # int8 storage posture (r10 VERDICT item 7): the embedding
+            # artifact lands as qvec/scale/norm (4x smaller than the
+            # float32 column — at 100 TB, the difference between an
+            # embedding table that fits hot storage and one that
+            # doesn't); every float consumer (index build, upsert,
+            # search) reads through the dequantize adapter. Recall
+            # delta vs the float path is gated in tests.
+            from .operators.similarity import dequantize, normalize_quantize
+
+            (normalize_quantize(emb).write.mode("overwrite")
+             .parquet(f"{self.root}/corpus/embeddings_q8.parquet"))
+            emb = dequantize(self.spark.read.parquet(
+                f"{self.root}/corpus/embeddings_q8.parquet"))
+        else:
+            emb.write.mode("overwrite").parquet(
+                f"{self.root}/corpus/embeddings.parquet")
+            emb = self.spark.read.parquet(
+                f"{self.root}/corpus/embeddings.parquet")
 
         ptr = f"{self.root}/stores/ann/ptr"
         cur = pointer_current(self.spark, ptr)
@@ -513,7 +530,10 @@ class CorpusPipeline:
             "annotated": f"{self.root}/corpus/annotated_documents.parquet",
             "span_report": f"{self.root}/corpus/span_report.parquet",
             "audited": f"{self.root}/corpus/audited_documents.parquet",
-            "embeddings": f"{self.root}/corpus/embeddings.parquet",
+            "embeddings": (
+                f"{self.root}/corpus/embeddings_q8.parquet"
+                if self.emb_quantize
+                else f"{self.root}/corpus/embeddings.parquet"),
             "span_store": f"{self.root}/stores/spans",
             "ann_pointer": f"{self.root}/stores/ann/ptr",
             "corpus": f"{self.root}/out/corpus",

@@ -362,6 +362,25 @@ def normalize_quantize(df: DataFrame, id_col: str = "vec_id",
     )
 
 
+def dequantize(df: DataFrame, id_col: str = "vec_id",
+               qvec_col: str = "qvec", scale_col: str = "scale",
+               vec_col: str = "embedding") -> DataFrame:
+    """Inverse of ``normalize_quantize`` up to quantization error:
+    ``embedding[i] = qvec[i] * scale`` reconstructs the unit vector to
+    within 0.5 * scale per component (|error| <= half a quantization
+    step). Pure codegen'd HOF expression, zero shuffle — the read-side
+    adapter that lets an int8-stored embedding artifact (4x smaller
+    than float32, the 100 TB storage posture) feed every float
+    consumer (index build, upsert, search) unchanged. Recall delta of
+    searching a dequantized-built index vs the float-built one is
+    gated in tests/test_similarity.py."""
+    return df.select(
+        F.col(id_col),
+        F.transform(F.col(qvec_col),
+                    lambda x: x.cast("double") * F.col(scale_col))
+        .alias(vec_col))
+
+
 def block_cosine_pairs(df: DataFrame, threshold: float = 0.95,
                        block_col: str = "label", id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:

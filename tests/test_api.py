@@ -73,6 +73,38 @@ def test_analytics_surfaces(spark):
     assert set(pr) == {1, 2, 3} and abs(sum(pr.values()) - 1.0) < 1e-6
 
 
+def test_retrieval_surfaces(spark, tmp_path):
+    """r11 facade additions: kNN join through a persisted index and
+    retrieval-based decontamination flags dispatch to the real
+    operators."""
+    from pyspark.sql import functions as F
+
+    from hackmd_data_pipeline_spark.api import Engine
+
+    from hackmd_data_pipeline_spark.operators.similarity import (
+        build_ivf_index)
+
+    eng = Engine(spark, SF_CORRECT)
+    # plant one exact duplicate of the first query vector in the
+    # "train" corpus so the contamination flag is load-bearing
+    emb = eng.tables["embeddings"]
+    first = emb.orderBy("vec_id").limit(1)
+    planted = first.select((F.lit(9_000_000)).alias("vec_id"), "embedding")
+    idx = str(tmp_path / "idx")
+    build_ivf_index(emb.select("vec_id", "embedding").unionByName(planted),
+                    idx, nlist=4)
+
+    q = first.select(F.col("vec_id").alias("query_id"), "embedding")
+    got = eng.knn_join(idx, q, k=5, nprobe=4)
+    assert got.columns == ["query_id", "vec_id", "cosine", "rank"]
+    assert got.count() == 5
+
+    flags = eng.decontaminate_ann(idx, q, threshold=0.999999, k=5,
+                                  nprobe=4)
+    assert [(r.query_id, r.vec_id) for r in flags.collect()] == [
+        (first.first().vec_id, 9_000_000)]
+
+
 def test_explain_surface(spark):
     eng = Engine(spark, SF_CORRECT)
     plan = eng.explain("q1_pricing_summary")

@@ -182,6 +182,8 @@ _BNLJ_OK = {
     "sim_knn_join_pointer_cycle",  # 1-row corpus-recall scalar cross join (r09)
     "sim_knn_join_ivf_asof",       # 1-row corpus-recall scalar cross join (r09)
     "sim_knn_join_text_hashed",    # 1-row corpus-recall scalar cross join (r10)
+    "docs_decontamination_ann",    # 1-row flagged-recall scalar cross join (r11)
+    "sim_knn_join_media_features",  # 1-row corpus-recall scalar cross join (r11)
 }
 
 
