@@ -742,6 +742,8 @@ def _cc_local(spark, rows) -> DataFrame:
     enforces the threshold): path-halving find, union-by-min so every
     root is its component's minimum id — identical semantics to the
     distributed min-label propagation."""
+    from ..session import arrow_local_df
+
     if not rows:
         return spark.createDataFrame([], "id long, cluster_id long")
     parent: dict[int, int] = {}
@@ -763,12 +765,18 @@ def _cc_local(spark, rows) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
 
-    out = [(x, find(x)) for x in parent]
-    # NOTE: no coalesce(1) — a parallelized local collection keeps one
-    # Python-deserialization pipeline PER SLICE, and a single coalesced
-    # task runs all of them sequentially (measured 0.4 s -> 4 s on 477
-    # rows). The default slicing counts/joins fine.
-    return spark.createDataFrame(out, "id long, cluster_id long")
+    # JVM-local Arrow relation (session.arrow_local_df), not a
+    # parallelized Python collection: createDataFrame(list) spreads the
+    # rows over defaultParallelism PYTHON-evaluated partitions, so every
+    # downstream consumer (overlay writes, anti-joins, the registry
+    # count) pays a 32-task Python round trip for a few hundred rows —
+    # the local relation is one Arrow batch on the JVM, values exact
+    # (longs through Arrow). r11; the r09 local-relation finding
+    # applied to the union-find fast path.
+    ids = sorted(parent)
+    return arrow_local_df(
+        spark, {"id": ids, "cluster_id": [find(x) for x in ids]},
+        "id long, cluster_id long")
 
 
 def partial_overlap_pairs(df: DataFrame, id_col: str = "doc_id",

@@ -790,11 +790,16 @@ def remove_docs(ids: DataFrame, dest: str,
     nxt = (seqs[-1] + 1) if seqs else 0
     overlay.write.mode("overwrite").parquet(
         f"{root}/cluster_deltas/seq={nxt}")
+    # both overlay counts in ONE aggregation job over the committed
+    # delta instead of two filtered count() passes (r11, guide §1.2:
+    # the caller-facing numbers are observability, not worth two scans)
     delta = spark.read.parquet(f"{root}/cluster_deltas/seq={nxt}")
+    relabeled, retired = delta.agg(
+        F.count(F.when(F.col("cluster_id") >= 0, 1)),
+        F.count(F.when(F.col("cluster_id") < 0, 1))).first()
     return {"tombstone_seq": nxt_t, "seq": nxt,
             "n_deleted": dead.count(),
-            "n_relabeled": delta.filter(F.col("cluster_id") >= 0).count(),
-            "n_retired": delta.filter(F.col("cluster_id") < 0).count()}
+            "n_relabeled": int(relabeled), "n_retired": int(retired)}
 
 
 def compact_clusters(spark: SparkSession, src: str, dest: str,

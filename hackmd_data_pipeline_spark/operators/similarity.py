@@ -206,9 +206,17 @@ def _bounded_sample(corpus: DataFrame, vec_col: str,
             taken += len(chunk)
             yield chunk
 
+    # collect WITHOUT a limit node and trim driver-side: the head
+    # kernel already bounds the result to per_part rows per partition
+    # (<= cap + nparts * (per_part - 1) worst case — same order as the
+    # cap), while limit().collect() runs CollectLimit's incremental
+    # partition scale-up — 1, 4, 16... partitions = up to log4(nparts)
+    # scheduler round trips for the SAME rows (r11; measured 1.5-2.1 s
+    # of the composed ANN entries). Rows arrive in partition order
+    # either way, so x[:cap] is bit-identical to the old limit path.
     sample = (corpus.select(vec_col).mapInPandas(
         head, schema=corpus.select(vec_col).schema)
-        .limit(sample_cap).collect())
+        .collect())[:sample_cap]
     x = np.asarray([r[0] for r in sample], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     return x
@@ -803,7 +811,11 @@ def compact_ivf_index(spark: SparkSession, src: str, dest: str,
     keeps the base index's."""
     merged = ivf_index_data(spark, src, delta_root=delta_root)
     if nlist is None:
-        nlist = spark.read.parquet(src + "/centroids").count()
+        # centroid count via the cached driver read (kilobytes), not a
+        # parquet count() job — the maintenance path calls this right
+        # after a search/upsert already primed the cache (r11, guide
+        # §1.2: don't spend a job on metadata)
+        nlist = len(load_ivf_centroids(spark, src))
     build_ivf_index(merged.select(merged.columns[0], vec_col), dest,
                     nlist=int(nlist), id_col=merged.columns[0],
                     vec_col=vec_col, seed=seed, sample_cap=sample_cap)
