@@ -905,6 +905,72 @@ def _materialize_probe(probe: DataFrame, query_id_col: str,
     return local, cells
 
 
+def _resolve_probe_from_queries(queries: DataFrame, cents, nprobe: int,
+                                query_id_col: str, vec_col: str):
+    """Size-gated probe for the persisted-index search paths, resolved
+    from the QUERY BATCH directly (r11, guide §4.1: the bounded branch
+    needs no executor Python stage at all).
+
+    Under the byte ceiling the old path ran the ``probe_cells``
+    mapInPandas kernel distributed and collected its nq x nprobe rows
+    — a Python-worker round trip per search to compute a matmul the
+    driver can do on the collected batch in microseconds. Now the
+    bounded branch collects the query rows (LIMIT-gated, nq rows — a
+    factor nprobe FEWER than the probe collect) and runs the SAME
+    numpy kernel driver-side: identical float64 arithmetic, identical
+    stable-argsort tie-break, so probe values are bit-equal to the
+    executor kernel's (pinned in tests/test_similarity.py). Over the
+    ceiling, behavior is unchanged: the probe stays a distributed
+    ``probe_cells`` frame and the candidate join is the planner's
+    (``_resolve_probe``'s distributed branch).
+
+    Returns ``(probe_df, cells, bounded)`` like ``_resolve_probe``."""
+    import numpy as np
+
+    from ..session import arrow_local_df
+
+    dim = cents.shape[1] if len(cents) else 1
+    k_eff = max(1, min(nprobe, len(cents)))
+    row_bytes = dim * 8 + 48
+    max_probe_rows = max(1, PROBE_BROADCAST_MAX_BYTES // row_bytes)
+    nq_cap = max(1, max_probe_rows // k_eff)
+    rows = queries.select(query_id_col, vec_col).limit(nq_cap + 1).collect()
+    if len(rows) > nq_cap:
+        # over the ceiling: distributed probe, planner-owned join —
+        # exactly the pre-r11 over-gate branch
+        return _resolve_probe(
+            probe_cells(queries, cents, nprobe, query_id_col, vec_col),
+            query_id_col, dim)
+    m = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    if not len(rows):
+        cells: list[int] = []
+        local = arrow_local_df(
+            queries.sparkSession,
+            {query_id_col: [], "_qvec": [], "_qnorm": [], "cell": []},
+            f"{query_id_col} {queries.schema[query_id_col].dataType.simpleString()}, "
+            "_qvec array<double>, _qnorm double, cell int")
+        return F.broadcast(local), cells, True
+    norms = np.linalg.norm(m, axis=1)
+    unit = m / np.maximum(norms[:, None], 1e-12)
+    cnorm = np.maximum(np.linalg.norm(cents, axis=1), 1e-12)
+    cos = (unit @ cents.T) / cnorm[None, :]
+    top = np.argsort(-cos, axis=1, kind="stable")[:, :k_eff]
+    flat = top.reshape(len(rows) * k_eff)
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    local = arrow_local_df(
+        queries.sparkSession,
+        {query_id_col: [r[query_id_col] for r in rows for _ in range(k_eff)],
+         # .tolist() (pure-Python floats): a vanilla driver session may
+         # take the non-Arrow createDataFrame path, whose type
+         # verification rejects numpy scalars inside array fields
+         "_qvec": [v.tolist() for v in m.repeat(k_eff, axis=0)],
+         "_qnorm": [float(x) for x in norms.repeat(k_eff)],
+         "cell": [int(c) for c in flat]},
+        f"{query_id_col} {qid_type}, _qvec array<double>, "
+        f"_qnorm double, cell int")
+    return F.broadcast(local), sorted({int(c) for c in flat}), True
+
+
 def _resolve_probe(probe: DataFrame, query_id_col: str, dim: int):
     """Size-gated probe strategy for the persisted-index search paths
     (r10 VERDICT item 1, the tombstone-gate posture applied to the
@@ -970,9 +1036,8 @@ def ivf_search_index(spark: SparkSession, index_path: str, queries: DataFrame,
     ``cell``, so a million-query kNN join never lands on the driver.
     """
     cents = load_ivf_centroids(spark, index_path)
-    probe, cells, _ = _resolve_probe(
-        probe_cells(queries, cents, nprobe, query_id_col, vec_col),
-        query_id_col, cents.shape[1] if len(cents) else 1)
+    probe, cells, _ = _resolve_probe_from_queries(
+        queries, cents, nprobe, query_id_col, vec_col)
     data = (ivf_index_data(spark, index_path, delta_root=delta_root,
                            as_of_epoch=as_of_epoch, as_of_seq=as_of_seq)
             .filter(F.col("cell").isin(cells)))   # -> partition pruning
@@ -1618,9 +1683,8 @@ def ivfpq_search_index(spark: SparkSession, index_path: str,
     cents = load_ivf_centroids(spark, index_path)
     books = _load_codebooks(spark, index_path)
 
-    probe, cells, bounded = _resolve_probe(
-        probe_cells(queries, cents, nprobe, query_id_col, vec_col),
-        query_id_col, cents.shape[1] if len(cents) else 1)
+    probe, cells, bounded = _resolve_probe_from_queries(
+        queries, cents, nprobe, query_id_col, vec_col)
     data = (ivf_index_data(spark, index_path, delta_root=delta_root)
             .filter(F.col("cell").isin(cells)))   # -> partition pruning
     cand = (data.join(probe, "cell")
