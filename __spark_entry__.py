@@ -125,6 +125,17 @@ _FORCE_REGATE: frozenset = frozenset({
     "sim_knn_join_ivf_asof",
     "sim_knn_join_pointer_cycle",
     "sim_knn_join_text_hashed",
+    # r11 optimization round: data paths changed with value-identical
+    # results — bounded kNN probe resolved driver-side from the query
+    # batch, union-find CC emitted as a JVM-local Arrow relation,
+    # perplexity's unigram/vocab aggregates derived from the bigram
+    # table. Every touched oracled entry re-enters the gate window.
+    "docs_lm_perplexity",
+    "dedup_cc_clusters",
+    "dedup_cluster_resolve",
+    "dedup_cluster_update",
+    "dedup_store_delete",
+    "dedup_semantic_semdedup",
 })
 
 _GATE_COVERED = (_covered_from_artifacts() - _FORCE_REGATE) or _R01_COVERED
