@@ -128,9 +128,8 @@ _FORCE_REGATE: frozenset = frozenset({
     # r11 optimization round: data paths changed with value-identical
     # results — bounded kNN probe resolved driver-side from the query
     # batch, union-find CC emitted as a JVM-local Arrow relation,
-    # perplexity's unigram/vocab aggregates derived from the bigram
-    # table. Every touched oracled entry re-enters the gate window.
-    "docs_lm_perplexity",
+    # remove_docs overlay counts folded into one aggregation. Every
+    # touched oracled entry re-enters the gate window.
     "dedup_cc_clusters",
     "dedup_cluster_resolve",
     "dedup_cluster_update",

@@ -930,10 +930,10 @@ def _resolve_probe_from_queries(queries: DataFrame, cents, nprobe: int,
     from ..session import arrow_local_df
 
     dim = cents.shape[1] if len(cents) else 1
-    k_eff = max(1, min(nprobe, len(cents)))
+    k_eff = min(nprobe, len(cents))   # same k_eff as the probe_cells kernel
     row_bytes = dim * 8 + 48
     max_probe_rows = max(1, PROBE_BROADCAST_MAX_BYTES // row_bytes)
-    nq_cap = max(1, max_probe_rows // k_eff)
+    nq_cap = max(1, max_probe_rows // max(1, k_eff))
     rows = queries.select(query_id_col, vec_col).limit(nq_cap + 1).collect()
     if len(rows) > nq_cap:
         # over the ceiling: distributed probe, planner-owned join —
@@ -942,7 +942,7 @@ def _resolve_probe_from_queries(queries: DataFrame, cents, nprobe: int,
             probe_cells(queries, cents, nprobe, query_id_col, vec_col),
             query_id_col, dim)
     m = np.asarray([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
-    if not len(rows):
+    if not len(rows) or not k_eff:
         cells: list[int] = []
         local = arrow_local_df(
             queries.sparkSession,
