@@ -259,6 +259,18 @@ def main() -> None:
         and timings[n] >= 0.05)
     median_ratio = (round(ratios[len(ratios) // 2], 3)
                     if ratios else None)
+    # r12 (VERDICT r11 item 8): the driver keeps only the 2000-char
+    # stdout tail, so PERF's per-query comparator has never seen the
+    # full 181-entry dict (n_common: 0 every round) — compute the
+    # cross-round summary HERE, where both sides are in memory, and
+    # ship it in the tail-safe line. Pure reporting: timing methodology
+    # and the recorded numbers are untouched.
+    import math
+    geomean_ratio = (round(math.exp(sum(math.log(max(r, 1e-6))
+                                        for r in ratios) / len(ratios)), 3)
+                     if ratios else None)
+    n_regressed_vs_ref = sum(1 for r in ratios if r > 1.1)
+    n_improved_vs_ref = sum(1 for r in ratios if r < 0.9)
     flagged_frac = len(foreign_by_query) / max(len(timings), 1)
     contaminated = (flagged_frac > 0.15
                     or (median_ratio is not None and median_ratio > 1.25))
@@ -271,7 +283,10 @@ def main() -> None:
         "vs_prior": {
             "reference": ref_name,
             "median_per_query_ratio": median_ratio,
+            "geomean_per_query_ratio": geomean_ratio,
             "n_compared": len(ratios),
+            "n_regressed": n_regressed_vs_ref,
+            "n_improved": n_improved_vs_ref,
             "foreign_flagged": len(foreign_by_query),
         },
         "queries": timings,
@@ -338,6 +353,18 @@ def main() -> None:
         "queries_file": artifact,
         "loadavg_before": out["env"]["loadavg_before"],
         "wall_sec": out["env"]["wall_sec"],
+        # self-contained cross-round read (r12): geomean/median of the
+        # per-query ratios vs the newest committed same-sf artifact,
+        # plus regressed/improved counts — so the driver's tail alone
+        # answers "faster or slower than last round, and by how much"
+        "vs_ref": {
+            "reference": ref_name,
+            "geomean_ratio": geomean_ratio,
+            "median_ratio": median_ratio,
+            "n_compared": len(ratios),
+            "n_regressed": n_regressed_vs_ref,
+            "n_improved": n_improved_vs_ref,
+        },
         "slowest_queries": {},
     }
     budget = 1500  # hard margin under the 2000-char tail

@@ -677,11 +677,16 @@ def update_clusters(new_pairs: DataFrame, dest: str, epoch_id: int,
 
     seqs = _cluster_delta_seqs(spark, root)
     nxt = (seqs[-1] + 1) if seqs else 0
-    sub.write.mode("overwrite").parquet(
-        f"{root}/cluster_deltas/seq={nxt}")
-    delta = spark.read.parquet(f"{root}/cluster_deltas/seq={nxt}")
+    # observability count measured DURING the overlay write via
+    # Dataset.observe — the r11 posture (fewer actions, guide §1.2)
+    # taken to its end: zero extra jobs instead of a readback count
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (sub.observe(obs, F.count(F.lit(1)).alias("n"))
+     .write.mode("overwrite").parquet(f"{root}/cluster_deltas/seq={nxt}"))
     return {"epoch": epoch_id, "seq": nxt,
-            "n_reassigned": delta.count()}
+            "n_reassigned": int(obs.get["n"])}
 
 
 def remove_docs(ids: DataFrame, dest: str,
@@ -744,15 +749,21 @@ def remove_docs(ids: DataFrame, dest: str,
     compaction clears it)."""
     from .dedup import dedup_clusters
 
+    from pyspark.sql import Observation
+
     spark = ids.sparkSession
     root = delta_root or dest
     dead_in = (ids.select(F.col(ids.columns[0]).cast("long").alias("id"))
                .distinct())
     tseqs = _tombstone_seqs(spark, root)
     nxt_t = (tseqs[-1] + 1) if tseqs else 0
-    dead_in.coalesce(1).write.mode("overwrite").parquet(
-        f"{root}/tombstones/seq={nxt_t}")
-    dead = spark.read.parquet(f"{root}/tombstones/seq={nxt_t}")
+    # n_deleted measured DURING the tombstone write (Dataset.observe):
+    # the readback-count job this paid through r11 existed only for
+    # observability (r11 VERDICT item 6)
+    obs_dead = Observation()
+    (dead_in.coalesce(1).observe(obs_dead, F.count(F.lit(1)).alias("n"))
+     .write.mode("overwrite").parquet(f"{root}/tombstones/seq={nxt_t}"))
+    n_deleted = int(obs_dead.get["n"])
 
     from ..sources.fs import fs_exists, fs_list_dirs
 
@@ -766,7 +777,7 @@ def remove_docs(ids: DataFrame, dest: str,
         # excludes the ids from here on; there is no cluster stage to
         # repair
         return {"tombstone_seq": nxt_t, "seq": None,
-                "n_deleted": dead.count(),
+                "n_deleted": n_deleted,
                 "n_relabeled": 0, "n_retired": 0}
 
     base = load_clusters(spark, dest, delta_root=root)
@@ -788,18 +799,21 @@ def remove_docs(ids: DataFrame, dest: str,
 
     seqs = _cluster_delta_seqs(spark, root)
     nxt = (seqs[-1] + 1) if seqs else 0
-    overlay.write.mode("overwrite").parquet(
-        f"{root}/cluster_deltas/seq={nxt}")
-    # both overlay counts in ONE aggregation job over the committed
-    # delta instead of two filtered count() passes (r11, guide §1.2:
-    # the caller-facing numbers are observability, not worth two scans)
-    delta = spark.read.parquet(f"{root}/cluster_deltas/seq={nxt}")
-    relabeled, retired = delta.agg(
-        F.count(F.when(F.col("cluster_id") >= 0, 1)),
-        F.count(F.when(F.col("cluster_id") < 0, 1))).first()
+    # both overlay counts measured DURING the overlay write
+    # (Dataset.observe) — r11 fused the two filtered count() passes
+    # into one aggregation job; r12 folds that job into the write
+    # itself (guide §1.2: observability numbers are not worth a scan)
+    obs_ov = Observation()
+    (overlay.observe(
+        obs_ov,
+        F.count(F.when(F.col("cluster_id") >= 0, 1)).alias("relabeled"),
+        F.count(F.when(F.col("cluster_id") < 0, 1)).alias("retired"))
+     .write.mode("overwrite").parquet(f"{root}/cluster_deltas/seq={nxt}"))
+    vals = obs_ov.get
     return {"tombstone_seq": nxt_t, "seq": nxt,
-            "n_deleted": dead.count(),
-            "n_relabeled": int(relabeled), "n_retired": int(retired)}
+            "n_deleted": n_deleted,
+            "n_relabeled": int(vals["relabeled"]),
+            "n_retired": int(vals["retired"])}
 
 
 def compact_clusters(spark: SparkSession, src: str, dest: str,

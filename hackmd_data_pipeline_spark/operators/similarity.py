@@ -184,12 +184,21 @@ def _bounded_sample(corpus: DataFrame, vec_col: str,
     family, bounded by ``sample_cap`` regardless of corpus size.
 
     Per-partition head sample: ceil(cap/nparts) rows from each input
-    partition, then a global limit. No count() job, no full scan —
-    CollectLimit executes partitions incrementally and each task
-    early-exits after its head rows, so at 100 TB the quantizer
-    training touches a few Arrow batches per partition instead of
-    sampling the whole corpus. (Head-of-partition bias is acceptable
-    for a coarse quantizer; recall is governed by nprobe.)"""
+    partition. With few partitions (nparts <= cap) the head output is
+    collected WITHOUT a limit node and trimmed driver-side — the head
+    kernel itself bounds the driver rows to nparts * ceil(cap/nparts)
+    < 2 * cap, and skipping the limit avoids CollectLimit's
+    incremental partition scale-up (1, 4, 16... partitions = up to
+    log4(nparts) scheduler round trips for the SAME rows; measured
+    1.5-2.1 s of the composed ANN entries at sf0.1, r11). With MANY
+    partitions (nparts > cap — the 100 TB shape, where per_part floors
+    at 1 and the plain collect would return O(nparts) rows and
+    schedule every partition) the global ``limit(sample_cap)`` node is
+    kept: CollectLimit early-exits after the first cap rows, so both
+    driver memory and scheduled tasks stay ~cap (r11 VERDICT item 1).
+    Rows arrive in partition order on both paths, so the two are
+    bit-identical. (Head-of-partition bias is acceptable for a coarse
+    quantizer; recall is governed by nprobe.)"""
     import math
 
     import numpy as np
@@ -206,17 +215,11 @@ def _bounded_sample(corpus: DataFrame, vec_col: str,
             taken += len(chunk)
             yield chunk
 
-    # collect WITHOUT a limit node and trim driver-side: the head
-    # kernel already bounds the result to per_part rows per partition
-    # (<= cap + nparts * (per_part - 1) worst case — same order as the
-    # cap), while limit().collect() runs CollectLimit's incremental
-    # partition scale-up — 1, 4, 16... partitions = up to log4(nparts)
-    # scheduler round trips for the SAME rows (r11; measured 1.5-2.1 s
-    # of the composed ANN entries). Rows arrive in partition order
-    # either way, so x[:cap] is bit-identical to the old limit path.
-    sample = (corpus.select(vec_col).mapInPandas(
+    headed = corpus.select(vec_col).mapInPandas(
         head, schema=corpus.select(vec_col).schema)
-        .collect())[:sample_cap]
+    if nparts > sample_cap:
+        headed = headed.limit(sample_cap)
+    sample = headed.collect()[:sample_cap]
     x = np.asarray([r[0] for r in sample], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     return x
@@ -821,6 +824,27 @@ def compact_ivf_index(spark: SparkSession, src: str, dest: str,
                     vec_col=vec_col, seed=seed, sample_cap=sample_cap)
 
 
+def _probe_topk(m, cents, k_eff: int):
+    """The probe kernel itself, shared by the executor path
+    (``probe_cells``' mapInPandas) and the driver path
+    (``_resolve_probe_from_queries``) — ONE implementation so the
+    bit-equality contract between the two gate branches cannot drift
+    out of sync by hand-edits (r11 ADVICE): norm clamp, unit-vector
+    matmul against the (possibly unnormalized) centroids, stable
+    argsort tie-break (cosine DESC, cell ASC), ``k_eff`` slice.
+
+    Returns ``(norms, top)`` — per-row query norms and the (nq, k_eff)
+    nearest-cell index array."""
+    import numpy as np
+
+    norms = np.linalg.norm(m, axis=1)
+    unit = m / np.maximum(norms[:, None], 1e-12)
+    cnorm = np.maximum(np.linalg.norm(cents, axis=1), 1e-12)
+    cos = (unit @ cents.T) / cnorm[None, :]
+    top = np.argsort(-cos, axis=1, kind="stable")[:, :k_eff]
+    return norms, top
+
+
 def probe_cells(queries: DataFrame, cents, nprobe: int,
                 query_id_col: str = "query_id",
                 vec_col: str = "embedding") -> DataFrame:
@@ -835,7 +859,9 @@ def probe_cells(queries: DataFrame, cents, nprobe: int,
     array fold (measured 12 s for 500 queries x 1600 cells at the
     100x sweep — PAID TWICE, once for the pruning collect and once in
     the join), while the matmul is ~50M flops. Tie-break matches the
-    old window exactly: cosine DESC, cell ASC (stable argsort)."""
+    old window exactly: cosine DESC, cell ASC (stable argsort — the
+    shared ``_probe_topk`` kernel, identical to the driver-side gate
+    branch by construction)."""
     import numpy as np
     import pandas as pd
 
@@ -847,11 +873,7 @@ def probe_cells(queries: DataFrame, cents, nprobe: int,
                 continue
             m = np.asarray([np.asarray(v, dtype=np.float64)
                             for v in pdf[vec_col]])
-            norms = np.linalg.norm(m, axis=1)
-            unit = m / np.maximum(norms[:, None], 1e-12)
-            cnorm = np.maximum(np.linalg.norm(cents, axis=1), 1e-12)
-            cos = (unit @ cents.T) / cnorm[None, :]
-            top = np.argsort(-cos, axis=1, kind="stable")[:, :k_eff]
+            norms, top = _probe_topk(m, cents, k_eff)
             nq = len(pdf)
             yield pd.DataFrame({
                 query_id_col: pdf[query_id_col].to_numpy().repeat(k_eff),
@@ -932,8 +954,16 @@ def _resolve_probe_from_queries(queries: DataFrame, cents, nprobe: int,
     dim = cents.shape[1] if len(cents) else 1
     k_eff = min(nprobe, len(cents))   # same k_eff as the probe_cells kernel
     row_bytes = dim * 8 + 48
-    max_probe_rows = max(1, PROBE_BROADCAST_MAX_BYTES // row_bytes)
-    nq_cap = max(1, max_probe_rows // max(1, k_eff))
+    # no >= 1 clamps here (r11 ADVICE): if even ONE query's k_eff
+    # probe rows exceed the byte ceiling, the ceiling stays
+    # authoritative — go straight to the distributed branch instead of
+    # forcing a minimal batch through the driver broadcast
+    max_probe_rows = PROBE_BROADCAST_MAX_BYTES // row_bytes
+    nq_cap = max_probe_rows // k_eff if k_eff else max_probe_rows
+    if nq_cap < 1:
+        return _resolve_probe(
+            probe_cells(queries, cents, nprobe, query_id_col, vec_col),
+            query_id_col, dim)
     rows = queries.select(query_id_col, vec_col).limit(nq_cap + 1).collect()
     if len(rows) > nq_cap:
         # over the ceiling: distributed probe, planner-owned join —
@@ -950,11 +980,7 @@ def _resolve_probe_from_queries(queries: DataFrame, cents, nprobe: int,
             f"{query_id_col} {queries.schema[query_id_col].dataType.simpleString()}, "
             "_qvec array<double>, _qnorm double, cell int")
         return F.broadcast(local), cells, True
-    norms = np.linalg.norm(m, axis=1)
-    unit = m / np.maximum(norms[:, None], 1e-12)
-    cnorm = np.maximum(np.linalg.norm(cents, axis=1), 1e-12)
-    cos = (unit @ cents.T) / cnorm[None, :]
-    top = np.argsort(-cos, axis=1, kind="stable")[:, :k_eff]
+    norms, top = _probe_topk(m, cents, k_eff)
     flat = top.reshape(len(rows) * k_eff)
     qid_type = queries.schema[query_id_col].dataType.simpleString()
     local = arrow_local_df(
@@ -1018,11 +1044,13 @@ def ivf_search_index(spark: SparkSession, index_path: str, queries: DataFrame,
     resolves through any committed ``upsert_ivf_index`` deltas
     (``ivf_index_data``), so freshly-ingested vectors are searchable
     without an index rebuild and the cell filter prunes every
-    generation alike. The probe is the vectorized matmul kernel
-    (``probe_cells``), MATERIALIZED once as a driver-bounded local
-    relation (``_materialize_probe``) shared by the pruning filter
-    and the candidate join — one driver round trip, no
-    checkpoint/distinct jobs, no Python re-evaluation.
+    generation alike. Under the size gate the probe is resolved from
+    the QUERY BATCH directly (``_resolve_probe_from_queries``, r11):
+    the LIMIT-gated query rows are collected (nq rows — a factor
+    nprobe fewer than a probe collect) and the shared ``_probe_topk``
+    matmul kernel runs driver-side, yielding a broadcast local
+    relation shared by the pruning filter and the candidate join —
+    one driver round trip, no executor Python stage at all.
 
     ``as_of_epoch`` / ``as_of_seq`` pass through to ``ivf_index_data``
     — a time-travel SEARCH over any past index state (r09): "what
@@ -1675,8 +1703,11 @@ def ivfpq_search_index(spark: SparkSession, index_path: str,
     deltas included, each pruned alike); ADC ranks them; with
     ``refine`` the shortlist is exactly re-ranked against ``corpus``
     (the source table — required when refine > 0, since the index
-    stores no float vectors). The probe is the materialized matmul
-    kernel (``probe_cells`` — the ivf_search_index rationale)."""
+    stores no float vectors). The probe is size-gated like
+    ivf_search_index's (``_resolve_probe_from_queries``): bounded
+    batches collect the query rows and run the shared ``_probe_topk``
+    kernel driver-side; over the ceiling the ``probe_cells`` frame
+    stays distributed and the planner owns the candidate join."""
     if refine and corpus is None:
         raise ValueError("refine > 0 needs the source corpus to re-rank "
                          "against (the PQ index stores codes only)")

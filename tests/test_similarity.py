@@ -1145,3 +1145,42 @@ def test_exact_topk_cache_provenance(spark, tmp_path):
     want = sorted(map(tuple, fresh.collect()))
     assert sorted(map(tuple, cached.collect())) == want
     assert sorted(map(tuple, again.collect())) == want
+
+
+def test_bounded_sample_driver_rows_bounded_when_many_partitions(
+        spark, monkeypatch):
+    """r11 VERDICT item 1: with nparts > sample_cap the per-partition
+    head floors at 1 row, so a plain collect would pull O(nparts) rows
+    to the driver and schedule every partition; the limit node must be
+    retained there so the driver never holds more than ~cap rows. With
+    few partitions the trimmed plain collect stays (< 2*cap bound)."""
+    import hackmd_data_pipeline_spark.operators.similarity as simmod
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+
+    # patch the CONCRETE DataFrame class (Spark 4: pyspark.sql.DataFrame
+    # is the dispatching facade; instances are classic/connect subtypes)
+    cls = type(emb)
+    seen: list[int] = []
+    orig = cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        seen.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+
+    # many partitions (nparts > cap): the limit path bounds the fetch
+    many = emb.repartition(32)
+    seen.clear()
+    x = simmod._bounded_sample(many, "embedding", sample_cap=8)
+    assert len(x) == 8
+    assert max(seen) <= 8, f"driver collected {max(seen)} rows for cap 8"
+
+    # few partitions (nparts <= cap): plain collect, bounded < 2*cap
+    few = emb.repartition(4)
+    seen.clear()
+    y = simmod._bounded_sample(few, "embedding", sample_cap=8)
+    assert len(y) == 8
+    assert max(seen) < 16
