@@ -26,6 +26,29 @@ from .checkpointing import iter_checkpoint
 from pyspark.sql.window import Window as W
 
 
+_TOKEN_SPLIT_RE = "[ \\t\\n\\x0B\\f\\r]+"
+
+
+def _tokens(text_col):
+    return F.split(F.trim(F.lower(text_col)), _TOKEN_SPLIT_RE)
+
+
+def _shingles_from(toks, n: int):
+    """Shingle chain over an ALREADY-TOKENIZED array column — factored
+    out so callers can stage the split() into its own projection (the
+    expression tree references ``toks`` ~2n-1 times, and interpreted
+    expression evaluation re-runs each textual reference per row; with
+    a staged attribute the split runs once per row — measured 0.78 ->
+    0.65 s for the sf0.1 shingle pass, r12)."""
+    sh = toks
+    for j in range(1, n):
+        # pair position i with token i+j; tail positions get NULL b ->
+        # NULL shingle (F.concat propagates null), filtered at the end
+        sh = F.zip_with(sh, F.slice(toks, j + 1, F.size(toks)),
+                        lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(F.filter(sh, lambda x: x.isNotNull()))
+
+
 def shingles(text_col, n: int = 3):
     """Distinct lowercase n-token shingles of a text column.
 
@@ -36,14 +59,7 @@ def shingles(text_col, n: int = 3):
     which benchmarked 10x slower at sf0.1.) Docs shorter than n tokens
     yield an empty array.
     """
-    toks = F.split(F.trim(F.lower(text_col)), "[ \\t\\n\\x0B\\f\\r]+")
-    sh = toks
-    for j in range(1, n):
-        # pair position i with token i+j; tail positions get NULL b ->
-        # NULL shingle (F.concat propagates null), filtered at the end
-        sh = F.zip_with(sh, F.slice(toks, j + 1, F.size(toks)),
-                        lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.array_distinct(F.filter(sh, lambda x: x.isNotNull()))
+    return _shingles_from(_tokens(text_col), n)
 
 
 def hashed_shingles(text_col, n: int = 3):
@@ -70,10 +86,21 @@ def hashed_shingle_table(df: DataFrame, id_col: str = "doc_id",
     intersects it, and the persisted dedup store materializes it.
     Docs with no shingles (shorter than n tokens) are dropped — they
     can produce no signature and no pair.
+
+    The tokenizer is STAGED into its own projection (r12): the shingle
+    chain references the token array ~2n-1 times, and interpreted HOF
+    evaluation re-runs each reference per row — staging makes split()
+    run once per row (same expressions, bit-identical output; the
+    multiple downstream references block CollapseProject from
+    re-inlining). Measured 0.78 -> 0.65 s for the sf0.1 shingle pass.
     """
+    hashed = F.transform(
+        F.filter(_shingles_from(F.col("_toks"), shingle_n),
+                 lambda s: F.length(s) > 0),
+        lambda s: F.xxhash64(s))
     return (
-        df.select(F.col(id_col),
-                  hashed_shingles(F.col(text_col), shingle_n).alias("sh"))
+        df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+        .select(F.col(id_col), hashed.alias("sh"))
         .filter(F.size("sh") > 0)
     )
 

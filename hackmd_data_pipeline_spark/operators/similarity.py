@@ -355,21 +355,40 @@ def normalize_quantize(df: DataFrame, id_col: str = "vec_id",
     floor-formula (not ROUND) so any engine reproduces it bit-for-bit;
     128x smaller than float64, 4x smaller than the float32 input,
     which at 100 TB is the difference between an ANN index that fits
-    in cluster RAM and one that doesn't. Pure codegen'd HOF
-    expressions, zero shuffle, zero Python.
+    in cluster RAM and one that doesn't. Pure HOF expressions, zero
+    shuffle, zero Python.
+
+    STAGED through intermediate projections (r12): composing the
+    expressions directly inlines ``norm`` (an O(dim) fold) into every
+    element of ``unit`` and ``max_abs``+``norm`` into every element of
+    ``qvec`` — HOF lambdas are interpreted and loop-invariant
+    subtrees are NOT hoisted, so the one-Project form does O(dim^3)
+    work per row (measured 22 s to materialize 500 dim-64 rows at
+    sf0.001; bench's count() pruned the projection, which is why this
+    only surfaced under collect). Each intermediate below is
+    referenced more than once by its consumer, which blocks
+    CollapseProject from re-inlining (same IEEE expressions evaluated
+    once — bit-identical output, pinned by the unchanged hash oracle).
     """
     raw = _as_double(F.col(vec_col))
-    norm = l2_norm_raw(raw)
-    unit = F.transform(raw, lambda x: x / norm)
-    max_abs = F.array_max(F.transform(unit, lambda x: F.abs(x)))
-    scale = max_abs / F.lit(127.0)
+    staged = (
+        df.select(F.col(id_col), raw.alias("_raw"))
+        .select(id_col, "_raw", l2_norm_raw(F.col("_raw")).alias("_norm"))
+        .select(id_col, "_norm",
+                F.transform("_raw", lambda x: x / F.col("_norm"))
+                .alias("_unit"))
+        .select(id_col, "_norm", "_unit",
+                F.array_max(F.transform("_unit", F.abs)).alias("_max_abs"))
+    )
     qvec = F.transform(
-        unit, lambda x: F.floor(x * (F.lit(127.0) / max_abs) + F.lit(0.5)).cast("int"))
-    return df.select(
+        "_unit",
+        lambda x: F.floor(x * (F.lit(127.0) / F.col("_max_abs"))
+                          + F.lit(0.5)).cast("int"))
+    return staged.select(
         F.col(id_col),
         qvec.alias("qvec"),
-        F.round(scale, 8).alias("scale"),
-        F.round(norm, 6).alias("norm"),
+        F.round(F.col("_max_abs") / F.lit(127.0), 8).alias("scale"),
+        F.round(F.col("_norm"), 6).alias("norm"),
     )
 
 
