@@ -491,20 +491,36 @@ def build_ivf_index(corpus: DataFrame, dest: str, nlist: int = 16,
 
     in_schema = corpus.select(id_col, vec_col).schema
     out_schema = in_schema.add("cell", "integer").add("_cnorm", "double")
-    (corpus.select(id_col, vec_col)
-     .mapInPandas(_cell_assigner(cents, vec_col), schema=out_schema)
-     # one shuffle on cell at build time buys ONE file per cell dir
-     # forever after: without it every write task emits a fragment
-     # into every cell it touches (~2.5 files/cell measured at the
-     # 100x sweep), and the probed-cell scan pays the per-file open
-     # cost on every search (r08 — the compact_store small-files
-     # lesson applied at write time)
-     .repartition(F.col("cell"))
-     .write.partitionBy("cell").mode("overwrite").parquet(dest + "/data"))
+
+    def write_data() -> None:
+        (corpus.select(id_col, vec_col)
+         .mapInPandas(_cell_assigner(cents, vec_col), schema=out_schema)
+         # one shuffle on cell at build time buys ONE file per cell dir
+         # forever after: without it every write task emits a fragment
+         # into every cell it touches (~2.5 files/cell measured at the
+         # 100x sweep), and the probed-cell scan pays the per-file open
+         # cost on every search (r08 — the compact_store small-files
+         # lesson applied at write time)
+         .repartition(F.col("cell"))
+         .write.partitionBy("cell").mode("overwrite").parquet(dest + "/data"))
 
     spark = corpus.sparkSession
-    (_centroid_df(spark, cents)
-     .coalesce(1).write.mode("overwrite").parquet(dest + "/centroids"))
+
+    def write_centroids() -> None:
+        (_centroid_df(spark, cents)
+         .coalesce(1).write.mode("overwrite").parquet(dest + "/centroids"))
+
+    # the two writes are independent once the quantizer is trained
+    # (cents is a driver-side array) — overlap them (guide §2.6) so
+    # the kilobyte centroid write rides the data write's tail instead
+    # of paying its own serial job slot; both futures are joined
+    # before return, so callers still see a complete index
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(write_data), pool.submit(write_centroids)]
+        for f in futs:
+            f.result()
 
 
 # driver-side quantizer cache: a published index's centroids are
