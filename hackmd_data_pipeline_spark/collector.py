@@ -64,8 +64,15 @@ class Collector:
     def register_new_categories(self) -> None:
         """O-23c: YAML category list minus categories already tracked
         (reference arxiv_collector.py:217-222) — EXCEPT via left-anti."""
-        yaml_df = self.spark.createDataFrame(
-            [(c,) for c in self.categories], "category_name string")
+        # Arrow local relation (r12): a python-parallelized
+        # createDataFrame embedded in the progress table's generation
+        # write makes its coalesce(1) evaluate defaultParallelism
+        # pickled slices serially (~5 s per flip on local[32])
+        from .session import arrow_local_df
+
+        yaml_df = arrow_local_df(
+            self.spark, {"category_name": list(self.categories)},
+            "category_name string")
         cur = self.progress.read()
         new = (
             yaml_df.join(cur.select("category_name"), "category_name", "left_anti")
@@ -98,7 +105,9 @@ class Collector:
         try:
             raw = self.spark.read.schema(RAW_RECORD_SCHEMA).json(f"{self.root}/raw")
         except Exception:
-            return self.spark.createDataFrame([], "entry_id string")
+            from .session import empty_local_df
+
+            return empty_local_df(self.spark, "entry_id string")
         cutoff = F.current_timestamp() - F.expr(f"INTERVAL {lookback_months} MONTHS")
         return (
             raw.select("entry_id", F.to_timestamp("published").alias("_pub"))
@@ -123,8 +132,12 @@ class Collector:
             # file listing behind a DataFrame is fixed at creation
             known = F.broadcast(self.known_ids())
             records = list(self.fetch(cat, self.max_results))
-            incoming = self.spark.createDataFrame(records, RAW_RECORD_SCHEMA) \
-                if records else self.spark.createDataFrame([], RAW_RECORD_SCHEMA)
+            if records:
+                incoming = self.spark.createDataFrame(records, RAW_RECORD_SCHEMA)
+            else:
+                from .session import empty_local_df
+
+                incoming = empty_local_df(self.spark, RAW_RECORD_SCHEMA)
             fresh = (
                 incoming.dropDuplicates(["entry_id"])           # O-23
                 .join(known, "entry_id", "left_anti")           # O-22
@@ -144,8 +157,18 @@ class Collector:
             self._mark_finished(cat)
 
         if stats_rows:
-            stats = self.spark.createDataFrame(
-                stats_rows, CATEGORY_RUN_STATS_SCHEMA
+            # Arrow local relation — the run_stats generation write
+            # coalesces to one file (see register_new_categories)
+            from .session import arrow_local_df
+
+            stats = arrow_local_df(
+                self.spark,
+                {"category_name": [r[0] for r in stats_rows],
+                 "time_sec": [float(r[1]) for r in stats_rows],
+                 "s3_count": [int(r[2]) for r in stats_rows],
+                 "pg_count": [int(r[3]) for r in stats_rows]},
+                "category_name string, time_sec double, "
+                "s3_count int, pg_count int",
             ).withColumn("updated_at", F.current_timestamp())
             self.run_stats.write(self.run_stats.read().unionByName(stats))
 

@@ -176,11 +176,24 @@ class CorpusPipeline:
                 for r in self.ledger.read().collect()}
 
     def _mark(self, stage: str, status: str, attempt: int) -> None:
+        from .session import arrow_local_df
+
         rows = self._statuses()
         rows[stage] = (status, attempt)
-        self.ledger.write(self.spark.createDataFrame(
-            [(s, st, at, None) for s, (st, at) in sorted(rows.items())],
-            STAGE_LEDGER_SCHEMA
+        items = sorted(rows.items())
+        # JVM Arrow local relation, NOT createDataFrame(list): the
+        # python-parallelized form spreads the rows over
+        # defaultParallelism pickled slices, and the ledger write's
+        # coalesce(1) then evaluates all of them SEQUENTIALLY through
+        # one task's Python worker — measured 5-7 s PER LEDGER FLIP on
+        # local[32] (~100 s of a 150 s pipeline run; r12, the r09
+        # centroid-write lesson applied to the control tables)
+        self.ledger.write(arrow_local_df(
+            self.spark,
+            {"stage": [s for s, _ in items],
+             "status": [st for _, (st, _) in items],
+             "attempt": [at for _, (_, at) in items]},
+            "stage string, status string, attempt int",
         ).withColumn("updated_at", F.current_timestamp()))
 
     def _fault(self, point: str, stage: str) -> None:

@@ -769,10 +769,10 @@ def _cc_local(spark, rows) -> DataFrame:
     enforces the threshold): path-halving find, union-by-min so every
     root is its component's minimum id — identical semantics to the
     distributed min-label propagation."""
-    from ..session import arrow_local_df
+    from ..session import arrow_local_df, empty_local_df
 
     if not rows:
-        return spark.createDataFrame([], "id long, cluster_id long")
+        return empty_local_df(spark, "id long, cluster_id long")
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:

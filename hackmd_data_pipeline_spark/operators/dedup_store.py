@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import empty_local_df
 from .dedup import (
     band_buckets,
     dedup_clusters,
@@ -565,7 +566,8 @@ def load_clusters(spark: SparkSession, dest: str,
     base = (spark.read.parquet(dest + "/clusters") if has_base
             # empty base: a store grown purely by update_clusters from
             # its first epoch has overlays but never a flat stage
-            else spark.createDataFrame([], _CLUSTER_SCHEMA))
+            # (JVM empty relation — session.empty_local_df, r12)
+            else empty_local_df(spark, _CLUSTER_SCHEMA))
     if not seqs:
         return base
     df = base.select("id", "cluster_id", F.lit(-1).alias("_seq"))

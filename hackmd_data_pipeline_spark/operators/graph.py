@@ -107,8 +107,10 @@ def _pagerank_local(spark, rows, damping: float, iters: int) -> DataFrame:
     (caller enforces the threshold): scatter-add per round."""
     import numpy as np
 
+    from ..session import arrow_local_df, empty_local_df
+
     if not rows:
-        return spark.createDataFrame([], "id long, rank double")
+        return empty_local_df(spark, "id long, rank double")
     src = np.asarray([r.src for r in rows], dtype=np.int64)
     dst = np.asarray([r.dst for r in rows], dtype=np.int64)
     nodes = np.unique(np.concatenate([src, dst]))
@@ -123,5 +125,11 @@ def _pagerank_local(spark, rows, damping: float, iters: int) -> DataFrame:
         incoming = np.zeros(n)
         np.add.at(incoming, di, contrib)
         rank = (1.0 - damping) / n + damping * incoming
-    out = [(int(nodes[i]), float(round(rank[i], 8))) for i in range(n)]
-    return spark.createDataFrame(out, "id long, rank double")
+    # JVM Arrow local relation, not a python-parallelized collection
+    # (the _cc_local rationale, r11/r12): one Arrow batch the planner
+    # can size, no 32-task Python round trip per downstream consumer
+    return arrow_local_df(
+        spark,
+        {"id": [int(nodes[i]) for i in range(n)],
+         "rank": [float(round(rank[i], 8)) for i in range(n)]},
+        "id long, rank double")

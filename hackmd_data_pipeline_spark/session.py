@@ -88,3 +88,24 @@ def arrow_local_df(spark: SparkSession, columns: dict, schema: str):
     import pandas as pd
 
     return spark.createDataFrame(pd.DataFrame(columns), schema)
+
+
+def empty_local_df(spark: SparkSession, schema):
+    """Empty DataFrame as a JVM-local relation.
+
+    ``spark.createDataFrame([], schema)`` builds a python-parallelized
+    relation of ``defaultParallelism`` EMPTY pickled slices — each
+    still costs a Python-worker round trip when evaluated, and a
+    downstream ``coalesce(1)`` (the control-table generation write)
+    walks all of them sequentially in one task (measured 10.5 s for an
+    EMPTY 32-slice relation on local[32], r12; an empty pandas frame
+    falls back to the same RDD path). ``range(0)`` + typed null casts
+    is pure JVM — zero partitions, no Python worker at evaluation
+    time. ``schema`` may be a StructType or a DDL string."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    return spark.range(0).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields])

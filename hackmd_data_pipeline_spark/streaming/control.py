@@ -53,7 +53,13 @@ class ControlTable:
     def read(self) -> DataFrame:
         gen = self.current_gen()
         if gen < 0:
-            return self.spark.createDataFrame([], self.schema)
+            # JVM empty relation (r12): createDataFrame([], schema) is
+            # a defaultParallelism-slice python relation whose empty
+            # slices still cost a worker round trip each — serial
+            # under the generation write's coalesce(1) (~10 s/flip)
+            from ..session import empty_local_df
+
+            return empty_local_df(self.spark, self.schema)
         return self.spark.read.schema(self.schema).parquet(
             os.path.join(self.root, f"gen={gen}"))
 
