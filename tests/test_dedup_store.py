@@ -20,7 +20,7 @@ from hackmd_data_pipeline_spark.operators.dedup_store import (
 )
 from hackmd_data_pipeline_spark.tables import load_table
 
-from .conftest import SF_CORRECT
+from .conftest import SF_CORRECT, local_df
 
 
 def test_store_matches_adhoc_pipeline(spark, tmp_path):
@@ -348,7 +348,7 @@ def test_partial_cluster_delta_is_ignored_then_overwritten(spark, tmp_path):
         .write.parquet(dest + "/clusters")
     # simulate a crashed merge of (2,10): partial delta holding only a
     # SUBSET of the recomputed labels, no commit marker
-    spark.createDataFrame([(2, 1), (10, 1)], "id long, cluster_id long") \
+    local_df(spark, [(2, 1), (10, 1)], "id long, cluster_id long") \
         .coalesce(1).write.parquet(dest + "/cluster_deltas/seq=0")
     os.remove(dest + "/cluster_deltas/seq=0/_SUCCESS")
     assert _resolved(spark, dest) == {(1, 1), (2, 1), (10, 10), (11, 10)}, (
@@ -530,13 +530,13 @@ def test_deletion_stream_propagates_and_replays(spark, tmp_path):
     reqs = str(tmp_path / "reqs")
     ckpt = str(tmp_path / "ckpt")
 
-    spark.createDataFrame([(1,)], "doc_id long").coalesce(1) \
+    local_df(spark, [(1,)], "doc_id long").coalesce(1) \
         .write.mode("append").parquet(reqs)
     c1 = run_deletion_stream(spark, reqs, ckpt, dest)
     assert c1 == {"requests": 1, "retired": 1, "relabeled": 2}
     assert _resolved(spark, dest) == {(2, 2), (3, 2), (10, 10), (11, 10)}
 
-    spark.createDataFrame([(10,), (11,)], "doc_id long").coalesce(1) \
+    local_df(spark, [(10,), (11,)], "doc_id long").coalesce(1) \
         .write.mode("append").parquet(reqs)
     c2 = run_deletion_stream(spark, reqs, ckpt, dest)
     assert c2 == {"requests": 2, "retired": 2, "relabeled": 0}
@@ -608,7 +608,7 @@ def test_remove_docs_repairs_crashed_prior_deletion(spark, tmp_path):
     _seed_pairs(spark, dest, [(1, 2), (2, 3), (10, 11)])
     # simulate the crash: tombstone for the bridge node 2 commits
     # (with _SUCCESS) but the overlay never lands
-    spark.createDataFrame([(2,)], "id long").coalesce(1) \
+    local_df(spark, [(2,)], "id long").coalesce(1) \
         .write.parquet(dest + "/tombstones/seq=0")
     # the invariant is violated at this point: pairs exclude 2...
     assert not any(2 in (r.id_a, r.id_b)
@@ -643,7 +643,7 @@ def test_compact_store_repairs_orphaned_tombstone(spark, tmp_path):
     _seed_pairs(spark, dest, [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)])
     # crash window: tombstone for bridge node 2 commits (with
     # _SUCCESS), the cluster overlay never lands
-    spark.createDataFrame([(2,)], "id long").coalesce(1) \
+    local_df(spark, [(2,)], "id long").coalesce(1) \
         .write.parquet(dest + "/tombstones/seq=0")
     assert (2, 1) in _resolved(spark, dest)   # the orphan is live
 

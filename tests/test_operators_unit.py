@@ -15,6 +15,8 @@ from hackmd_data_pipeline_spark.operators.joins import asof_join
 from hackmd_data_pipeline_spark.operators.multimodal import (
     default_decode_stub, extract_features)
 
+from .conftest import local_df
+
 
 def _ts(minute):
     return dt.datetime(2024, 1, 1, 0, minute, 0)
@@ -214,7 +216,7 @@ def test_pack_sequences_budget_and_completeness(spark):
         pack_sequences, packing_stats)
     rows = [(i, n) for i, n in enumerate(
         [100, 900, 200, 1500, 50, 50, 50, 1024, 1000, 30])]
-    df = spark.createDataFrame(rows, "doc_id long, n_tokens long").coalesce(1)
+    df = local_df(spark, rows, "doc_id long, n_tokens long").coalesce(1)
     packed = pack_sequences(df, max_tokens=1024).collect()
     # every doc packed exactly once
     assert sorted(r.doc_id for r in packed) == [r[0] for r in rows]

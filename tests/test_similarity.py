@@ -11,7 +11,7 @@ from hackmd_data_pipeline_spark.operators.dedup import minhash_lsh_pairs, shingl
 from hackmd_data_pipeline_spark.operators.similarity import brute_force_topk, ivf_topk
 from hackmd_data_pipeline_spark.tables import load_table
 
-from .conftest import SF_CORRECT
+from .conftest import SF_CORRECT, local_df
 
 
 def test_ivf_recall_vs_exact(spark):
@@ -289,9 +289,9 @@ def test_recall_eval_degenerate_zero_pair_corpus(spark, tmp_path):
 
     rows = [(i, f"utterly unique prose number {i} " * 20 + str(i * 37),
              "en", "unit", 400) for i in range(6)]
-    d = spark.createDataFrame(
-        rows, "doc_id long, text string, lang string, source string, "
-              "n_chars long")
+    d = local_df(
+        spark, rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long")
     d.coalesce(1).write.mode("overwrite").parquet(
         str(tmp_path / "documents.parquet"))
 
@@ -324,9 +324,9 @@ def test_rebalance_null_lang_group_matches_oracle(spark, tmp_path):
                for i in range(15)]
             + [(200 + i, f"de text {i}", "de", "unit", 10)
                for i in range(5)])
-    d = spark.createDataFrame(
-        rows, "doc_id long, text string, lang string, source string, "
-              "n_chars long")
+    d = local_df(
+        spark, rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long")
     d.coalesce(1).write.mode("overwrite").parquet(
         str(tmp_path / "documents.parquet"))
 

@@ -20,7 +20,7 @@ from hackmd_data_pipeline_spark.streaming.annindex import (
 )
 from hackmd_data_pipeline_spark.tables import load_table
 
-from .conftest import SF_CORRECT
+from .conftest import SF_CORRECT, local_df
 
 
 def _write_drop(df, path):
@@ -120,7 +120,7 @@ def test_vector_deletion_stream_propagates(spark, tmp_path):
 
     reqs = str(tmp_path / "reqs")
     ckpt = str(tmp_path / "ck2")
-    spark.createDataFrame([(7,), (8,)], "vec_id long").coalesce(1) \
+    local_df(spark, [(7,), (8,)], "vec_id long").coalesce(1) \
         .write.mode("append").parquet(reqs)
     c1 = run_vector_deletion_stream(spark, reqs, ckpt, idx)
     assert c1 == {"requests": 2}

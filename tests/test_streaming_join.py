@@ -13,6 +13,8 @@ import datetime as dt
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .conftest import local_df
+
 VIEW_SCHEMA = T.StructType([
     T.StructField("view_id", T.LongType()),
     T.StructField("user_id", T.LongType()),
@@ -55,7 +57,7 @@ def test_stream_stream_interval_join(spark, tmp_path):
     for d, schema, rows in ((vdir, VIEW_SCHEMA, VIEWS),
                             (cdir, CLICK_SCHEMA, CLICKS)):
         d.mkdir()
-        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        local_df(spark, rows, schema).coalesce(1).write.mode(
             "append").parquet(str(d))
 
     views = (spark.readStream.schema(VIEW_SCHEMA).parquet(str(vdir))
@@ -81,8 +83,8 @@ def test_stream_stream_interval_join(spark, tmp_path):
 
     assert {(r.view_id, r.click_id) for r in collected} == _expected()
     # sanity: the streaming result is exactly the batch join result
-    bv = spark.createDataFrame(VIEWS, VIEW_SCHEMA).alias("v")
-    bc = spark.createDataFrame(CLICKS, CLICK_SCHEMA).alias("c")
+    bv = local_df(spark, VIEWS, VIEW_SCHEMA).alias("v")
+    bc = local_df(spark, CLICKS, CLICK_SCHEMA).alias("c")
     batch = bv.join(bc, (F.col("v.user_id") == F.col("c.user_id"))
                     & (F.col("c.click_time") >= F.col("v.view_time"))
                     & (F.col("c.click_time") <= F.col("v.view_time")
@@ -112,7 +114,7 @@ def test_streaming_session_window_agg(spark, tmp_path):
     ]
     src = tmp_path / "sessions_src"
     src.mkdir()
-    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+    local_df(spark, rows, schema).coalesce(1).write.parquet(
         str(src / "b1"))
 
     agg_cols = [F.count("*").alias("n"), F.sum("value").alias("v")]
@@ -144,13 +146,13 @@ def test_streaming_session_window_agg(spark, tmp_path):
     # close; nothing can emit from the first drop alone
     assert collected == []
     # a much-later event advances the watermark past all three sessions
-    spark.createDataFrame([(99, m(240), 0.0)], schema).coalesce(1) \
+    local_df(spark, [(99, m(240), 0.0)], schema).coalesce(1) \
         .write.parquet(str(src / "b2"))
     drain()
 
     got = {(r.user_id, r.session_window.start, r.session_window.end):
            (r.n, r.v) for r in collected}
-    batch = (spark.createDataFrame(rows, schema)
+    batch = (local_df(spark, rows, schema)
              .groupBy(F.session_window("ts", "10 minutes"), "user_id")
              .agg(*agg_cols))
     want = {(r.user_id, r.session_window.start, r.session_window.end):
@@ -175,10 +177,10 @@ def test_stream_static_enrichment_join(spark, tmp_path):
         T.StructField("value", T.DoubleType()),
     ])
     rows = [(i, ["view", "click", "purchase"][i % 3], float(i)) for i in range(60)]
-    spark.createDataFrame(rows, schema).coalesce(2).write.mode(
+    local_df(spark, rows, schema).coalesce(2).write.mode(
         "append").parquet(str(events_dir))
 
-    dim = spark.createDataFrame(
+    dim = local_df(spark, 
         [("view", 1.0), ("click", 2.5), ("purchase", 10.0)],
         ["event_type", "weight"])
 

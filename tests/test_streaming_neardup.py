@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from hackmd_data_pipeline_spark.streaming.neardup import run_neardup_ingest
 from hackmd_data_pipeline_spark.tables import load_table
 
-from .conftest import SF_CORRECT
+from .conftest import SF_CORRECT, local_df
 
 
 def _write_drop(df, path):
@@ -333,7 +333,7 @@ def test_span_ingest_deleted_id_policy_across_compaction(spark, tmp_path):
     assert c1["kept"] == 2
 
     # right-to-be-forgotten on doc 1 (pairless store: tombstone-only)
-    remove_docs(spark.createDataFrame([(1,)], "id long"), store)
+    remove_docs(local_df(spark, [(1,)], "id long"), store)
 
     # re-submission BEFORE compaction: skipped, and visibly so
     _write_drop(_doc(tpl, 1, _tok("n", 30)), docs_in)

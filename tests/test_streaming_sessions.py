@@ -12,6 +12,8 @@ from pyspark.sql import types as T
 
 from hackmd_data_pipeline_spark.streaming.sessions import session_window_agg
 
+from .conftest import local_df
+
 SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("ts", T.TimestampType()),
@@ -55,10 +57,10 @@ def test_streaming_equals_batch(spark, tmp_path):
     ckpt = tmp_path / "ckpt"
 
     batch = {tuple(r) for r in session_window_agg(
-        spark.createDataFrame(ROWS, SCHEMA), gap="30 minutes").collect()}
+        local_df(spark, ROWS, SCHEMA), gap="30 minutes").collect()}
 
     collected: list = []
-    spark.createDataFrame(ROWS, SCHEMA).coalesce(1).write.parquet(
+    local_df(spark, ROWS, SCHEMA).coalesce(1).write.parquet(
         str(src / "b1"))
     _drain(spark, src, ckpt, collected)
     # nothing finalized yet: the watermark only advances at batch END
@@ -68,7 +70,7 @@ def test_streaming_equals_batch(spark, tmp_path):
     # push the watermark far past every session's end -> all real
     # sessions close and emit (bounded state reclaimed)
     pusher = [(999, T0 + dt.timedelta(days=1), 0.0)]
-    spark.createDataFrame(pusher, SCHEMA).coalesce(1).write.parquet(
+    local_df(spark, pusher, SCHEMA).coalesce(1).write.parquet(
         str(src / "b2"))
     _drain(spark, src, ckpt, collected)
 
@@ -82,7 +84,7 @@ def test_session_shapes(spark):
     out = {(r.user_id, r.session_start, r.session_end, r.n_events,
             r.value_sum)
            for r in session_window_agg(
-               spark.createDataFrame(ROWS, SCHEMA), gap="30 minutes")
+               local_df(spark, ROWS, SCHEMA), gap="30 minutes")
            .collect()}
     assert out == {
         (100, _m(0), _m(40), 2, 4.0),
@@ -97,7 +99,7 @@ def test_streaming_state_is_session_window(spark, tmp_path):
     state operator (merging sessions), not a generic agg."""
     src = tmp_path / "src"
     src.mkdir()
-    spark.createDataFrame(ROWS, SCHEMA).coalesce(1).write.parquet(
+    local_df(spark, ROWS, SCHEMA).coalesce(1).write.parquet(
         str(src / "b1"))
     stream = (spark.readStream.schema(SCHEMA).parquet(str(src / "*"))
               .withWatermark("ts", "10 minutes"))
@@ -115,17 +117,17 @@ def test_late_event_merges_into_open_session(spark, tmp_path):
     ckpt = tmp_path / "ckpt"
     collected: list = []
 
-    spark.createDataFrame([(7, _m(0), 1.0), (7, _m(20), 1.0)],
+    local_df(spark, [(7, _m(0), 1.0), (7, _m(20), 1.0)],
                           SCHEMA).coalesce(1).write.parquet(str(src / "b1"))
     _drain(spark, src, ckpt, collected)
 
     # late arrival BETWEEN the two seen events, same session
-    spark.createDataFrame([(7, _m(10), 5.0)],
+    local_df(spark, [(7, _m(10), 5.0)],
                           SCHEMA).coalesce(1).write.parquet(str(src / "b2"))
     _drain(spark, src, ckpt, collected)
 
     # close everything
-    spark.createDataFrame([(999, T0 + dt.timedelta(days=1), 0.0)],
+    local_df(spark, [(999, T0 + dt.timedelta(days=1), 0.0)],
                           SCHEMA).coalesce(1).write.parquet(str(src / "b3"))
     _drain(spark, src, ckpt, collected)
 

@@ -13,6 +13,8 @@ from pyspark.sql import types as T
 
 from hackmd_data_pipeline_spark.streaming.stateful import track_sessions
 
+from .conftest import local_df
+
 EVENT_SCHEMA = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("ts", T.TimestampNTZType()),
@@ -21,7 +23,7 @@ EVENT_SCHEMA = T.StructType([
 
 
 def _write_batch(spark, d, name, rows):
-    spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+    local_df(spark, rows, EVENT_SCHEMA).coalesce(1).write.mode(
         "overwrite").parquet(str(d / name))
 
 

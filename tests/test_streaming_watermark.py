@@ -19,7 +19,9 @@ SCHEMA = T.StructType([
 
 
 def _write(spark, d, name, rows):
-    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(str(d / name))
+    from .conftest import local_df
+
+    local_df(spark, rows, SCHEMA).coalesce(1).write.parquet(str(d / name))
 
 
 def _drain(spark, src, ckpt):
