@@ -109,15 +109,40 @@ _ROWS_ONLY_PRIORITY = [
 # re-enter the driver's sample window even though an artifact row
 # exists. Prune entries once the corresponding round's artifact lands.
 _FORCE_REGATE: frozenset = frozenset({
-    # (r10 entries pruned — CORRECTNESS_r10.json records green hash
-    # rows for all 13 re-gated forms.)
-    # r11: the kNN-family search paths are size-gated on the probe
-    # (distributed cell-shuffled candidate join above the ceiling,
-    # local-relation broadcast below it), the exact ground truth cache
-    # writes via repartition(1), upsert_ivfpq_index republishes the
-    # generation manifest, and the text-hashed caches key on the
-    # documents table — values identical by construction, but every
-    # entry's data path changed:
+    # (r10/r11 entries pruned — CORRECTNESS_r10/r11.json record green
+    # hash rows for all re-gated forms.)
+    # r12 optimization round: data paths changed with value-identical
+    # results. (a) the shared shingle tokenizer is STAGED into its own
+    # projection (operators/dedup.py::hashed_shingle_table) — every
+    # MinHash-family pipeline; (b) store/epoch commits overlap their
+    # independent write jobs and the store build derives signatures
+    # from the persisted shingle frame (dedup_store.py); (c)
+    # remove_docs/update_clusters observability counts move into the
+    # writes via Dataset.observe; (d) the quantize expressions are
+    # staged so norm/max_abs evaluate once per row
+    # (similarity.py::normalize_quantize); (e) _bounded_sample keeps a
+    # limit node when nparts > cap, the probe kernel is shared
+    # (_probe_topk) with the ceiling de-clamped, and build_ivf_index
+    # overlaps its data/centroid writes; (f) the pagerank local result
+    # is a JVM Arrow relation. Every touched oracled entry re-enters
+    # the gate window.
+    "dedup_minhash_lsh",
+    "dedup_jaccard_verify",
+    "dedup_lsh_recall_eval",
+    "dedup_cluster_resolve",
+    "dedup_partial_overlap",
+    "dedup_incremental_store",
+    "dedup_incremental_batch",
+    "dedup_incremental_spans",
+    "dedup_store_commit_cycle",
+    "dedup_span_commit_cycle",
+    "dedup_span_store_delete",
+    "dedup_cluster_update",
+    "dedup_store_delete",
+    "dedup_semantic_semdedup",
+    "dedup_embedding_cosine",
+    "emb_normalize_quantize",
+    "emb_hashed_dense",
     "sim_knn_join_ivf",
     "sim_knn_join_ivfpq",
     "sim_knn_join_ivf_upsert",
@@ -125,16 +150,11 @@ _FORCE_REGATE: frozenset = frozenset({
     "sim_knn_join_ivf_asof",
     "sim_knn_join_pointer_cycle",
     "sim_knn_join_text_hashed",
-    # r11 optimization round: data paths changed with value-identical
-    # results — bounded kNN probe resolved driver-side from the query
-    # batch, union-find CC emitted as a JVM-local Arrow relation,
-    # remove_docs overlay counts folded into one aggregation. Every
-    # touched oracled entry re-enters the gate window.
-    "dedup_cc_clusters",
-    "dedup_cluster_resolve",
-    "dedup_cluster_update",
-    "dedup_store_delete",
-    "dedup_semantic_semdedup",
+    "sim_knn_join_media_features",
+    "sim_ann_ivf_recall",
+    "sim_ann_ivfpq_recall",
+    "docs_decontamination_ann",
+    "graph_pagerank_neardup",
 })
 
 _GATE_COVERED = (_covered_from_artifacts() - _FORCE_REGATE) or _R01_COVERED
