@@ -107,12 +107,14 @@ def test_idempotent_new_rows(spark, raw_dir):
 
 
 def _seed_batches(spark, n=7):
+    from .conftest import local_df
+
     rows = [
         (f"b{i:03d}", "cs.DB", f"raw/cs_DB/b{i:03d}.jsonl.gz", 100,
          None, "pending", None, None, None)
         for i in range(n)
     ]
-    return spark.createDataFrame(rows, RAW_BATCHES_SCHEMA)
+    return local_df(spark, rows, RAW_BATCHES_SCHEMA)
 
 
 def test_control_table_claim_and_status(spark, tmp_path):
