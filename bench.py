@@ -180,14 +180,23 @@ def main() -> None:
 
     ref: dict[str, float] = {}
     ref_name = None
+    spark_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     try:
         arts = sorted(Path(__file__).parent.glob("BENCH_LOCAL_r*.json"),
                       key=_round_run)
         want_sf = str(float(sf) if sf.replace(".", "").isdigit() else sf)
         # newest matching-sf artifact, not newest overall: a trailing
-        # exploratory sf0.001 record must not erase the reference
+        # exploratory sf0.001 record must not erase the reference.
+        # r12: also skip artifacts recorded at a DIFFERENT Spark core
+        # count (the driver's low-core scaling run would otherwise
+        # become the 32-core run's reference and poison the ratio
+        # verdict); artifacts predating the spark_cpus field stay
+        # eligible.
         for p in reversed(arts):
             prior = json.loads(p.read_text())
+            pc = prior.get("env", {}).get("spark_cpus")
+            if pc is not None and int(pc) != spark_cpus:
+                continue
             if str(prior.get("sf")) == want_sf:
                 ref = prior.get("queries", {})
                 ref_name = p.name
@@ -301,6 +310,10 @@ def main() -> None:
             "uptime_sec": uptime,
             "wall_sec": round(time.perf_counter() - t_run0, 1),
             "cpus": os.cpu_count(),
+            # the SPARK core count ($SPARK_GRAFT_CPUS -> local[N]) —
+            # os.cpu_count() above is the host and cannot distinguish
+            # the driver's low-core scaling run from the main run
+            "spark_cpus": spark_cpus,
         },
         # queries whose window saw >= 0.25 avg foreign cores (absent =
         # clean): the contamination audit trail the r07 adjudication
